@@ -1,0 +1,245 @@
+"""BSP superstep engine: SpMV as a Ray Data gather-scatter over CSR blocks.
+
+Each GraphBLAS ``mxv``/``vxm`` step (reference graphblas/core/matrix.py:2163,
+vector.py:1259) is re-expressed exactly as the north-star prescribes:
+``map_batches`` over the CSR-block Dataset emits (dst_part, dst_pos,
+partial) contributions — pre-combined per batch with the semiring's ⊕
+monoid so shuffle volume is bounded by distinct destinations, the
+combiner-before-shuffle rule — and ``groupby(dst_part)`` performs the
+shuffle-reduce into dense per-partition slices.
+
+The gather side is per-partition: block p only ever reads the state slice
+of partition p (edges are grouped by src partition), so state travels as
+one ``ray.put`` object ref per partition and each scatter task fetches
+only its own slice — no broadcast of the full vector, which is what makes
+the step valid when the vertex state no longer fits one node.
+
+Skew note: hub destinations are bounded by the per-batch local combine
+(at most one contribution row per (source block, destination vertex)), so
+the reduce key space is at most P rows per destination — the salting
+happens structurally here; the generic Dataset kernel (kernels.py) also
+exposes explicit salt-key reduction for raw COO inputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from raygraph.ops import SEMIRING, Monoid, local_combine
+
+_POS_BITS = np.uint64(40)
+_POS_MASK = np.uint64((1 << 40) - 1)
+
+
+def identity_for(monoid: Monoid, dtype) -> object:
+    dt = np.dtype(dtype)
+    if dt.kind in "ui":
+        if monoid.name == "min":
+            return np.iinfo(dt).max
+        if monoid.name in ("max", "any", "bor"):
+            return np.iinfo(dt).min if dt.kind == "i" else 0
+        if monoid.name == "plus":
+            return 0
+        if monoid.name == "times":
+            return 1
+        if monoid.name == "band":
+            return np.iinfo(dt).max
+        return 0
+    if dt.kind == "b":
+        return monoid.name in ("land", "min", "times", "band")
+    return monoid.identity
+
+
+def _block_arrays(tbl: pa.Table, i: int, names: tuple[str, ...]):
+    out = []
+    for n in names:
+        col = tbl[n]
+        arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+        out.append(np.asarray(arr[i].values))
+    return out
+
+
+def make_scatter(x_refs, semiring_name: str, out_dtype):
+    """Scatter closure over per-partition state refs (one ray.get per block)."""
+    sr = SEMIRING[semiring_name]
+
+    def scatter(tbl: pa.Table) -> pa.Table:
+        import ray
+
+        parts_out: list[np.ndarray] = []
+        pos_out: list[np.ndarray] = []
+        val_out: list[np.ndarray] = []
+        part_col = tbl["part"].to_numpy(zero_copy_only=False)
+        for i in range(tbl.num_rows):
+            p = int(part_col[i])
+            src_pos, indptr, dst_part, dst_pos, w = _block_arrays(
+                tbl, i, ("src_pos", "indptr", "dst_part", "dst_pos", "w")
+            )
+            if len(w) == 0:
+                continue
+            x = ray.get(x_refs[p])  # gather: only THIS partition's slice
+            counts = np.diff(indptr)
+            xv = np.repeat(x[src_pos], counts)
+            val = np.asarray(sr.binary(w, xv), dtype=out_dtype)
+            key = (dst_part.astype(np.uint64) << _POS_BITS) | dst_pos.astype(np.uint64)
+            k, v = local_combine(sr.monoid, key, val)  # per-batch combiner
+            parts_out.append((k >> _POS_BITS).astype(np.int32))
+            pos_out.append((k & _POS_MASK).astype(np.int64))
+            val_out.append(v)
+        if not parts_out:
+            return pa.table(
+                {
+                    "part": pa.array([], pa.int32()),
+                    "pos": pa.array([], pa.int64()),
+                    "val": pa.array(np.empty(0, dtype=out_dtype)),
+                }
+            )
+        return pa.table(
+            {
+                "part": np.concatenate(parts_out),
+                "pos": np.concatenate(pos_out),
+                "val": np.concatenate(val_out),
+            }
+        )
+
+    return scatter
+
+
+def spmv(
+    graph,
+    x_slices: list[np.ndarray],
+    semiring: str = "plus_times",
+    *,
+    out_dtype=None,
+) -> list[np.ndarray]:
+    """w[dst] = ⊕_src A[src,dst] ⊗ x[src] — one distributed superstep.
+
+    Equivalent to the reference's ``A.T.mxv(x, semiring)`` over the
+    src->dst edge orientation (what PageRank's scatter uses,
+    Pagerank notebook cell 9: ``A.T.mxv(w, plus_second)``). Returns dense
+    per-partition slices initialized to the monoid identity — callers that
+    need GraphBLAS absence semantics (missing != identity) also get the
+    contribution mask via :func:`spmv_with_mask`.
+    """
+    dense, _ = spmv_with_mask(graph, x_slices, semiring, out_dtype=out_dtype)
+    return dense
+
+
+def spmv_with_mask(graph, x_slices, semiring="plus_times", *, out_dtype=None):
+    import ray
+
+    sr = SEMIRING[semiring]
+    out_dtype = np.dtype(out_dtype or np.result_type(*(s.dtype for s in x_slices)))
+    ident = identity_for(sr.monoid, out_dtype)
+
+    x_refs = [ray.put(s) for s in x_slices]
+    contrib = graph.blocks.map_batches(
+        make_scatter(x_refs, semiring, out_dtype), batch_format="pyarrow"
+    )
+
+    monoid = sr.monoid
+
+    def reduce_part(g: pa.Table) -> pa.Table:
+        p = int(g["part"][0].as_py())
+        pos = np.asarray(g["pos"].to_numpy(zero_copy_only=False), np.int64)
+        val = np.asarray(g["val"].to_numpy(zero_copy_only=False), out_dtype)
+        k, v = local_combine(monoid, pos, val)
+        return pa.Table.from_pydict({"part": [p], "pos": [k], "val": [v]})
+
+    rows = contrib.groupby("part").map_groups(reduce_part, batch_format="pyarrow").take_all()
+
+    dense = [np.full(int(s), ident, dtype=out_dtype) for s in graph.sizes]
+    mask = [np.zeros(int(s), bool) for s in graph.sizes]
+    for row in rows:
+        p = int(row["part"])
+        pos = np.asarray(row["pos"], np.int64)
+        dense[p][pos] = np.asarray(row["val"], out_dtype)
+        mask[p][pos] = True
+    return dense, mask
+
+
+def lpa_step(graph, labels: list[np.ndarray]) -> list[np.ndarray]:
+    """One synchronous label-propagation round.
+
+    new_label[v] = the most frequent label among in-neighbors of v, ties
+    broken by the smallest label; vertices with no neighbors keep theirs.
+    Scatter emits locally pre-counted (dst, label, count) triples; the
+    grouped reduce sums counts and takes the deterministic argmax
+    (SURVEY.md §7.1 step 6: ``max_second`` argmax-by-count via grouped
+    count + max).
+    """
+    import ray
+
+    lab_refs = [ray.put(s) for s in labels]
+
+    def scatter(tbl: pa.Table) -> pa.Table:
+        part_col = tbl["part"].to_numpy(zero_copy_only=False)
+        op, opos, olab, ocnt = [], [], [], []
+        for i in range(tbl.num_rows):
+            p = int(part_col[i])
+            src_pos, indptr, dst_part, dst_pos, w = _block_arrays(
+                tbl, i, ("src_pos", "indptr", "dst_part", "dst_pos", "w")
+            )
+            if len(w) == 0:
+                continue
+            lab = ray.get(lab_refs[p])
+            lv = np.repeat(lab[src_pos], np.diff(indptr))
+            # local count per (dst_part, dst_pos, label)
+            order = np.lexsort((lv, dst_pos, dst_part))
+            dp, dq, ll = dst_part[order], dst_pos[order], lv[order]
+            new = np.r_[True, (dp[1:] != dp[:-1]) | (dq[1:] != dq[:-1]) | (ll[1:] != ll[:-1])]
+            starts = np.flatnonzero(new)
+            cnt = np.diff(np.r_[starts, len(dp)])
+            op.append(dp[starts])
+            opos.append(dq[starts])
+            olab.append(ll[starts])
+            ocnt.append(cnt.astype(np.int64))
+        if not op:
+            return pa.table(
+                {
+                    "part": pa.array([], pa.int32()),
+                    "pos": pa.array([], pa.int64()),
+                    "lab": pa.array([], pa.uint64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "part": np.concatenate(op),
+                "pos": np.concatenate(opos),
+                "lab": np.concatenate(olab),
+                "cnt": np.concatenate(ocnt),
+            }
+        )
+
+    contrib = graph.blocks.map_batches(scatter, batch_format="pyarrow")
+
+    def reduce_part(g: pa.Table) -> pa.Table:
+        p = int(g["part"][0].as_py())
+        pos = np.asarray(g["pos"].to_numpy(zero_copy_only=False), np.int64)
+        lab = np.asarray(g["lab"].to_numpy(zero_copy_only=False), np.uint64)
+        cnt = np.asarray(g["cnt"].to_numpy(zero_copy_only=False), np.int64)
+        # total count per (pos, label)
+        order = np.lexsort((lab, pos))
+        pos, lab, cnt = pos[order], lab[order], cnt[order]
+        new = np.r_[True, (pos[1:] != pos[:-1]) | (lab[1:] != lab[:-1])]
+        starts = np.flatnonzero(new)
+        tot = np.add.reduceat(cnt, starts)
+        pos, lab = pos[starts], lab[starts]
+        # deterministic argmax per pos: max count, tie -> min label.
+        # rows are sorted by (pos, lab asc); stable-sort by count desc keeps
+        # label ascending within equal counts, so first row per pos wins.
+        order2 = np.lexsort((lab, -tot, pos))
+        pos, lab, tot = pos[order2], lab[order2], tot[order2]
+        first = np.r_[True, pos[1:] != pos[:-1]]
+        return pa.Table.from_pydict(
+            {"part": [p], "pos": [pos[first]], "lab": [lab[first]]}
+        )
+
+    rows = contrib.groupby("part").map_groups(reduce_part, batch_format="pyarrow").take_all()
+    out = [s.copy() for s in labels]
+    for row in rows:
+        p = int(row["part"])
+        out[p][np.asarray(row["pos"], np.int64)] = np.asarray(row["lab"], np.uint64)
+    return out

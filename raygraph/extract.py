@@ -1,0 +1,100 @@
+"""HTML -> (text, outlinks) extraction: stateful parser actor pool.
+
+The parse stage is a callable CLASS passed to ``map_batches`` so the
+compiled patterns are built once per actor (``__init__``), not once per
+batch — the Ray analog of the reference compiling UDF kernels once via
+numba (reference graphblas/core/operator/unary.py:275,312; SURVEY.md §7.2).
+
+Extraction spec (byte-identical invariant, FIXTURES.md §1): the extracted
+text is the concatenation of ``<p>`` block contents and anchor texts in
+document order, joined by ``"\\n"``, with NO other normalization. The
+``html`` column is dropped immediately after parsing (``select_columns``)
+so the big binary payload never travels further down the pipeline.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from raygraph.schema import EXTRACTED
+
+
+class HtmlExtractor:
+    """Actor-pool batch parser: pages batch -> (url, extracted_text, outlinks, lang)."""
+
+    def __init__(self):
+        # one compiled scanner per actor: matches <p>...</p> or <a href="...">...</a>
+        self._block = re.compile(r'<p>(.*?)</p>|<a href="([^"]*)">(.*?)</a>', re.S)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"]
+        htmls = batch["html"].to_pylist()
+        texts: list[str] = []
+        links: list[list[str]] = []
+        for h in htmls:
+            parts: list[str] = []
+            out: list[str] = []
+            for m in self._block.finditer(h.decode("utf-8")):
+                if m.group(1) is not None:
+                    parts.append(m.group(1))
+                else:
+                    out.append(m.group(2))
+                    parts.append(m.group(3))
+            texts.append("\n".join(parts))
+            links.append(out)
+        return pa.Table.from_arrays(
+            [
+                urls.combine_chunks() if isinstance(urls, pa.ChunkedArray) else urls,
+                pa.array(texts, pa.string()),
+                pa.array(links, pa.list_(pa.string())),
+                batch["lang"].combine_chunks()
+                if isinstance(batch["lang"], pa.ChunkedArray)
+                else batch["lang"],
+            ],
+            schema=EXTRACTED,
+        )
+
+
+def extract_pages(pages_ds, concurrency=(1, 8), batch_size: int = 1024):
+    """pages Dataset -> extracted Dataset (url, extracted_text, outlinks, lang).
+
+    ``batch_size`` is kept modest because each row carries an html blob;
+    blocks stay well under the object-store block target (SURVEY.md §4
+    "Memory pressure" row).
+    """
+    return pages_ds.map_batches(
+        HtmlExtractor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def links_table(extracted_ds):
+    """Explode outlinks -> hashed COO link rows (src:uint64, dst:uint64).
+
+    Duplicate links are preserved here; resolution against the known url
+    set and dup_op dedup happen in graph.build (reference analog:
+    Matrix.from_coo dup_op, graphblas/core/matrix.py:643-698).
+    """
+    from raygraph.util import hash_strings
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n_out = pa.compute.list_value_length(batch["outlinks"]).fill_null(0).to_numpy()
+        src = hash_strings(batch["url"].to_pylist())
+        flat = batch["outlinks"].combine_chunks().flatten() if isinstance(
+            batch["outlinks"], pa.ChunkedArray
+        ) else batch["outlinks"].flatten()
+        dst = hash_strings(flat.to_pylist()) if len(flat) else np.empty(0, np.uint64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.repeat(src, n_out), pa.uint64()),
+                pa.array(dst, pa.uint64()),
+            ],
+            names=["src", "dst"],
+        )
+
+    return extracted_ds.map_batches(explode, batch_format="pyarrow")

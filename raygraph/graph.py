@@ -1,0 +1,312 @@
+"""Distributed graph build: COO edge Dataset -> per-partition Arrow CSR blocks.
+
+Reference analog: ``Matrix.from_coo(rows, cols, vals, dup_op=...)`` ->
+``GrB_Matrix_build`` (graphblas/core/matrix.py:643-698,885) plus the
+import/export CSR surface (graphblas/core/ss/matrix.py:1165-3317). Here the
+build is a two-shuffle Ray Data pipeline:
+
+  stage 1 (groupby dst-part): resolve edges against the vertex registry
+    (drop links to unknown urls), apply ``dup_op`` dedup on (src,dst), and
+    annotate each edge with (dst_part, dst_pos) — the destination
+    partition and the position of dst inside that partition's sorted
+    vertex-id array. The vertex registry rides the SAME shuffle as the
+    edges (tagged-union co-group), so no broadcast of the vertex set is
+    ever needed — this is what keeps the build valid at 10^12-document
+    scale where no single node can hold the id set.
+
+  stage 2 (groupby src-part): build one CSR block Arrow row per partition
+    (schema.CSR_BLOCK) with per-row positions precomputed, so that
+    iteration-time SpMV does pure vectorized gathers with zero joins.
+
+Partitioning is ``util.part_of`` (splitmix64 of the uint64 vertex id mod
+P) and is the single partitioner shared by edges, vertex slices and all
+iterative state (SURVEY.md §4 "Data partitioning").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from raygraph.util import default_num_parts, part_of
+
+_TAG_SCHEMA = pa.schema(
+    [
+        pa.field("part", pa.int32()),
+        pa.field("src", pa.uint64()),
+        pa.field("dst", pa.uint64()),
+        pa.field("w", pa.float64()),
+        pa.field("dst_part", pa.int32()),
+        pa.field("dst_pos", pa.int64()),
+        pa.field("kind", pa.int8()),  # 0 = edge row, 1 = vertex-registry row
+    ]
+)
+
+
+def _tag_table(part, src, dst, w, dst_part, dst_pos, kind) -> pa.Table:
+    n = len(src)
+    return pa.Table.from_arrays(
+        [
+            pa.array(np.asarray(part, np.int32), pa.int32()),
+            pa.array(np.asarray(src, np.uint64), pa.uint64()),
+            pa.array(np.asarray(dst, np.uint64), pa.uint64()),
+            pa.array(np.asarray(w, np.float64), pa.float64()),
+            pa.array(np.broadcast_to(np.asarray(dst_part, np.int32), (n,)), pa.int32()),
+            pa.array(np.broadcast_to(np.asarray(dst_pos, np.int64), (n,)), pa.int64()),
+            pa.array(np.broadcast_to(np.asarray(kind, np.int8), (n,)), pa.int8()),
+        ],
+        schema=_TAG_SCHEMA,
+    )
+
+
+def _member_mask(sorted_ids: np.ndarray, x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(is_member, position) of x in sorted_ids via searchsorted."""
+    if len(sorted_ids) == 0:
+        return np.zeros(len(x), bool), np.zeros(len(x), np.int64)
+    pos = np.searchsorted(sorted_ids, x)
+    pos_c = np.minimum(pos, len(sorted_ids) - 1)
+    return sorted_ids[pos_c] == x, pos_c.astype(np.int64)
+
+
+@dataclass
+class Graph:
+    """A built graph: materialized CSR-block Dataset + partition metadata.
+
+    ``blocks`` has one Arrow row per non-empty partition (schema.CSR_BLOCK)
+    and is pinned in the object store (``materialize()``) for reuse across
+    algorithm iterations — the analog of the reference holding the Matrix
+    in process heap between calls (SURVEY.md §3.1).
+    """
+
+    blocks: "object"  # ray.data.Dataset (materialized)
+    num_parts: int
+    sizes: np.ndarray  # vertices per partition (len = num_parts)
+    nnz: int
+    n_vertices: int
+    _ids_cache: list | None = field(default=None, repr=False)
+
+    # ---- driver-side helpers (sandbox-scale; at cluster scale these stay
+    # ---- as per-partition object refs and never centralize — see engine.py)
+    def ids_slices(self) -> list[np.ndarray]:
+        """Per-partition sorted vertex id arrays (cached)."""
+        if self._ids_cache is None:
+            out: list[np.ndarray] = [np.empty(0, np.uint64) for _ in range(self.num_parts)]
+            for row in self.blocks.select_columns(["part", "ids"]).take_all():
+                out[int(row["part"])] = np.asarray(row["ids"], dtype=np.uint64)
+            self._ids_cache = out
+        return self._ids_cache
+
+    def deg_slices(self) -> list[np.ndarray]:
+        out = [np.zeros(s, np.float64) for s in self.sizes]
+        for row in self.blocks.select_columns(["part", "deg"]).take_all():
+            out[int(row["part"])] = np.asarray(row["deg"], dtype=np.float64)
+        return out
+
+    def state(self, fill, dtype=np.float64) -> list[np.ndarray]:
+        """Dense per-partition state vector initialized to ``fill``."""
+        return [np.full(int(s), fill, dtype=dtype) for s in self.sizes]
+
+    def to_vertex_table(self, slices: list[np.ndarray], name: str = "val") -> pa.Table:
+        """(v, val) Arrow table from per-partition state (driver-side)."""
+        ids = self.ids_slices()
+        v = np.concatenate([i for i in ids if len(i)]) if self.n_vertices else np.empty(0, np.uint64)
+        val = np.concatenate([s for s in slices if len(s)]) if self.n_vertices else np.empty(0)
+        order = np.argsort(v, kind="stable")
+        return pa.table({"v": v[order], name: val[order]})
+
+    def state_from_table(self, tbl: pa.Table, col: str = "val", fill=0.0, dtype=np.float64):
+        """Scatter a (v, val) table into per-partition dense state."""
+        out = self.state(fill, dtype=dtype)
+        v = np.asarray(tbl["v"].to_numpy(zero_copy_only=False), np.uint64)
+        val = np.asarray(tbl[col].to_numpy(zero_copy_only=False), dtype)
+        p = part_of(v, self.num_parts)
+        ids = self.ids_slices()
+        for q in np.unique(p):
+            sel = p == q
+            ok, pos = _member_mask(ids[q], v[sel])
+            out[q][pos[ok]] = val[sel][ok]
+        return out
+
+
+def _normalize_edges(edges_ds, symmetrize: bool, drop_self: bool, num_parts: int):
+    """Edge Dataset -> tagged rows keyed by dst partition (kind=0)."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        src = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        dst = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        if "w" in t.column_names:
+            w = np.asarray(t["w"].to_numpy(zero_copy_only=False), np.float64)
+        else:
+            w = np.ones(len(src), np.float64)
+        if symmetrize:
+            src, dst = np.r_[src, dst], np.r_[dst, src]
+            w = np.r_[w, w]
+        if drop_self:
+            keep = src != dst
+            src, dst, w = src[keep], dst[keep], w[keep]
+        return _tag_table(part_of(dst, num_parts), src, dst, w, -1, -1, 0)
+
+    return edges_ds.map_batches(prep, batch_format="pyarrow")
+
+
+def _vertex_rows(source_ds, num_parts: int, column: str | None):
+    """Vertex registry rows: (part, src=id, kind=1), locally uniqued."""
+
+    def vmap(t: pa.Table) -> pa.Table:
+        if column is not None:
+            v = np.unique(np.asarray(t[column].to_numpy(zero_copy_only=False), np.uint64))
+        else:  # derive from edges: union of endpoints
+            s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+            d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+            v = np.unique(np.r_[s, d])
+        z = np.zeros(len(v))
+        return _tag_table(part_of(v, num_parts), v, z, z, -1, -1, 1)
+
+    return source_ds.map_batches(vmap, batch_format="pyarrow")
+
+
+def _split_group(g: pa.Table):
+    kind = np.asarray(g["kind"].to_numpy(zero_copy_only=False))
+    src = np.asarray(g["src"].to_numpy(zero_copy_only=False), np.uint64)
+    ids = np.unique(src[kind == 1])
+    e = kind == 0
+    return ids, src[e], (
+        np.asarray(g["dst"].to_numpy(zero_copy_only=False), np.uint64)[e],
+        np.asarray(g["w"].to_numpy(zero_copy_only=False), np.float64)[e],
+        np.asarray(g["dst_part"].to_numpy(zero_copy_only=False), np.int32)[e],
+        np.asarray(g["dst_pos"].to_numpy(zero_copy_only=False), np.int64)[e],
+    )
+
+
+def build_graph(
+    edges_ds,
+    *,
+    vertices_ds=None,
+    vertex_column: str = "v",
+    num_parts: int | None = None,
+    dup_op: str = "plus",  # "plus" | "count" | "min" | "max" | "first" | "raise"
+    binarize: bool = False,
+    symmetrize: bool = False,
+    drop_self: bool = False,
+) -> Graph:
+    """Build a partitioned CSR graph from a COO edge Dataset.
+
+    ``vertices_ds`` (optional) fixes the vertex universe; edges whose
+    endpoint is not in it are dropped (unknown-url links). ``dup_op``
+    merges duplicate (src,dst) pairs (reference dup_op semantics,
+    graphblas/core/matrix.py:696-698 — "raise" reproduces the reference's
+    ValueError on unmerged duplicates). ``binarize`` maps every surviving
+    weight to 1.0 (reference ``A << A.apply(unary.one)``, Pagerank
+    notebook cell 11).
+    """
+    P = default_num_parts(num_parts)
+
+    tagged = _normalize_edges(edges_ds, symmetrize, drop_self, P)
+    if vertices_ds is not None:
+        verts = _vertex_rows(vertices_ds, P, vertex_column)
+        check_src = True
+    else:
+        verts = _vertex_rows(edges_ds, P, None)
+        check_src = False
+
+    # ---- stage 1: co-grouped by dst partition — resolve + dedup + dst_pos
+    def resolve(g: pa.Table) -> pa.Table:
+        part = int(g["part"][0].as_py())
+        ids, es, (ed, ew, _dp, _dpos) = _split_group(g)
+        ok, pos = _member_mask(ids, ed)
+        es, ed, ew, pos = es[ok], ed[ok], ew[ok], pos[ok]
+        if len(es):
+            order = np.lexsort((ed, es))
+            es, ed, ew, pos = es[order], ed[order], ew[order], pos[order]
+            new = np.r_[True, (es[1:] != es[:-1]) | (ed[1:] != ed[:-1])]
+            starts = np.flatnonzero(new)
+            if dup_op == "raise" and len(starts) != len(es):
+                raise ValueError("duplicate (src,dst) without dup_op (reference matrix.py:696)")
+            if dup_op == "count":
+                ew = np.diff(np.r_[starts, len(es)]).astype(np.float64)
+            elif dup_op == "plus":
+                ew = np.add.reduceat(ew, starts)
+            elif dup_op == "min":
+                ew = np.minimum.reduceat(ew, starts)
+            elif dup_op == "max":
+                ew = np.maximum.reduceat(ew, starts)
+            else:  # first
+                ew = ew[starts]
+            es, ed, pos = es[starts], ed[starts], pos[starts]
+        if binarize:
+            ew = np.ones(len(ew), np.float64)
+        return _tag_table(part_of(es, P), es, ed, ew, part, pos, 0)
+
+    resolved = tagged.union(verts).groupby("part").map_groups(resolve, batch_format="pyarrow")
+
+    # ---- stage 2: co-grouped by src partition — emit one CSR block row
+    def build_block(g: pa.Table) -> pa.Table:
+        part = int(g["part"][0].as_py())
+        ids, es, (ed, ew, edp, edpos) = _split_group(g)
+        if check_src:
+            ok, _ = _member_mask(ids, es)
+            es, ed, ew, edp, edpos = es[ok], ed[ok], ew[ok], edp[ok], edpos[ok]
+        if len(es):
+            order = np.lexsort((ed, es))
+            es, ew, edp, edpos = es[order], ew[order], edp[order], edpos[order]
+            usrc, counts = np.unique(es, return_counts=True)
+            indptr = np.r_[0, np.cumsum(counts)].astype(np.int64)
+            _, src_pos = _member_mask(ids, usrc)
+        else:
+            indptr = np.zeros(1, np.int64)
+            src_pos = np.empty(0, np.int64)
+            counts = np.empty(0, np.int64)
+        deg = np.zeros(len(ids), np.float64)
+        if len(src_pos):
+            deg[src_pos] = np.add.reduceat(ew, indptr[:-1]) if len(ew) else 0.0
+        return pa.Table.from_pydict(
+            {
+                "part": [part],
+                "ids": [ids],
+                "deg": [deg],
+                "src_pos": [src_pos],
+                "indptr": [indptr],
+                "dst_part": [edp],
+                "dst_pos": [edpos],
+                "w": [ew],
+                "nnz": [int(len(ew))],
+            }
+        )
+
+    blocks = (
+        resolved.union(verts)
+        .groupby("part")
+        .map_groups(build_block, batch_format="pyarrow")
+        .materialize()
+    )
+
+    sizes = np.zeros(P, np.int64)
+    nnz = 0
+    for row in blocks.select_columns(["part", "nnz"]).take_all():
+        nnz += int(row["nnz"])
+    # vertex counts need list lengths; fetch via a light map
+    def meta(t: pa.Table) -> pa.Table:
+        n = pa.compute.list_value_length(t["ids"]).to_numpy(zero_copy_only=False)
+        return pa.table({"part": t["part"], "n": np.asarray(n, np.int64)})
+
+    for row in blocks.map_batches(meta, batch_format="pyarrow").take_all():
+        sizes[int(row["part"])] = int(row["n"])
+
+    return Graph(blocks=blocks, num_parts=P, sizes=sizes, nnz=nnz, n_vertices=int(sizes.sum()))
+
+
+def edges_from_pages(pages_ds, concurrency=(1, 8)):
+    """pages -> (extracted_ds, links_ds, vertices_ds) ready for build_graph."""
+    from raygraph.extract import extract_pages, links_table
+    from raygraph.util import hash_strings
+
+    extracted = extract_pages(pages_ds, concurrency=concurrency)
+    links = links_table(extracted)
+
+    def vmap(t: pa.Table) -> pa.Table:
+        return pa.table({"v": hash_strings(t["url"].to_pylist())})
+
+    vertices = pages_ds.map_batches(vmap, batch_format="pyarrow")
+    return extracted, links, vertices

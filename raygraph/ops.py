@@ -1,0 +1,204 @@
+"""Operator registry: unary / binary / monoid / semiring, numpy-backed.
+
+The reference registers hundreds of typed operator variants from the
+SuiteSparse C library by regex (reference graphblas/core/operator/unary.py:147-163,
+binary.py:336-368, monoid.py:184-193, semiring.py:176-201 — see SURVEY.md §2.2).
+Here an operator is a plain Python record wrapping a vectorized numpy kernel;
+``register_*`` mirrors the reference's ``register_new`` UDF surface
+(reference graphblas/core/operator/binary.py:646-793) without numba — every
+kernel is an array-in/array-out callable usable inside ``map_batches``.
+
+Monoids additionally carry an identity and a ``reduceat``-style segmented
+reducer plus a pandas groupby aggregation name, so the same registry entry
+drives (a) the per-batch local combine inside a scatter stage, (b) the
+grouped shuffle-reduce, and (c) driver-side scalar reduction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import numpy as np
+
+# ---------------------------------------------------------------- unary ----
+
+UNARY: dict[str, Callable] = {}
+
+
+def register_unary(name: str, fn: Callable) -> None:
+    UNARY[name] = fn
+
+
+for _n, _f in {
+    "identity": lambda x: x,
+    "ainv": np.negative,
+    "minv": lambda x: 1.0 / x,
+    "abs": np.abs,
+    "lnot": np.logical_not,
+    "one": lambda x: np.ones_like(x) if x.dtype != object else np.ones(len(x)),
+    "sqrt": np.sqrt,
+    "exp": np.exp,
+    "exp2": np.exp2,
+    "expm1": np.expm1,
+    "log": np.log,
+    "log2": np.log2,
+    "log10": np.log10,
+    "log1p": np.log1p,
+    "ceil": np.ceil,
+    "floor": np.floor,
+    "round": np.round,
+    "trunc": np.trunc,
+    "signum": np.sign,
+    "cbrt": np.cbrt,
+    "sin": np.sin,
+    "cos": np.cos,
+    "tan": np.tan,
+    "asin": np.arcsin,
+    "acos": np.arccos,
+    "atan": np.arctan,
+    "sinh": np.sinh,
+    "cosh": np.cosh,
+    "tanh": np.tanh,
+    "isfinite": np.isfinite,
+    "isinf": np.isinf,
+    "isnan": np.isnan,
+    "bnot": np.invert,
+}.items():
+    register_unary(_n, _f)
+
+# --------------------------------------------------------------- binary ----
+
+BINARY: dict[str, Callable] = {}
+
+
+def register_binary(name: str, fn: Callable) -> None:
+    BINARY[name] = fn
+
+
+for _n, _f in {
+    "first": lambda a, b: a,
+    "second": lambda a, b: b,
+    "pair": lambda a, b: np.ones(np.broadcast(a, b).shape, dtype=np.float64),
+    "plus": np.add,
+    "minus": np.subtract,
+    "rminus": lambda a, b: b - a,
+    "times": np.multiply,
+    "truediv": np.divide,
+    "rtruediv": lambda a, b: b / a,
+    "floordiv": np.floor_divide,
+    "fmod": np.fmod,
+    "pow": np.power,
+    "min": np.minimum,
+    "max": np.maximum,
+    "land": np.logical_and,
+    "lor": np.logical_or,
+    "lxor": np.logical_xor,
+    "band": np.bitwise_and,
+    "bor": np.bitwise_or,
+    "bxor": np.bitwise_xor,
+    "eq": np.equal,
+    "ne": np.not_equal,
+    "gt": np.greater,
+    "lt": np.less,
+    "ge": np.greater_equal,
+    "le": np.less_equal,
+    "hypot": np.hypot,
+    "atan2": np.arctan2,
+    "copysign": np.copysign,
+    "absfirst": lambda a, b: np.abs(a),
+    "abssecond": lambda a, b: np.abs(b),
+}.items():
+    register_binary(_n, _f)
+
+# --------------------------------------------------------------- monoid ----
+
+
+@dataclass(frozen=True)
+class Monoid:
+    """Commutative associative reducer with identity.
+
+    ``ufunc`` must support ``.reduceat`` / ``.at`` (segmented combine and
+    scatter-accumulate); ``pd_agg`` is the pandas groupby agg name used in
+    grouped map_groups reducers; ``identity`` seeds dense output slices.
+    Reference analog: graphblas/core/operator/monoid.py:184-193 (+
+    identities table monoid.py:382).
+    """
+
+    name: str
+    ufunc: np.ufunc
+    identity: float
+    pd_agg: str
+
+
+MONOID: dict[str, Monoid] = {}
+
+
+def register_monoid(name: str, ufunc: np.ufunc, identity, pd_agg: str) -> None:
+    MONOID[name] = Monoid(name, ufunc, identity, pd_agg)
+
+
+register_monoid("plus", np.add, 0.0, "sum")
+register_monoid("times", np.multiply, 1.0, "prod")
+register_monoid("min", np.minimum, np.inf, "min")
+register_monoid("max", np.maximum, -np.inf, "max")
+register_monoid("land", np.logical_and, True, "all")
+register_monoid("lor", np.logical_or, False, "any")
+register_monoid("band", np.bitwise_and, np.uint64(0xFFFFFFFFFFFFFFFF), "min")
+register_monoid("bor", np.bitwise_or, np.uint64(0), "max")
+# 'any' — pick an arbitrary present value; maximum is a valid deterministic choice
+register_monoid("any", np.maximum, -np.inf, "max")
+
+# -------------------------------------------------------------- semiring ----
+
+
+@dataclass(frozen=True)
+class Semiring:
+    """monoid ⊕ over binary ⊗ (reference graphblas/core/operator/semiring.py:176-201).
+
+    Only the cross-products the target algorithms use are pre-registered
+    (SURVEY.md §2.2 Semiring row); ``register_semiring`` builds any other.
+    """
+
+    name: str
+    monoid: Monoid
+    binary: Callable
+
+
+SEMIRING: dict[str, Semiring] = {}
+
+
+def register_semiring(name: str, monoid_name: str, binary_name: str) -> None:
+    SEMIRING[name] = Semiring(name, MONOID[monoid_name], BINARY[binary_name])
+
+
+for _m in ("plus", "min", "max", "any", "times"):
+    for _b in ("first", "second", "pair", "plus", "times", "min", "max"):
+        register_semiring(f"{_m}_{_b}", _m, _b)
+register_semiring("lor_land", "lor", "land")
+register_semiring("land_lor", "land", "lor")
+
+
+def segmented_reduce(ufunc: np.ufunc, values: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
+    """Reduce ``values`` over segments given by sorted segment start offsets."""
+    if len(values) == 0:
+        return values
+    return ufunc.reduceat(values, seg_starts)
+
+
+def local_combine(
+    monoid: Monoid, keys: np.ndarray, values: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-batch combiner: reduce duplicate keys with the monoid.
+
+    This is the shuffle-volume reducer applied before every grouped
+    exchange (the 'pre-aggregate inside map_batches' rule): output has one
+    row per distinct key in the batch.
+    """
+    if len(keys) == 0:
+        return keys, values
+    order = np.argsort(keys, kind="stable")
+    k = keys[order]
+    v = values[order]
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    return k[starts], monoid.ufunc.reduceat(v, starts)

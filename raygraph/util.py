@@ -1,0 +1,54 @@
+"""Shared helpers: deterministic 64-bit hashing and partition assignment.
+
+The vertex id space is uint64. Urls are hashed to ids with a fixed-key
+siphash (``pandas.util.hash_array`` — deterministic across processes and
+runs); integer vertex spaces (tests, TPC-H-derived graphs) use the ids
+directly. Partition assignment mixes the id through a splitmix64 finalizer
+so that sequential id ranges spread evenly across partitions (reference
+analog: SuiteSparse picks its own internal blocking, SURVEY.md §4 row
+"Data partitioning" — here the partitioner is explicit and shared by every
+stage so edge blocks and vertex slices stay co-partitioned).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_U64 = np.uint64
+
+
+def hash_strings(arr) -> np.ndarray:
+    """Deterministic uint64 hash of a string array (url -> vertex id)."""
+    a = np.asarray(arr, dtype=object)
+    return pd.util.hash_array(a, categorize=False).astype(np.uint64)
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public domain algorithm, Steele et al.)."""
+    x = np.asarray(x, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        x = x ^ (x >> _U64(30))
+        x = x * _U64(0xBF58476D1CE4E9B9)
+        x = x ^ (x >> _U64(27))
+        x = x * _U64(0x94D049BB133111EB)
+        x = x ^ (x >> _U64(31))
+    return x
+
+
+def part_of(ids: np.ndarray, num_parts: int) -> np.ndarray:
+    """Partition assignment for vertex ids: mix then mod."""
+    return (mix64(ids) % _U64(num_parts)).astype(np.int32)
+
+
+def default_num_parts(target: int | None = None) -> int:
+    """Partition count ~2x cores, clamped; deterministic when passed."""
+    if target is not None:
+        return int(target)
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(8, min(256, 2 * cpus))

@@ -1,0 +1,84 @@
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from raygraph.graph import build_graph
+from tests import fixtures as fx
+
+
+def _graph_to_dense(g):
+    """Reassemble the partitioned CSR blocks into one dense numpy matrix."""
+    ids = g.ids_slices()
+    rows, cols, vals = [], [], []
+    for row in g.blocks.take_all():
+        p = int(row["part"])
+        pids = ids[p]
+        src_pos = np.asarray(row["src_pos"], np.int64)
+        indptr = np.asarray(row["indptr"], np.int64)
+        dst_part = np.asarray(row["dst_part"], np.int32)
+        dst_pos = np.asarray(row["dst_pos"], np.int64)
+        w = np.asarray(row["w"], np.float64)
+        counts = np.diff(indptr)
+        rows.append(np.repeat(pids[src_pos], counts))
+        cols.append(np.array([ids[q][i] for q, i in zip(dst_part, dst_pos)], np.uint64))
+        vals.append(w)
+    rows = np.concatenate(rows) if rows else np.empty(0, np.uint64)
+    cols = np.concatenate(cols) if cols else np.empty(0, np.uint64)
+    vals = np.concatenate(vals) if vals else np.empty(0)
+    n = int(max(rows.max(initial=0), cols.max(initial=0))) + 1 if len(rows) else 0
+    return fx.dense_of(rows, cols, vals, n)
+
+
+def test_build_matches_scipy_7x7():
+    edges = rd.from_arrow(fx.edge_table(fx.A7_ROWS, fx.A7_COLS, fx.A7_VALS))
+    verts = rd.from_arrow(fx.vertex_table(7))
+    g = build_graph(edges, vertices_ds=verts, num_parts=4)
+    assert g.n_vertices == 7
+    assert g.nnz == 12
+    got = _graph_to_dense(g)
+    want = fx.a7_dense()
+    assert np.array_equal(got, want)
+
+
+def test_dup_op_plus_and_count():
+    rows = np.array([0, 0, 1], np.uint64)
+    cols = np.array([1, 1, 2], np.uint64)
+    vals = np.array([2.0, 5.0, 1.0])
+    edges = rd.from_arrow(fx.edge_table(rows, cols, vals))
+    g = build_graph(edges, num_parts=2, dup_op="plus")
+    assert g.nnz == 2
+    m = _graph_to_dense(g)
+    assert m[0, 1] == 7.0
+    g2 = build_graph(edges, num_parts=2, dup_op="count")
+    assert _graph_to_dense(g2)[0, 1] == 2.0
+
+
+def test_unknown_dst_dropped_and_degrees():
+    rows = np.array([0, 0, 1], np.uint64)
+    cols = np.array([1, 99, 2], np.uint64)  # 99 not in the vertex universe
+    edges = rd.from_arrow(fx.edge_table(rows, cols))
+    verts = rd.from_arrow(fx.vertex_table(3))
+    g = build_graph(edges, vertices_ds=verts, num_parts=2)
+    assert g.nnz == 2
+    deg = g.to_vertex_table(g.deg_slices(), "deg")
+    d = dict(zip(deg["v"].to_pylist(), deg["deg"].to_pylist()))
+    assert d == {0: 1.0, 1: 1.0, 2: 0.0}
+
+
+def test_symmetrize_and_self_loops():
+    edges = rd.from_arrow(fx.edge_table([0, 1, 2], [1, 2, 2]))
+    g = build_graph(edges, num_parts=2, symmetrize=True, drop_self=True)
+    m = _graph_to_dense(g)
+    assert np.array_equal(m, m.T)
+    assert m.diagonal().sum() == 0
+
+
+def test_state_round_trip():
+    edges = rd.from_arrow(fx.edge_table(fx.A7_ROWS, fx.A7_COLS, fx.A7_VALS))
+    verts = rd.from_arrow(fx.vertex_table(7))
+    g = build_graph(edges, vertices_ds=verts, num_parts=3)
+    tbl = pa.table({"v": fx.V7_IDX, "val": fx.V7_VALS})
+    st = g.state_from_table(tbl, fill=0.0)
+    out = g.to_vertex_table(st)
+    vals = dict(zip(out["v"].to_pylist(), out["val"].to_pylist()))
+    assert vals == {0: 0.0, 1: 1.0, 2: 0.0, 3: 1.0, 4: 2.0, 5: 0.0, 6: 0.0}
