@@ -1,0 +1,104 @@
+"""PageRank — the reference's pagerank_3f (LAGraph PageRankGAP variant).
+
+Semantics from notebooks/'Pagerank Demo.ipynb' cell 9 (SURVEY.md §3.2):
+binarized adjacency, out-degree prescale d = d_out/damping, per
+iteration ``r = teleport + A.T.mxv(t/d, plus_second)``, L1 residual
+stop; dangling vertices are NOT redistributed (their mass decays to
+teleport — matching the reference exactly, not networkx).
+
+State is FP64 throughout (the reference runs FP32; FP64 partials make
+the distributed sum order-insensitive to well below the 1e-6 match
+tolerance — SURVEY.md §4 'Determinism').
+
+Each iteration is one engine superstep (scatter + shuffle-reduce) and,
+when ``ckpt_dir`` is given, one atomic per-partition Parquet checkpoint
+with lineage, so a killed run resumes mid-convergence.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from raygraph import checkpoint as ck
+from raygraph.engine import spmv
+
+
+def pagerank(
+    graph,
+    *,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    itermax: int = 100,
+    ckpt_dir: str | None = None,
+    ckpt_every: int = 1,
+    resume: bool = True,
+) -> tuple[list[np.ndarray], dict]:
+    """Returns (score slices per partition, info dict with iteration metrics)."""
+    n = graph.n_vertices
+    if n == 0:
+        return graph.state(0.0), {"iters": 0, "residual": 0.0, "edges_traversed": 0}
+    deg = graph.deg_slices()
+    teleport = (1.0 - damping) / n
+
+    r = graph.state(1.0 / n)
+    it0 = 0
+    history: list[dict] = []
+    if ckpt_dir is not None:
+        ck.save_graph(graph, ckpt_dir)
+        if resume:
+            last = ck.latest_iter(ckpt_dir)
+            if last is not None:
+                state, lineage = ck.read_iter(ckpt_dir, last, graph)
+                r = state["r"]
+                it0 = last + 1
+                if lineage.get("residual", np.inf) <= tol:
+                    return r, {
+                        "iters": last + 1,
+                        "residual": lineage["residual"],
+                        "edges_traversed": (last + 1) * graph.nnz,
+                        "resumed": True,
+                        "history": history,
+                    }
+
+    residual = np.inf
+    it = it0 - 1
+    for it in range(it0, itermax):
+        t0 = time.perf_counter()
+        t = r
+        # w = t/d with d = d_out/damping (absent for dangling: they simply
+        # have no out-edges, so their w value is never read by the scatter)
+        w = [
+            np.divide(ti * damping, di, out=np.zeros_like(ti), where=di > 0)
+            for ti, di in zip(t, deg)
+        ]
+        contrib = spmv(graph, w, "plus_second")
+        r = [teleport + c for c in contrib]
+        residual = float(sum(np.abs(ti - ri).sum() for ti, ri in zip(t, r)))
+        wall = time.perf_counter() - t0
+        history.append({"iter": it, "residual": residual, "wall_s": wall})
+        if ckpt_dir is not None and (it % ckpt_every == 0 or residual <= tol):
+            ck.write_iter(
+                ckpt_dir,
+                it,
+                graph,
+                {"r": r},
+                {
+                    "iter": it,
+                    "residual": residual,
+                    "edges_traversed": graph.nnz,
+                    "wall_s": wall,
+                    "algorithm": "pagerank_3f",
+                    "damping": damping,
+                    "tol": tol,
+                },
+            )
+        if residual <= tol:
+            break
+    return r, {
+        "iters": it + 1,
+        "residual": residual,
+        "edges_traversed": (it + 1) * graph.nnz,
+        "history": history,
+    }

@@ -1,0 +1,137 @@
+"""Per-iteration Parquet checkpoints with lineage + resume (north_rule).
+
+Layout (FIXTURES.md §2):
+
+    <ckpt_dir>/graph/           CSR blocks, written once at build
+    <ckpt_dir>/graph/meta.json
+    <ckpt_dir>/iter=K/state.parquet   per-partition state vectors (one row/part)
+    <ckpt_dir>/iter=K/_lineage.json   {iter, residual, edges_traversed, wall_s,
+                                       input_fingerprint, partitions, extra...}
+    <ckpt_dir>/iter=K/_SUCCESS        atomic completion marker
+
+Resume = find max complete K (marker present), read the state rows,
+continue the loop (reference analog: serialize/deserialize of single
+objects, graphblas/core/ss/matrix.py:4057,4102 — but made job-level and
+partition-parallel here). Writes go to a temp name then rename so a
+killed run never leaves a half-written checkpoint that parses.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def graph_fingerprint(graph) -> str:
+    return f"P{graph.num_parts}-n{graph.n_vertices}-nnz{graph.nnz}"
+
+
+def save_graph(graph, ckpt_dir: str) -> None:
+    """Write the CSR blocks once (build-time checkpoint)."""
+    gdir = os.path.join(ckpt_dir, "graph")
+    if os.path.exists(os.path.join(gdir, "meta.json")):
+        return
+    tmp = gdir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    graph.blocks.write_parquet(tmp)
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "num_parts": graph.num_parts,
+                "sizes": graph.sizes.tolist(),
+                "nnz": graph.nnz,
+                "n_vertices": graph.n_vertices,
+                "fingerprint": graph_fingerprint(graph),
+            },
+            f,
+        )
+    shutil.rmtree(gdir, ignore_errors=True)
+    os.rename(tmp, gdir)
+
+
+def load_graph(ckpt_dir: str):
+    import ray.data as rd
+
+    from raygraph.graph import Graph
+
+    gdir = os.path.join(ckpt_dir, "graph")
+    with open(os.path.join(gdir, "meta.json")) as f:
+        meta = json.load(f)
+    files = [os.path.join(gdir, f) for f in os.listdir(gdir) if f.endswith(".parquet")]
+    blocks = rd.read_parquet(files).materialize()
+    return Graph(
+        blocks=blocks,
+        num_parts=meta["num_parts"],
+        sizes=np.asarray(meta["sizes"], np.int64),
+        nnz=meta["nnz"],
+        n_vertices=meta["n_vertices"],
+    )
+
+
+def _iter_dir(ckpt_dir: str, it: int) -> str:
+    return os.path.join(ckpt_dir, f"iter={it}")
+
+
+def write_iter(
+    ckpt_dir: str,
+    it: int,
+    graph,
+    state: dict[str, list[np.ndarray]],
+    lineage: dict,
+) -> None:
+    """Checkpoint one iteration: state vectors + lineage, atomically."""
+    d = _iter_dir(ckpt_dir, it)
+    tmp = d + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    cols: dict[str, list] = {"part": list(range(graph.num_parts))}
+    for name, slices in state.items():
+        cols[name] = [np.asarray(s) for s in slices]
+    pq.write_table(pa.table(cols), os.path.join(tmp, "state.parquet"), compression="zstd")
+    lineage = dict(lineage)
+    lineage.setdefault("iter", it)
+    lineage.setdefault("partitions", graph.num_parts)
+    lineage.setdefault("input_fingerprint", graph_fingerprint(graph))
+    with open(os.path.join(tmp, "_lineage.json"), "w") as f:
+        json.dump(lineage, f)
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    shutil.rmtree(d, ignore_errors=True)
+    os.rename(tmp, d)
+
+
+def latest_iter(ckpt_dir: str) -> int | None:
+    """Largest iteration with a _SUCCESS marker, or None."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best = None
+    for name in os.listdir(ckpt_dir):
+        if name.startswith("iter=") and os.path.exists(
+            os.path.join(ckpt_dir, name, "_SUCCESS")
+        ):
+            k = int(name.split("=", 1)[1])
+            best = k if best is None else max(best, k)
+    return best
+
+
+def read_iter(ckpt_dir: str, it: int, graph) -> tuple[dict[str, list[np.ndarray]], dict]:
+    d = _iter_dir(ckpt_dir, it)
+    tbl = pq.read_table(os.path.join(d, "state.parquet"))
+    with open(os.path.join(d, "_lineage.json")) as f:
+        lineage = json.load(f)
+    if lineage.get("input_fingerprint") != graph_fingerprint(graph):
+        raise ValueError("checkpoint fingerprint mismatch — graph changed since checkpoint")
+    parts = tbl["part"].to_pylist()
+    state: dict[str, list[np.ndarray]] = {}
+    for name in tbl.column_names:
+        if name == "part":
+            continue
+        slices = [np.empty(0)] * graph.num_parts
+        for i, p in enumerate(parts):
+            slices[p] = np.asarray(tbl[name][i].values)
+        state[name] = slices
+    return state, lineage

@@ -52,12 +52,8 @@ def identity_for(monoid: Monoid, dtype) -> object:
 
 
 def _block_arrays(tbl: pa.Table, i: int, names: tuple[str, ...]):
-    out = []
-    for n in names:
-        col = tbl[n]
-        arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
-        out.append(np.asarray(arr[i].values))
-    return out
+    # tbl[n] is a ChunkedArray; indexing it handles chunk offsets correctly
+    return [np.asarray(tbl[n][i].values) for n in names]
 
 
 def make_scatter(x_refs, semiring_name: str, out_dtype):
@@ -70,6 +66,7 @@ def make_scatter(x_refs, semiring_name: str, out_dtype):
         parts_out: list[np.ndarray] = []
         pos_out: list[np.ndarray] = []
         val_out: list[np.ndarray] = []
+        sblk_out: list[np.ndarray] = []
         part_col = tbl["part"].to_numpy(zero_copy_only=False)
         for i in range(tbl.num_rows):
             p = int(part_col[i])
@@ -87,12 +84,14 @@ def make_scatter(x_refs, semiring_name: str, out_dtype):
             parts_out.append((k >> _POS_BITS).astype(np.int32))
             pos_out.append((k & _POS_MASK).astype(np.int64))
             val_out.append(v)
+            sblk_out.append(np.full(len(k), p, np.int32))
         if not parts_out:
             return pa.table(
                 {
                     "part": pa.array([], pa.int32()),
                     "pos": pa.array([], pa.int64()),
                     "val": pa.array(np.empty(0, dtype=out_dtype)),
+                    "sblk": pa.array([], pa.int32()),
                 }
             )
         return pa.table(
@@ -100,6 +99,7 @@ def make_scatter(x_refs, semiring_name: str, out_dtype):
                 "part": np.concatenate(parts_out),
                 "pos": np.concatenate(pos_out),
                 "val": np.concatenate(val_out),
+                "sblk": np.concatenate(sblk_out),
             }
         )
 
@@ -144,7 +144,15 @@ def spmv_with_mask(graph, x_slices, semiring="plus_times", *, out_dtype=None):
         p = int(g["part"][0].as_py())
         pos = np.asarray(g["pos"].to_numpy(zero_copy_only=False), np.int64)
         val = np.asarray(g["val"].to_numpy(zero_copy_only=False), out_dtype)
-        k, v = local_combine(monoid, pos, val)
+        sblk = np.asarray(g["sblk"].to_numpy(zero_copy_only=False), np.int32)
+        # deterministic reduction order: (pos, source block) — makes FP sums
+        # bit-identical regardless of how blocks were batched (SURVEY.md §4
+        # "Determinism")
+        order = np.lexsort((sblk, pos))
+        pos, val = pos[order], val[order]
+        starts = np.flatnonzero(np.r_[True, pos[1:] != pos[:-1]])
+        k = pos[starts]
+        v = monoid.ufunc.reduceat(val, starts) if len(val) else val
         return pa.Table.from_pydict({"part": [p], "pos": [k], "val": [v]})
 
     rows = contrib.groupby("part").map_groups(reduce_part, batch_format="pyarrow").take_all()
@@ -243,3 +251,152 @@ def lpa_step(graph, labels: list[np.ndarray]) -> list[np.ndarray]:
         p = int(row["part"])
         out[p][np.asarray(row["pos"], np.int64)] = np.asarray(row["lab"], np.uint64)
     return out
+
+
+# --------------------------------------------------------------------------
+# Vertex-space distributed primitives (used by FastSV connected components)
+# --------------------------------------------------------------------------
+
+
+def _slices_dataset(graph, arrays_per_part: dict[str, list[np.ndarray]]):
+    """Per-partition driver slices -> a Ray Dataset of tagged COO rows."""
+    import ray.data as rd
+
+    tables = []
+    for p in range(graph.num_parts):
+        cols = {"part": np.full(len(next(iter(arrays_per_part.values()))[p]), p, np.int32)}
+        for name, sl in arrays_per_part.items():
+            cols[name] = sl[p]
+        if len(cols["part"]):
+            tables.append(pa.table(cols))
+    if not tables:
+        return None
+    return rd.from_arrow(tables)
+
+
+def scatter_min_by_id(graph, target_ids: list[np.ndarray], values: list[np.ndarray]):
+    """Reduce-assign: out[target] = min(values routed to target) over all parts.
+
+    The FastSV hooking step ``f(binary.min)[I] << mngp`` — a GrB_assign
+    with duplicate indices combined by min (reference notebook
+    'Connected Components -- FastSV' cell 19; SURVEY.md §2.1 'assign').
+    Returns (dense_slices, mask_slices): mask marks targets that received
+    any value; dense holds the min per target (identity elsewhere).
+    """
+    import ray
+
+    from raygraph.ops import MONOID
+    from raygraph.util import part_of
+
+    monoid = MONOID["min"]
+    dt = values[0].dtype if values else np.uint64
+    ident = identity_for(monoid, dt)
+
+    def route(tbl: pa.Table) -> pa.Table:
+        tgt = np.asarray(tbl["tgt"].to_numpy(zero_copy_only=False), np.uint64)
+        val = np.asarray(tbl["val"].to_numpy(zero_copy_only=False), dt)
+        p = part_of(tgt, graph.num_parts)
+        order = np.lexsort((tgt, p))
+        p, tgt, val = p[order], tgt[order], val[order]
+        new = np.r_[True, (p[1:] != p[:-1]) | (tgt[1:] != tgt[:-1])]
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "part": p[starts],
+                "tgt": tgt[starts],
+                "val": monoid.ufunc.reduceat(val, starts) if len(val) else val,
+            }
+        )
+
+    src = _slices_dataset(graph, {"tgt": target_ids, "val": values})
+    if src is None:
+        return graph.state(ident, dtype=dt), graph.state(False, dtype=bool)
+    routed = src.map_batches(route, batch_format="pyarrow")
+    ids_refs = [ray.put(a) for a in graph.ids_slices()]
+
+    def reduce_part(g: pa.Table) -> pa.Table:
+        p = int(g["part"][0].as_py())
+        ids = ray.get(ids_refs[p])
+        tgt = np.asarray(g["tgt"].to_numpy(zero_copy_only=False), np.uint64)
+        val = np.asarray(g["val"].to_numpy(zero_copy_only=False), dt)
+        pos = np.searchsorted(ids, tgt)
+        k, v = local_combine(monoid, pos, val)
+        return pa.Table.from_pydict({"part": [p], "pos": [k], "val": [v]})
+
+    rows = routed.groupby("part").map_groups(reduce_part, batch_format="pyarrow").take_all()
+    dense = [np.full(int(s), ident, dtype=dt) for s in graph.sizes]
+    mask = [np.zeros(int(s), bool) for s in graph.sizes]
+    for row in rows:
+        p = int(row["part"])
+        pos = np.asarray(row["pos"], np.int64)
+        dense[p][pos] = np.asarray(row["val"], dt)
+        mask[p][pos] = True
+    return dense, mask
+
+
+def gather_by_id(graph, state: list[np.ndarray], query_ids: list[np.ndarray]):
+    """out[k] = state[query_ids[k]] — duplicate-index gather as a join.
+
+    The FastSV pointer-jumping step ``gp << f[I]`` (reference notebook
+    cell 30; SURVEY.md §2.1 'extract' row: gather with duplicate indices
+    = join of the index table on f). Routes each query to the partition
+    owning the id, looks the value up there, and routes the answer back.
+    """
+    import ray
+
+    from raygraph.util import part_of
+
+    dt = state[0].dtype if state else np.uint64
+    state_refs = [ray.put(a) for a in state]
+    ids_refs = [ray.put(a) for a in graph.ids_slices()]
+
+    # request rows: (owner part, qid, home part, home pos)
+    home = {
+        "qid": query_ids,
+        "home": [np.full(len(q), p, np.int32) for p, q in enumerate(query_ids)],
+        "idx": [np.arange(len(q), dtype=np.int64) for q in query_ids],
+    }
+    src = _slices_dataset(graph, home)
+    if src is None:
+        return graph.state(0, dtype=dt)
+
+    def route(tbl: pa.Table) -> pa.Table:
+        qid = np.asarray(tbl["qid"].to_numpy(zero_copy_only=False), np.uint64)
+        return pa.table(
+            {
+                "part": part_of(qid, graph.num_parts),
+                "qid": qid,
+                "home": tbl["home"],
+                "idx": tbl["idx"],
+            }
+        )
+
+    def lookup(g: pa.Table) -> pa.Table:
+        p = int(g["part"][0].as_py())
+        ids = ray.get(ids_refs[p])
+        st = ray.get(state_refs[p])
+        qid = np.asarray(g["qid"].to_numpy(zero_copy_only=False), np.uint64)
+        pos = np.searchsorted(ids, qid)
+        return pa.table(
+            {"part": g["home"], "idx": g["idx"], "val": st[np.minimum(pos, len(st) - 1)]}
+        )
+
+    back = (
+        src.map_batches(route, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lookup, batch_format="pyarrow")
+    )
+
+    def assemble(g: pa.Table) -> pa.Table:
+        p = int(g["part"][0].as_py())
+        idx = np.asarray(g["idx"].to_numpy(zero_copy_only=False), np.int64)
+        val = np.asarray(g["val"].to_numpy(zero_copy_only=False), dt)
+        out = np.zeros(int(graph.sizes[p]), dtype=dt)
+        out[idx] = val
+        return pa.Table.from_pydict({"part": [p], "val": [out]})
+
+    rows = back.groupby("part").map_groups(assemble, batch_format="pyarrow").take_all()
+    result = [np.zeros(int(s), dtype=dt) for s in graph.sizes]
+    for row in rows:
+        result[int(row["part"])] = np.asarray(row["val"], dt)
+    return result

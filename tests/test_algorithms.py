@@ -1,0 +1,130 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from raygraph.algorithms.components import connected_components
+from raygraph.algorithms.lpa import label_propagation
+from raygraph.algorithms.pagerank import pagerank
+from raygraph.algorithms.paths import bfs_levels
+from raygraph.algorithms.triangles import triangle_count
+from raygraph.graph import build_graph
+from tests import fixtures as fx
+
+
+def _edges_ds(A: np.ndarray):
+    return rd.from_arrow(fx.dense_to_edge_table(A))
+
+
+def _scores(g, slices):
+    t = g.to_vertex_table(slices)
+    return dict(zip(t["v"].to_pylist(), t["val"].to_pylist()))
+
+
+# ------------------------------------------------------------- pagerank ----
+
+
+def test_pagerank_demo_graph_matches_reference_formula():
+    A = fx.dense_of(fx.PR_ROWS, fx.PR_COLS, fx.PR_VALS, 5)
+    g = build_graph(_edges_ds(A), num_parts=3, binarize=True)
+    r, info = pagerank(g, tol=1e-10, itermax=200)
+    want = fx.pagerank_3f_oracle(A, tol=1e-10, itermax=200)
+    got = _scores(g, r)
+    np.testing.assert_allclose([got[i] for i in range(5)], want, atol=1e-6)
+    assert info["iters"] > 1
+
+
+def test_pagerank_random_graph_with_dangling():
+    A = fx.random_graph(64, 0.06, seed=3)
+    A[10, :] = 0  # force dangling vertices
+    A[33, :] = 0
+    verts = rd.from_arrow(fx.vertex_table(64))
+    g = build_graph(_edges_ds(A), vertices_ds=verts, num_parts=8, binarize=True)
+    r, _ = pagerank(g, tol=1e-9, itermax=300)
+    want = fx.pagerank_3f_oracle(A, tol=1e-9, itermax=300)
+    got = _scores(g, r)
+    np.testing.assert_allclose([got[i] for i in range(64)], want, atol=1e-6)
+
+
+# ----------------------------------------------------------- components ----
+
+
+def test_fastsv_reference_fixture_exact():
+    A = fx.cc_dense()
+    g = build_graph(_edges_ds(A), num_parts=4, symmetrize=True, binarize=True)
+    f, info = connected_components(g)
+    got = _scores(g, f)
+    assert {int(k): int(x) for k, x in got.items()} == fx.CC_LABELS
+
+
+def test_fastsv_permutation_invariance():
+    A = fx.cc_dense()
+    rng = np.random.default_rng(5)
+    perm = rng.permutation(fx.CC_N)
+    Ap = A[np.ix_(perm, perm)]
+    g = build_graph(_edges_ds(Ap), num_parts=4, symmetrize=True, binarize=True)
+    f, _ = connected_components(g)
+    got = _scores(g, f)
+    want = fx.cc_oracle(Ap)
+    assert [int(got[i]) for i in range(fx.CC_N)] == want.tolist()
+
+
+def test_fastsv_random_graph():
+    A = fx.random_graph(80, 0.03, seed=9, symmetric=True)
+    verts = rd.from_arrow(fx.vertex_table(80))
+    g = build_graph(_edges_ds(A), vertices_ds=verts, num_parts=8,
+                    symmetrize=True, binarize=True)
+    f, _ = connected_components(g)
+    got = _scores(g, f)
+    want = fx.cc_oracle(A)
+    assert [int(got[i]) for i in range(80)] == want.tolist()
+
+
+# ------------------------------------------------------------ triangles ----
+
+
+def test_triangle_fixture_has_one():
+    A = fx.cc_dense()
+    g = build_graph(_edges_ds(A), num_parts=4, symmetrize=True, drop_self=True,
+                    dup_op="first", binarize=True)
+    assert triangle_count(g) == 1 == fx.triangle_oracle(A)
+
+
+def test_triangle_random_graph():
+    A = fx.random_graph(64, 0.2, seed=21, symmetric=True)
+    g = build_graph(_edges_ds(A), num_parts=6, symmetrize=True, drop_self=True,
+                    dup_op="first", binarize=True)
+    assert triangle_count(g) == fx.triangle_oracle(A)
+
+
+# ------------------------------------------------------------------ lpa ----
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_lpa_planted_partition(seed):
+    A = fx.planted_partition(seed=seed)
+    n = A.shape[0]
+    verts = rd.from_arrow(fx.vertex_table(n))
+    g = build_graph(_edges_ds(A), vertices_ds=verts, num_parts=6,
+                    symmetrize=True, binarize=True)
+    labels, _ = label_propagation(g, itermax=8)
+    got = _scores(g, labels)
+    # oracle applies the identical rule for the same number of rounds
+    want = fx.lpa_oracle(A, itermax=8)
+    assert [int(got[i]) for i in range(n)] == want.tolist()
+
+
+# ------------------------------------------------------------------ bfs ----
+
+
+def test_bfs_levels():
+    A = fx.cc_dense()
+    g = build_graph(_edges_ds(A), num_parts=4, symmetrize=True, binarize=True)
+    dist, _ = bfs_levels(g, 0)
+    got = _scores(g, dist)
+    # hand-checked hop levels from vertex 0 on the FastSV fixture
+    want = {0: 0, 1: 1, 2: 1, 3: 1, 4: 2, 5: 2}
+    for v, d in want.items():
+        assert got[v] == d
+    for v in (6, 7, 8, 9, 10, 11):
+        assert got[v] == np.inf

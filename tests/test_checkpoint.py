@@ -1,0 +1,74 @@
+import os
+
+import numpy as np
+import ray.data as rd
+
+from raygraph import checkpoint as ck
+from raygraph.algorithms.components import connected_components
+from raygraph.algorithms.pagerank import pagerank
+from raygraph.graph import build_graph
+from tests import fixtures as fx
+
+
+def _graph(tmp_seed=3, n=48):
+    A = fx.random_graph(n, 0.08, seed=tmp_seed)
+    verts = rd.from_arrow(fx.vertex_table(n))
+    return build_graph(rd.from_arrow(fx.dense_to_edge_table(A)),
+                       vertices_ds=verts, num_parts=4, binarize=True)
+
+
+def test_pagerank_resume_bit_identical(tmp_path):
+    g = _graph()
+    full, info_full = pagerank(g, tol=1e-9, itermax=60)
+
+    ckpt = str(tmp_path / "ck")
+    # "kill" after 5 iterations
+    part, _ = pagerank(g, tol=1e-9, itermax=5, ckpt_dir=ckpt)
+    assert ck.latest_iter(ckpt) == 4
+    # resume to convergence from the checkpoint
+    resumed, info = pagerank(g, tol=1e-9, itermax=60, ckpt_dir=ckpt, resume=True)
+    for a, b in zip(full, resumed):
+        np.testing.assert_array_equal(a, b)  # FP64 partials -> bit-for-bit
+    assert info["iters"] == info_full["iters"]
+    # lineage metadata is present and complete
+    last = ck.latest_iter(ckpt)
+    state, lineage = ck.read_iter(ckpt, last, g)
+    assert lineage["algorithm"] == "pagerank_3f"
+    assert lineage["residual"] == info["residual"]
+    assert lineage["input_fingerprint"] == ck.graph_fingerprint(g)
+    assert os.path.exists(os.path.join(ckpt, "graph", "meta.json"))
+
+
+def test_pagerank_converged_checkpoint_short_circuits(tmp_path):
+    g = _graph()
+    ckpt = str(tmp_path / "ck2")
+    r1, i1 = pagerank(g, tol=1e-6, itermax=60, ckpt_dir=ckpt)
+    r2, i2 = pagerank(g, tol=1e-6, itermax=60, ckpt_dir=ckpt, resume=True)
+    assert i2.get("resumed")
+    for a, b in zip(r1, r2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_graph_save_load_round_trip(tmp_path):
+    g = _graph()
+    ck.save_graph(g, str(tmp_path))
+    g2 = ck.load_graph(str(tmp_path))
+    assert g2.num_parts == g.num_parts
+    assert g2.nnz == g.nnz
+    assert np.array_equal(g2.sizes, g.sizes)
+    r1, _ = pagerank(g, tol=1e-8, itermax=30)
+    r2, _ = pagerank(g2, tol=1e-8, itermax=30)
+    for a, b in zip(r1, r2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_cc_resume(tmp_path):
+    A = fx.cc_dense()
+    g = build_graph(rd.from_arrow(fx.dense_to_edge_table(A)), num_parts=4,
+                    symmetrize=True, binarize=True)
+    ckpt = str(tmp_path / "cc")
+    f1, _ = connected_components(g, itermax=1, ckpt_dir=ckpt)  # interrupted
+    f2, info = connected_components(g, ckpt_dir=ckpt, resume=True)
+    full, _ = connected_components(g)
+    for a, b in zip(full, f2):
+        np.testing.assert_array_equal(a, b)
