@@ -1,0 +1,459 @@
+"""Generic GraphBLAS-style kernels over Ray Data vertex/edge tables.
+
+This is the Dataset-level operator surface mirroring SURVEY.md §2.1 —
+every reference operation re-expressed on COO tables:
+
+  Vector  -> Dataset/Table (v:uint64, val:T), absent row = missing element
+  Matrix  -> Dataset/Table (src:uint64, dst:uint64, w:float64)
+
+Join-based semantics (SURVEY.md §1.5 mapping table):
+  ewise_add   = full outer join   (reference graphblas/core/matrix.py:1912)
+  ewise_mult  = inner join        (reference graphblas/core/matrix.py:1980)
+  ewise_union = outer join + fill (reference graphblas/core/matrix.py:2044)
+  mask        = semi/anti join before merge (reference graphblas/core/mask.py)
+  accum       = outer-join merge of old/new (reference graphblas/core/base.py:318)
+  extract     = join against an index table (reference graphblas/core/expr.py:288)
+  assign      = groupby(target).reduce + merge (reference graphblas/core/expr.py:261)
+
+Large-vector joins use a bucketed co-group: every side is tagged with
+``bucket = mix64(v) % B`` and all sides ride ONE ``groupby(bucket)``
+shuffle, joined per bucket with numpy/pandas — the explicit partitioned
+hash join, no driver-side or broadcast joins for the big-big case.
+Grouped reductions go through :func:`salted_aggregate`, which splits hot
+keys across ``salt`` sub-keys before the final combine (power-law skew
+handling for raw COO reduce paths).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from raygraph.ops import BINARY, MONOID, SEMIRING, UNARY
+from raygraph.util import mix64
+
+_DEFAULT_BUCKETS = 64
+
+
+def _ds(x):
+    import ray.data as rd
+
+    if isinstance(x, pa.Table):
+        return rd.from_arrow(x)
+    return x
+
+
+def to_table(x, sort_by: str | None = "v") -> pa.Table:
+    """Materialize a (small) result Dataset to one Arrow table."""
+    if isinstance(x, pa.Table):
+        tbl = x
+    else:
+        batches = [b for b in x.iter_batches(batch_size=None, batch_format="pyarrow")]
+        tbl = (
+            pa.concat_tables(batches)
+            if batches
+            else pa.table({"v": pa.array([], pa.uint64())})
+        )
+    if sort_by and sort_by in tbl.column_names:
+        return tbl.sort_by(sort_by)
+    return tbl
+
+
+# ------------------------------------------------------------ reductions ----
+
+
+def salted_aggregate(ds, key: str, val: str, monoid_name: str, *, salt: int = 0, alias: str | None = None):
+    """groupby(key).reduce(monoid) with optional hot-key salting.
+
+    With ``salt > 0`` the reduce runs in two stages: first on
+    ``(key, hash % salt)`` sub-keys, then on ``key`` — so a single hub key
+    never lands on one reducer (SURVEY.md §4 'Skew'). Monoid must be
+    associative+commutative (all registered ones are).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    alias = alias or val
+    aggs = {"plus": Sum, "min": Min, "max": Max, "any": Max, "lor": Max, "land": Min}
+    if monoid_name not in aggs:
+        raise ValueError(f"unsupported monoid for grouped aggregate: {monoid_name}")
+    A = aggs[monoid_name]
+    ds = _ds(ds)
+    if salt > 0:
+        def add_salt(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "_salt", pa.array(np.arange(t.num_rows, dtype=np.int64) % salt)
+            )
+
+        stage1 = (
+            ds.map_batches(add_salt, batch_format="pyarrow")
+            .groupby([key, "_salt"])
+            .aggregate(A(val, alias_name="_p"))
+        )
+        return (
+            stage1.groupby(key)
+            .aggregate(A("_p", alias_name=alias))
+        )
+    return ds.groupby(key).aggregate(A(val, alias_name=alias))
+
+
+def reduce_rowwise(edges, monoid_name: str = "plus", *, salt: int = 0):
+    """A.reduce_rowwise(monoid) -> Vector keyed by src (reference matrix.py:2553)."""
+    out = salted_aggregate(_ds(edges), "src", "w", monoid_name, salt=salt, alias="val")
+    return out.map_batches(
+        lambda t: t.rename_columns(["v" if c == "src" else c for c in t.column_names]),
+        batch_format="pyarrow",
+    )
+
+
+def reduce_columnwise(edges, monoid_name: str = "plus", *, salt: int = 0):
+    out = salted_aggregate(_ds(edges), "dst", "w", monoid_name, salt=salt, alias="val")
+    return out.map_batches(
+        lambda t: t.rename_columns(["v" if c == "dst" else c for c in t.column_names]),
+        batch_format="pyarrow",
+    )
+
+
+def reduce_scalar(x, monoid_name: str = "plus", col: str | None = None):
+    """Global reduction -> Python scalar (reference matrix.py:2627, vector.py:1561).
+
+    Distributed: per-batch partial reduction, then a driver combine of the
+    tiny partials.
+    """
+    m = MONOID[monoid_name]
+    ds = _ds(x)
+    col = col or ("val" if "val" in ds.schema().names else "w")
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = np.asarray(t[col].to_numpy(zero_copy_only=False))
+        if len(a) == 0:
+            return pa.table({"p": pa.array([], pa.float64())})
+        return pa.table({"p": [float(m.ufunc.reduce(a))]})
+
+    parts = [r["p"] for r in ds.map_batches(partial, batch_format="pyarrow").take_all()]
+    if not parts:
+        return None  # empty collection: allow_empty -> no value
+    return float(m.ufunc.reduce(np.asarray(parts)))
+
+
+# ----------------------------------------------------------- apply/select ----
+
+
+def apply(x, op_name: str, *, col: str = "val", right=None, left=None, alias: str | None = None):
+    """Elementwise apply of a unary op, or a binary op with a bound scalar
+    (reference matrix.py:2294 / vector.py:1308)."""
+    alias = alias or col
+    if op_name not in UNARY and op_name not in BINARY:
+        raise KeyError(op_name)  # fail at build time, not mid-pipeline
+
+    def fn(t: pa.Table) -> pa.Table:
+        a = np.asarray(t[col].to_numpy(zero_copy_only=False))
+        if op_name in UNARY:
+            out = UNARY[op_name](a)
+        elif op_name in BINARY:
+            if right is not None:
+                out = BINARY[op_name](a, right)
+            elif left is not None:
+                out = BINARY[op_name](left, a)
+            else:
+                raise ValueError("binary apply needs a bound scalar (left= or right=)")
+        else:
+            raise KeyError(op_name)
+        out = np.asarray(out)
+        if out.dtype == np.bool_:
+            out = out.astype(np.bool_)
+        idx = t.schema.get_field_index(col)
+        return t.set_column(idx, alias, pa.array(out))
+
+    return _ds(x).map_batches(fn, batch_format="pyarrow")
+
+
+_CMP = {">": np.greater, ">=": np.greater_equal, "<": np.less, "<=": np.less_equal,
+        "==": np.equal, "!=": np.not_equal}
+
+
+def select_value(x, cmp: str, thunk, *, col: str = "val"):
+    """Keep elements whose value passes the predicate — reference
+    ``A.select(">=", 5)`` string shorthand (matrix.py:2452)."""
+    fn = _CMP[cmp]
+
+    def flt(t: pa.Table) -> pa.Table:
+        a = np.asarray(t[col].to_numpy(zero_copy_only=False))
+        return t.filter(pa.array(fn(a, thunk)))
+
+    return _ds(x).map_batches(flt, batch_format="pyarrow")
+
+
+def select_positional(edges, which: str):
+    """Positional select on the edge table: tril/triu/diag/offdiag
+    (reference indexunary predicates, core/operator/indexunary.py:102-110)."""
+    preds = {
+        "tril": lambda s, d: d <= s,
+        "triu": lambda s, d: d >= s,
+        "tril_strict": lambda s, d: d < s,
+        "triu_strict": lambda s, d: d > s,
+        "diag": lambda s, d: s == d,
+        "offdiag": lambda s, d: s != d,
+    }
+    p = preds[which]
+
+    def flt(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        return t.filter(pa.array(p(s, d)))
+
+    return _ds(edges).map_batches(flt, batch_format="pyarrow")
+
+
+def transpose(edges):
+    """A.T — swap src/dst (zero work beyond a column rename; the reference's
+    lazy TransposedMatrix view, matrix.py:3614)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        names = ["dst" if c == "src" else ("src" if c == "dst" else c) for c in t.column_names]
+        return t.rename_columns(names).select(
+            sorted(names, key=lambda c: {"src": 0, "dst": 1}.get(c, 2))
+        )
+
+    return _ds(edges).map_batches(fn, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------- mxv / vxm ----
+
+
+def mxv(edges, vec, semiring: str = "plus_times", *, salt: int = 0):
+    """w[i] = ⊕_j A[i,j] ⊗ v[j] (reference matrix.py:2163).
+
+    COO form of the engine superstep: the vector is the broadcast small
+    side (``ray.put`` once, searchsorted lookup per batch — SURVEY.md §4
+    'broadcast small sides'); contributions are locally pre-combined per
+    batch by row, then shuffle-reduced with optional hub salting. For the
+    co-partitioned CSR-block path used by the iterative algorithms see
+    engine.spmv.
+    """
+    return _mxv_impl(edges, vec, semiring, gather_on="dst", reduce_on="src", salt=salt)
+
+
+def vxm(vec, edges, semiring: str = "plus_times", *, salt: int = 0):
+    """w[j] = ⊕_i v[i] ⊗ A[i,j] (reference vector.py:1259)."""
+    return _mxv_impl(edges, vec, semiring, gather_on="src", reduce_on="dst", salt=salt)
+
+
+def _mxv_impl(edges, vec, semiring, *, gather_on, reduce_on, salt):
+    import ray
+
+    sr = SEMIRING[semiring]
+    vt = to_table(vec)
+    vs = np.asarray(vt["v"].to_numpy(zero_copy_only=False), np.uint64)
+    vv = np.asarray(vt["val"].to_numpy(zero_copy_only=False))
+    order = np.argsort(vs)
+    ref = ray.put((vs[order], vv[order]))
+
+    from raygraph.ops import local_combine
+
+    monoid = sr.monoid
+
+    def scatter(t: pa.Table) -> pa.Table:
+        ids, vals = ray.get(ref)
+        g = np.asarray(t[gather_on].to_numpy(zero_copy_only=False), np.uint64)
+        r = np.asarray(t[reduce_on].to_numpy(zero_copy_only=False), np.uint64)
+        w = np.asarray(t["w"].to_numpy(zero_copy_only=False), np.float64)
+        if len(ids) == 0 or len(g) == 0:
+            return pa.table({"v": pa.array([], pa.uint64()), "val": pa.array([], pa.float64())})
+        pos = np.searchsorted(ids, g)
+        ok = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == g)
+        r, w, pos = r[ok], w[ok], pos[ok]
+        xv = vals[np.minimum(pos, len(vals) - 1)]
+        val = np.asarray(sr.binary(w, xv), np.float64)
+        k, v = local_combine(monoid, r, val)  # per-batch combiner
+        return pa.table({"v": k, "val": v})
+
+    contrib = _ds(edges).map_batches(scatter, batch_format="pyarrow")
+    return salted_aggregate(contrib, "v", "val", monoid.name, salt=salt, alias="val")
+
+
+# --------------------------------------------------- bucketed co-group join ----
+
+
+def _tag(ds, side: int, key: str, num_buckets: int, val_col: str = "val"):
+    def fn(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[key].to_numpy(zero_copy_only=False), np.uint64)
+        val = (
+            np.asarray(t[val_col].to_numpy(zero_copy_only=False), np.float64)
+            if val_col in t.column_names
+            else np.ones(len(v))
+        )
+        return pa.table(
+            {
+                "bucket": (mix64(v) % np.uint64(num_buckets)).astype(np.int32),
+                "v": v,
+                "val": val,
+                "side": np.full(len(v), side, np.int8),
+            }
+        )
+
+    return _ds(ds).map_batches(fn, batch_format="pyarrow")
+
+
+def _cogroup(sides: list, fn, num_buckets: int = _DEFAULT_BUCKETS):
+    """Tag each (ds, side_id) with a hash bucket, one groupby(bucket) shuffle,
+    then join the sides per bucket in ``fn(df: DataFrame) -> Table``."""
+    tagged = [_tag(ds, side, "v", num_buckets) for ds, side in sides]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.union(t)
+
+    def gf(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "v": np.asarray(g["v"].to_numpy(zero_copy_only=False), np.uint64),
+                "val": np.asarray(g["val"].to_numpy(zero_copy_only=False), np.float64),
+                "side": np.asarray(g["side"].to_numpy(zero_copy_only=False), np.int8),
+            }
+        )
+        return fn(df)
+
+    return u.groupby("bucket").map_groups(gf, batch_format="pyarrow")
+
+
+_EMPTY_VV = pa.table({"v": pa.array([], pa.uint64()), "val": pa.array([], pa.float64())})
+
+
+def _pivot(df: pd.DataFrame, how: str) -> pd.DataFrame:
+    """Side-tagged rows -> one frame indexed by v with val_a / val_b columns."""
+    a = df[df["side"] == 0].set_index("v")["val"].to_frame("val_a")
+    b = df[df["side"] == 1].set_index("v")["val"].to_frame("val_b")
+    return a.join(b, how=how)
+
+
+def ewise_add(a, b, op_name: str = "plus", num_buckets: int = _DEFAULT_BUCKETS):
+    """Element-wise UNION: op where both present, passthrough otherwise
+    (reference vector.py:1012; docs operations.rst:205-232)."""
+    op = BINARY[op_name]
+
+    def join(df: pd.DataFrame) -> pa.Table:
+        m = _pivot(df, "outer")
+        if len(m) == 0:
+            return _EMPTY_VV
+        va, vb = m["val_a"], m["val_b"]
+        both = (va.notna() & vb.notna()).to_numpy()
+        out = np.where(va.notna().to_numpy(), va.fillna(0).to_numpy(), vb.fillna(0).to_numpy())
+        if both.any():
+            out[both] = op(va.to_numpy()[both], vb.to_numpy()[both])
+        return pa.table({"v": m.index.to_numpy(np.uint64), "val": out.astype(np.float64)})
+
+    return _cogroup([(a, 0), (b, 1)], join, num_buckets)
+
+
+def ewise_mult(a, b, op_name: str = "times", num_buckets: int = _DEFAULT_BUCKETS):
+    """Element-wise INTERSECTION (reference vector.py:1077)."""
+    op = BINARY[op_name]
+
+    def join(df: pd.DataFrame) -> pa.Table:
+        m = _pivot(df, "inner")
+        if len(m) == 0:
+            return _EMPTY_VV
+        return pa.table(
+            {
+                "v": m.index.to_numpy(np.uint64),
+                "val": np.asarray(op(m["val_a"].to_numpy(), m["val_b"].to_numpy()), np.float64),
+            }
+        )
+
+    return _cogroup([(a, 0), (b, 1)], join, num_buckets)
+
+
+def ewise_union(a, b, op_name: str, left_default: float, right_default: float,
+                num_buckets: int = _DEFAULT_BUCKETS):
+    """Union with fill defaults (reference vector.py:1141; operations.rst:233-249)."""
+    op = BINARY[op_name]
+
+    def join(df: pd.DataFrame) -> pa.Table:
+        m = _pivot(df, "outer")
+        if len(m) == 0:
+            return _EMPTY_VV
+        va = m["val_a"].fillna(left_default).to_numpy()
+        vb = m["val_b"].fillna(right_default).to_numpy()
+        return pa.table(
+            {"v": m.index.to_numpy(np.uint64), "val": np.asarray(op(va, vb), np.float64)}
+        )
+
+    return _cogroup([(a, 0), (b, 1)], join, num_buckets)
+
+
+def merge(old, new, *, mask=None, complement=False, value_mask=False,
+          accum: str | None = None, replace: bool = False,
+          num_buckets: int = _DEFAULT_BUCKETS):
+    """The single output-control primitive: ``C(mask, accum, replace) << new``
+    (SURVEY.md §2.3/§7.4; reference core/base.py:318 _update + core/mask.py).
+
+    mask filters which NEW elements may land (semi-join; complement ->
+    anti-join; value_mask -> keep where mask value truthy). ``accum``
+    outer-joins old and new (op where both). ``replace`` drops old
+    elements outside the mask.
+    """
+    op = BINARY[accum] if accum else None
+    sides = [(old, 0), (new, 1)]
+    if mask is not None:
+        sides.append((mask, 2))
+
+    def join(df: pd.DataFrame) -> pa.Table:
+        o = df[df["side"] == 0].set_index("v")["val"]
+        n = df[df["side"] == 1].set_index("v")["val"]
+        if mask is not None:
+            mk = df[df["side"] == 2]
+            if value_mask:
+                mk = mk[mk["val"] != 0.0]
+            allowed = pd.Index(mk["v"].unique())
+            keep_n = ~n.index.isin(allowed) if complement else n.index.isin(allowed)
+            n = n[keep_n]
+            if replace:
+                keep_o = ~o.index.isin(allowed) if complement else o.index.isin(allowed)
+                o = o[keep_o]
+        m = o.to_frame("val_o").join(n.to_frame("val_n"), how="outer")
+        if len(m) == 0:
+            return _EMPTY_VV
+        vo, vn = m["val_o"], m["val_n"]
+        out = np.where(vn.notna().to_numpy(), vn.fillna(0).to_numpy(), vo.fillna(0).to_numpy())
+        if op is not None:
+            both = (vo.notna() & vn.notna()).to_numpy()
+            if both.any():
+                out[both] = op(vo.to_numpy()[both], vn.to_numpy()[both])
+        return pa.table({"v": m.index.to_numpy(np.uint64), "val": out.astype(np.float64)})
+
+    return _cogroup(sides, join, num_buckets)
+
+
+# ------------------------------------------------------- extract / assign ----
+
+
+def extract(vec, index: np.ndarray, *, remap: bool = True, num_buckets: int = _DEFAULT_BUCKETS):
+    """v[index] — gather with (possibly duplicate) indices = join of the
+    index table on v (reference expr.py:288; FastSV ``gp << f[I]``).
+
+    With ``remap`` the result is re-indexed 0..len(index)-1 (the
+    reference's dimension-collapsing extract); otherwise keys are kept.
+    """
+    idx = np.asarray(index, np.uint64)
+    positions = np.arange(len(idx), dtype=np.uint64)
+    index_tbl = pa.table({"v": idx, "val": positions.astype(np.float64)})
+
+    def join(df: pd.DataFrame) -> pa.Table:
+        vals = df[df["side"] == 0].set_index("v")["val"]
+        want = df[df["side"] == 1]
+        m = want.merge(vals.rename("x").to_frame(), left_on="v", right_index=True, how="inner")
+        if len(m) == 0:
+            return _EMPTY_VV
+        key = m["val"].to_numpy(np.uint64) if remap else m["v"].to_numpy(np.uint64)
+        return pa.table({"v": key, "val": m["x"].to_numpy(np.float64)})
+
+    return _cogroup([(vec, 0), (index_tbl, 1)], join, num_buckets)
+
+
+def assign_reduce(vec, targets: "pa.Table", dup_monoid: str = "min",
+                  accum: str | None = "min", num_buckets: int = _DEFAULT_BUCKETS):
+    """C(accum)[I] << values with duplicate targets combined by ``dup_monoid``
+    (the FastSV reduce-assign, SURVEY.md §2.1 'assign' row): a salted
+    groupby(target) reduction of the updates followed by an accum merge."""
+    updates = salted_aggregate(_ds(targets), "v", "val", dup_monoid, salt=0, alias="val")
+    return merge(vec, updates, accum=accum)

@@ -1,0 +1,170 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from raygraph import kernels as K
+from tests import fixtures as fx
+
+
+def _vec(idx, vals) -> pa.Table:
+    return pa.table({"v": np.asarray(idx, np.uint64), "val": np.asarray(vals, np.float64)})
+
+
+def _as_dict(x):
+    t = K.to_table(x)
+    return dict(zip(t["v"].to_pylist(), t["val"].to_pylist()))
+
+
+EDGES7 = fx.edge_table(fx.A7_ROWS, fx.A7_COLS, fx.A7_VALS)
+V7 = _vec(fx.V7_IDX, fx.V7_VALS)
+
+
+# -------------------------------------------------------------- mxv / vxm ----
+
+
+def test_mxv_plus_times_reference_fixture():
+    # w[i] = sum_j A[i,j]*v[j] on the reference 7x7 fixture
+    A = fx.a7_dense()
+    x = np.zeros(7)
+    x[fx.V7_IDX.astype(int)] = fx.V7_VALS
+    want = A @ x
+    got = _as_dict(K.mxv(EDGES7, V7, "plus_times"))
+    for i in range(7):
+        if want[i] != 0 or i in got:
+            assert got.get(i, 0.0) == want[i]
+
+
+def test_mxv_sparsity_missing_stays_missing():
+    got = _as_dict(K.mxv(EDGES7, _vec([0], [5.0]), "plus_times"))
+    # only rows with an edge into column 0 produce a value (row 3: A[3,0]=3)
+    assert got == {3: 15.0}
+
+
+def test_vxm_and_salting_agree():
+    A = fx.a7_dense()
+    x = np.zeros(7)
+    x[fx.V7_IDX.astype(int)] = fx.V7_VALS
+    want = x @ A
+    got = _as_dict(K.vxm(V7, EDGES7, "plus_times"))
+    got_salted = _as_dict(K.vxm(V7, EDGES7, "plus_times", salt=4))
+    for j in range(7):
+        if want[j] != 0 or j in got:
+            assert got.get(j, 0.0) == pytest.approx(want[j])
+    assert got == got_salted
+
+
+def test_mxv_min_plus():
+    got = _as_dict(K.mxv(EDGES7, _vec([1, 6], [10.0, 1.0]), "min_plus"))
+    # row 0: A[0,1]=2 -> 12 ; row 1: A[1,6]=4 -> 5 (min over j)
+    assert got[0] == 12.0
+    assert got[1] == 5.0
+
+
+# ------------------------------------------------------------------ ewise ----
+
+
+def test_ewise_add_union_semantics():
+    a = _vec([0, 1, 3], [1.0, 2.0, 3.0])
+    b = _vec([1, 2], [10.0, 20.0])
+    got = _as_dict(K.ewise_add(a, b, "plus"))
+    assert got == {0: 1.0, 1: 12.0, 2: 20.0, 3: 3.0}
+
+
+def test_ewise_mult_intersection_semantics():
+    a = _vec([0, 1, 3], [1.0, 2.0, 3.0])
+    b = _vec([1, 2, 3], [10.0, 20.0, 4.0])
+    got = _as_dict(K.ewise_mult(a, b, "times"))
+    assert got == {1: 20.0, 3: 12.0}
+
+
+def test_ewise_union_defaults():
+    a = _vec([0, 1], [1.0, 2.0])
+    b = _vec([1, 2], [10.0, 20.0])
+    got = _as_dict(K.ewise_union(a, b, "minus", left_default=0.0, right_default=100.0))
+    assert got == {0: 1.0 - 100.0, 1: -8.0, 2: -20.0}
+
+
+# ------------------------------------------------------- apply/select/misc ----
+
+
+def test_apply_unary_and_bound_binary():
+    a = _vec([0, 1], [-2.0, 9.0])
+    assert _as_dict(K.apply(a, "abs")) == {0: 2.0, 1: 9.0}
+    assert _as_dict(K.apply(a, "plus", right=1.0)) == {0: -1.0, 1: 10.0}
+    assert _as_dict(K.apply(a, "minus", left=10.0)) == {0: 12.0, 1: 1.0}
+
+
+def test_select_value_and_positional():
+    sel = K.select_value(rd.from_arrow(EDGES7), ">=", 5.0, col="w")
+    t = K.to_table(sel, sort_by=None)
+    assert sorted(t["w"].to_pylist()) == [5.0, 7.0, 7.0, 8.0]
+    triu = K.to_table(K.select_positional(EDGES7, "triu"), sort_by=None)
+    s = np.asarray(triu["src"].to_pylist())
+    d = np.asarray(triu["dst"].to_pylist())
+    assert (d >= s).all()
+    diag = K.to_table(K.select_positional(EDGES7, "diag"), sort_by=None)
+    assert diag.num_rows == 0
+
+
+def test_reduce_rowwise_and_scalar():
+    deg = _as_dict(K.reduce_rowwise(EDGES7, "plus"))
+    A = fx.a7_dense()
+    want = A.sum(axis=1)
+    for i, w in enumerate(want):
+        if w:
+            assert deg[i] == w
+    assert K.reduce_scalar(rd.from_arrow(EDGES7), "plus", col="w") == A.sum()
+    assert K.reduce_scalar(rd.from_arrow(EDGES7), "max", col="w") == 8.0
+    assert K.reduce_scalar(rd.from_arrow(V7), "min") == 0.0
+
+
+def test_transpose():
+    t = K.to_table(K.transpose(EDGES7), sort_by=None)
+    A = fx.a7_dense()
+    At = fx.dense_of(t["src"].to_pylist(), t["dst"].to_pylist(), t["w"].to_pylist(), 7)
+    assert np.array_equal(At, A.T)
+
+
+# ------------------------------------------------------ mask/accum (merge) ----
+
+
+def test_merge_truth_table_plain_and_accum():
+    old = _vec([0, 1], [1.0, 2.0])
+    new = _vec([1, 2], [10.0, 20.0])
+    assert _as_dict(K.merge(old, new)) == {0: 1.0, 1: 10.0, 2: 20.0}
+    assert _as_dict(K.merge(old, new, accum="plus")) == {0: 1.0, 1: 12.0, 2: 20.0}
+
+
+def test_merge_structural_mask_and_complement():
+    old = _vec([0, 1], [1.0, 2.0])
+    new = _vec([1, 2, 3], [10.0, 20.0, 30.0])
+    mask = _vec([1, 3], [1.0, 0.0])
+    # structural: only targets 1,3 writable
+    assert _as_dict(K.merge(old, new, mask=mask)) == {0: 1.0, 1: 10.0, 3: 30.0}
+    # complemented: only targets outside mask writable
+    assert _as_dict(K.merge(old, new, mask=mask, complement=True)) == {0: 1.0, 1: 2.0, 2: 20.0}
+    # value mask: mask value must be truthy -> 3 is masked out
+    assert _as_dict(K.merge(old, new, mask=mask, value_mask=True)) == {0: 1.0, 1: 10.0}
+    # replace: old elements outside the mask dropped
+    assert _as_dict(K.merge(old, new, mask=mask, replace=True)) == {1: 10.0, 3: 30.0}
+
+
+# ------------------------------------------------------- extract / assign ----
+
+
+def test_extract_with_duplicates_and_remap():
+    vec = _vec([2, 5, 7], [20.0, 50.0, 70.0])
+    got = _as_dict(K.extract(vec, np.array([5, 2, 5, 9], np.uint64)))
+    # remapped to positions; index 9 absent from vec -> absent from output
+    assert got == {0: 50.0, 1: 20.0, 2: 50.0}
+    got2 = _as_dict(K.extract(vec, np.array([5, 2], np.uint64), remap=False))
+    assert got2 == {2: 20.0, 5: 50.0}
+
+
+def test_assign_reduce_duplicate_targets_min():
+    vec = _vec([0, 1, 2], [5.0, 5.0, 5.0])
+    updates = pa.table({"v": np.array([1, 1, 2], np.uint64),
+                        "val": np.array([9.0, 3.0, 7.0])})
+    got = _as_dict(K.assign_reduce(vec, updates, dup_monoid="min", accum="min"))
+    assert got == {0: 5.0, 1: 3.0, 2: 5.0}
