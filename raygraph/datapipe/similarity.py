@@ -1,0 +1,215 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k is the exact baseline: per-batch numpy matmul
+of the (normalized) batch matrix against a broadcast query matrix
+(``ray.put`` once), per-batch partial top-k, then a grouped final top-k —
+so the full score matrix never materializes. The LSH-bucketed variant is
+the scale path: random-hyperplane signatures bucket both sides and only
+matching buckets are scored (approximate; documents the recall trade).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(n, 1e-12)
+
+
+def _emb_matrix(t: pa.Table, col: str) -> np.ndarray:
+    arr = t[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = t.num_rows
+    if n == 0:
+        return np.zeros((0, 0))
+    if hasattr(arr, "flatten"):  # list<float> / large_list<float>
+        return np.asarray(arr.flatten(), np.float64).reshape(n, -1)
+    # Ray's ArrowTensorArray extension (fixed-shape tensors from pandas)
+    m = np.asarray(arr.to_numpy(zero_copy_only=False))
+    if m.dtype == object:
+        return np.stack([np.asarray(r, np.float64) for r in m])
+    return m.astype(np.float64)
+
+
+def knn_cosine(
+    emb_ds,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Exact cosine top-k: returns Dataset (query_id, vec_id, sim, rank).
+
+    Deterministic ordering: ties broken by ascending vec_id.
+    """
+    import ray
+
+    Q = _normalize(np.asarray(queries, np.float64))
+    qref = ray.put(Q)
+
+    def score(t: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False))
+        m = _emb_matrix(t, emb_col)
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        sims = _normalize(m) @ q.T  # (batch, Q)
+        kk = min(k, len(ids))
+        # per-batch partial top-k per query (combiner before the shuffle)
+        out_q, out_i, out_s = [], [], []
+        for qi in range(q.shape[0]):
+            s = sims[:, qi]
+            top = np.argpartition(-s, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, np.int64))
+            out_i.append(ids[top].astype(np.int64))
+            out_s.append(s[top])
+        return pa.table({"query_id": np.concatenate(out_q),
+                         id_col: np.concatenate(out_i),
+                         "sim": np.concatenate(out_s)})
+
+    partial = emb_ds.map_batches(score, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", id_col], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signature stage (actor: planes sampled once)."""
+
+    def __init__(self, dim: int, num_planes: int = 16, seed: int = 42,
+                 id_col: str = "vec_id", emb_col: str = "embedding"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((num_planes, dim))
+        self.id_col, self.emb_col = id_col, emb_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t, self.emb_col)
+        if m.shape[0] == 0:
+            return pa.table({self.id_col: pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             self.emb_col: t[self.emb_col]})
+        signs = (m @ self.planes.T) > 0
+        bucket = (signs.astype(np.int64) << np.arange(signs.shape[1])[None, :]).sum(axis=1)
+        return pa.table({self.id_col: t[self.id_col], "bucket": bucket,
+                         self.emb_col: t[self.emb_col]})
+
+
+def knn_cosine_lsh(
+    emb_ds,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    num_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Approximate top-k: score only vectors whose LSH bucket matches a
+    query's bucket. Recall < 1 by construction; the scale path for when
+    the corpus no longer fits a per-batch matmul budget."""
+    import ray
+
+    Q = _normalize(np.asarray(queries, np.float64))
+    dim = Q.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_planes, dim))
+    qsigns = (Q @ planes.T) > 0
+    qbucket = (qsigns.astype(np.int64) << np.arange(num_planes)[None, :]).sum(axis=1)
+    qref = ray.put((Q, qbucket))
+
+    bucketed = emb_ds.map_batches(
+        HyperplaneLSH,
+        fn_constructor_kwargs={"dim": dim, "num_planes": num_planes, "seed": seed,
+                               "id_col": id_col, "emb_col": emb_col},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        q, qb = ray.get(qref)
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False))
+        bk = np.asarray(t["bucket"].to_numpy(zero_copy_only=False))
+        m = _normalize(_emb_matrix(t, emb_col)) if len(ids) else None
+        out_q, out_i, out_s = [], [], []
+        for qi in range(q.shape[0]):
+            sel = bk == qb[qi]
+            if not sel.any():
+                continue
+            s = m[sel] @ q[qi]
+            kk = min(k, sel.sum())
+            top = np.argpartition(-s, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, np.int64))
+            out_i.append(ids[sel][top].astype(np.int64))
+            out_s.append(s[top])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({"query_id": np.concatenate(out_q),
+                         id_col: np.concatenate(out_i),
+                         "sim": np.concatenate(out_s)})
+
+    partial = bucketed.map_batches(score, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", id_col], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def embedding_near_dups(emb_ds, *, threshold: float = 0.95, id_col: str = "vec_id",
+                        emb_col: str = "embedding", num_planes: int = 8, seed: int = 42):
+    """Embedding-cosine near-dup pairs via LSH buckets + exact verify."""
+    import ray
+
+    dummy = np.zeros((1, 1))  # planes built per actor from dim below
+
+    def first_dim(t: pa.Table) -> int:
+        return _emb_matrix(t, emb_col).shape[1]
+
+    # derive dim from the schema-level list size by peeking one batch
+    sample = emb_ds.limit(1).take_all()
+    dim = len(sample[0][emb_col]) if sample else 0
+    bucketed = emb_ds.map_batches(
+        HyperplaneLSH,
+        fn_constructor_kwargs={"dim": dim, "num_planes": num_planes, "seed": seed,
+                               "id_col": id_col, "emb_col": emb_col},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2 or len(g) > 1000:
+            return pd.DataFrame({"a": [], "b": [], "sim": []})
+        ids = g[id_col].to_numpy()
+        m = _normalize(np.stack([np.asarray(e, np.float64) for e in g[emb_col]]))
+        order = np.argsort(ids)
+        ids, m = ids[order], m[order]
+        sims = m @ m.T
+        iu, ju = np.triu_indices(len(ids), 1)
+        keep = sims[iu, ju] >= threshold
+        return pd.DataFrame({"a": ids[iu][keep], "b": ids[ju][keep],
+                             "sim": sims[iu, ju][keep]})
+
+    return (
+        bucketed.groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )

@@ -1,0 +1,147 @@
+"""Text analysis stages for document tables: all stateful actor pools.
+
+Each stage is a callable class for ``map_batches`` — patterns/tables are
+compiled once per actor in ``__init__`` (the setup-once rule), the batch
+work is vectorized pandas/numpy.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for", "was", "with"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "une", "un", "des", "que", "pour", "dans"},
+}
+
+# BPE-ish tokenizer: words, numbers, or single non-space symbols
+_TOKEN_RE = r"[A-Za-zÀ-ɏ]+|[0-9]+|[^\sA-Za-z0-9À-ɏ]"
+
+
+class TokenCounter:
+    """Adds n_tokens (BPE-ish regex) and n_ws_tokens (whitespace) columns."""
+
+    def __init__(self):
+        self.tok = re.compile(_TOKEN_RE)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        batch["n_tokens"] = texts.map(lambda s: len(self.tok.findall(s))).astype("int64")
+        batch["n_ws_tokens"] = texts.str.split().map(len).astype("int64")
+        return batch
+
+
+class LangId:
+    """Stopword-profile language ID over {en, de, fr}; 'und' (undetermined)
+    when no profile scores (the n-gram heuristic of SURVEY-style lang-ID)."""
+
+    def __init__(self):
+        self.word = re.compile(r"[a-zA-ZÀ-ɏ]+")
+        self.profiles = {k: frozenset(v) for k, v in _PROFILES.items()}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        def ident(s: str) -> str:
+            words = [w.lower() for w in self.word.findall(s or "")]
+            if not words:
+                return "und"
+            best, score = "und", 0
+            for lang, prof in self.profiles.items():
+                sc = sum(1 for w in words if w in prof)
+                if sc > score:
+                    best, score = lang, sc
+            return best
+
+        batch["pred_lang"] = batch["text"].map(ident)
+        return batch
+
+
+class QualityScore:
+    """Heuristic quality features: length, punctuation ratio, stopword
+    ratio, mean word length, and a [0,1] composite score."""
+
+    def __init__(self):
+        self.word = re.compile(r"[A-Za-zÀ-ɏ]+")
+        self.punct = re.compile(r"[^\w\s]")
+        self.stop = frozenset(_PROFILES["en"])
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        n_chars = texts.str.len().to_numpy(np.float64)
+        n_punct = texts.map(lambda s: len(self.punct.findall(s))).to_numpy(np.float64)
+        words = texts.map(self.word.findall)
+        n_words = words.map(len).to_numpy(np.float64)
+        stop_hits = words.map(lambda ws: sum(1 for w in ws if w.lower() in self.stop))
+        mean_wlen = words.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
+        nw = np.maximum(n_words, 1.0)
+        batch["punct_ratio"] = n_punct / np.maximum(n_chars, 1.0)
+        batch["stopword_ratio"] = stop_hits.to_numpy(np.float64) / nw
+        batch["mean_word_len"] = mean_wlen.to_numpy(np.float64)
+        batch["quality"] = np.clip(
+            0.4 * np.clip(n_words / 50.0, 0, 1)
+            + 0.3 * (1.0 - batch["punct_ratio"].to_numpy())
+            + 0.3 * np.clip(batch["stopword_ratio"].to_numpy() * 4.0, 0, 1),
+            0.0,
+            1.0,
+        )
+        return batch
+
+
+_FP_P = np.uint64(1099511628211)  # FNV-ish multiplier
+
+
+def rolling_fingerprint(texts: "pd.Series | list[str]") -> np.ndarray:
+    """64-bit rolling polynomial hash of the whole document (deterministic
+    document fingerprint; same algorithm on any partitioning)."""
+    out = np.empty(len(texts), np.uint64)
+    with np.errstate(over="ignore"):
+        for i, s in enumerate(texts):
+            b = np.frombuffer((s or "").encode("utf-8"), np.uint8).astype(np.uint64)
+            if len(b) == 0:
+                out[i] = 0
+                continue
+            # h = sum_k b[k] * P^(n-1-k) mod 2^64, fully vectorized
+            pw = np.multiply.accumulate(np.full(len(b), _FP_P, np.uint64))
+            out[i] = (b * pw[::-1]).sum(dtype=np.uint64)
+    return out
+
+
+class Fingerprinter:
+    """Adds a 64-bit rolling-hash document fingerprint column."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["fingerprint"] = rolling_fingerprint(batch["text"].fillna("").tolist()).astype(
+            "uint64"
+        )
+        return batch
+
+
+class DocAnalyzer:
+    """Fused single-pass analyzer: tokens + lang + quality + fingerprint.
+
+    One actor pool instead of four chained pools — each chained pool would
+    reserve its own CPUs and starve the others (the actor-pool sizing
+    pitfall); fusing also reads the text column once.
+    """
+
+    def __init__(self):
+        self.stages = (TokenCounter(), LangId(), QualityScore(), Fingerprinter())
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        for s in self.stages:
+            batch = s(batch)
+        return batch
+
+
+def analyze_documents(docs_ds, *, concurrency=(1, 8), batch_size: int = 2048):
+    """Full text-analysis pipeline: tokens + lang + quality + fingerprint."""
+    if isinstance(concurrency, int):
+        concurrency = (1, concurrency)
+    return docs_ds.map_batches(
+        DocAnalyzer, batch_format="pandas", batch_size=batch_size, concurrency=concurrency
+    )

@@ -1,0 +1,130 @@
+"""Windowed aggregates and as-of joins over event streams.
+
+Ray Data has no event-time windowing; the stream-shaped semantics are
+rebuilt batch-first: window assignment is a vectorized column computation
+(tumbling = one window per row, sliding = flat-map to every covering
+window), the aggregate is a grouped reduce on (key, window); as-of joins
+sort both sides inside co-grouped key buckets and run ``merge_asof``.
+Ordering assumption: rows of one key bucket fit one group (documented
+partitioning assumption for the merge_asof path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _epoch_seconds(col) -> np.ndarray:
+    a = col.to_numpy(zero_copy_only=False)
+    return a.astype("datetime64[s]").astype(np.int64)
+
+
+def tumbling_window(events_ds, *, key: str, ts_col: str = "ts", val_col: str = "value",
+                    window_s: int = 3600, aggs: tuple[str, ...] = ("sum", "count")):
+    """Tumbling windows: (key, floor(epoch/window)) grouped aggregate."""
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    def assign(t: pa.Table) -> pa.Table:
+        w = _epoch_seconds(t[ts_col]) // window_s
+        return t.append_column("window", pa.array(w * window_s))
+
+    table = {"sum": Sum, "count": Count, "min": Min, "max": Max, "mean": Mean}
+    agg_objs = []
+    for a in aggs:
+        if a == "count":
+            agg_objs.append(Count(alias_name="n"))
+        else:
+            agg_objs.append(table[a](val_col, alias_name=f"{a}_{val_col}"))
+    return (
+        events_ds.map_batches(assign, batch_format="pyarrow")
+        .groupby([key, "window"])
+        .aggregate(*agg_objs)
+    )
+
+
+def sliding_window(events_ds, *, key: str, ts_col: str = "ts", val_col: str = "value",
+                   window_s: int = 3600, slide_s: int = 900):
+    """Sliding windows: each row flat-maps to every window covering it,
+    then one grouped sum/count per (key, window_start)."""
+    from ray.data.aggregate import Count, Sum
+
+    n_covers = int(np.ceil(window_s / slide_s))
+
+    def assign(t: pa.Table) -> pa.Table:
+        ts = _epoch_seconds(t[ts_col])
+        keys = t[key].to_numpy(zero_copy_only=False)
+        vals = np.asarray(t[val_col].to_numpy(zero_copy_only=False), np.float64)
+        outs = []
+        base = (ts // slide_s) * slide_s
+        for j in range(n_covers):
+            start = base - j * slide_s
+            ok = (ts >= start) & (ts < start + window_s)
+            outs.append(pa.table({key: keys[ok], "window": start[ok], val_col: vals[ok]}))
+        return pa.concat_tables(outs)
+
+    return (
+        events_ds.map_batches(assign, batch_format="pyarrow")
+        .groupby([key, "window"])
+        .aggregate(Sum(val_col, alias_name=f"sum_{val_col}"), Count(alias_name="n"))
+    )
+
+
+def asof_join(left_ds, right_ds, *, key: str, ts_col: str = "ts",
+              num_buckets: int = 32, direction: str = "backward",
+              suffix: str = "_r"):
+    """As-of join: for each left row, the latest right row with
+    right.ts <= left.ts for the same key. Co-grouped by hash(key) bucket;
+    merge_asof per bucket (sorted within group)."""
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            keys = np.asarray(t[key].to_numpy(zero_copy_only=False), np.int64)
+            return t.append_column(
+                "_bucket", pa.array((keys % num_buckets).astype(np.int32))
+            ).append_column("_side", pa.array(np.full(len(keys), side, np.int8)))
+
+        return fn
+
+    lt = left_ds.map_batches(tag(0), batch_format="pyarrow")
+    rt = right_ds.map_batches(tag(1), batch_format="pyarrow")
+
+    l_cols = list(left_ds.schema().names)
+    r_cols = list(right_ds.schema().names)
+
+    # align schemas for the union: give each side the other's columns as null
+    def pad(cols_have, cols_all):
+        def fn(t: pa.Table) -> pa.Table:
+            for c in cols_all:
+                if c not in t.column_names:
+                    t = t.append_column(c, pa.nulls(t.num_rows, pa.float64()))
+            return t.select(sorted(t.column_names))
+
+        return fn
+
+    all_cols = sorted(set(l_cols) | {c + suffix for c in r_cols if c not in (key, ts_col)}
+                      | {"_bucket", "_side"})
+
+    def rename_right(t: pa.Table) -> pa.Table:
+        names = [c if c in (key, ts_col, "_bucket", "_side") else c + suffix
+                 for c in t.column_names]
+        return t.rename_columns(names)
+
+    rt = rt.map_batches(rename_right, batch_format="pyarrow")
+    lt = lt.map_batches(pad(l_cols, all_cols), batch_format="pyarrow")
+    rt = rt.map_batches(pad(r_cols, all_cols), batch_format="pyarrow")
+
+    def join(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["_side"] == 0].drop(columns=["_side"])
+        rf = g[g["_side"] == 1].drop(columns=["_side"])
+        r_val_cols = [c for c in rf.columns if c.endswith(suffix)]
+        lf = lf.drop(columns=r_val_cols).sort_values(ts_col)
+        rf = rf[[key, ts_col] + r_val_cols].dropna(subset=[ts_col]).sort_values(ts_col)
+        if len(lf) == 0:
+            return lf
+        out = pd.merge_asof(lf, rf, on=ts_col, by=key, direction=direction,
+                            suffixes=("", suffix))
+        return out.drop(columns=["_bucket"], errors="ignore")
+
+    return lt.union(rt).groupby("_bucket").map_groups(join, batch_format="pandas")

@@ -1,0 +1,183 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from raygraph.datapipe import dedup, media, similarity, text, windows
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+# ------------------------------------------------------------------- text ----
+
+
+def test_token_counter_and_quality():
+    out = text.analyze_documents(_docs(), concurrency=2).to_pandas()
+    assert (out["n_tokens"] >= out["n_ws_tokens"]).all()
+    assert out["quality"].between(0, 1).all()
+    assert set(out["pred_lang"]) <= {"en", "de", "fr", "und"}
+    # fingerprints: identical text -> identical fingerprint, deterministic
+    fp1 = text.rolling_fingerprint(["hello world", "hello world", "x"])
+    assert fp1[0] == fp1[1] != fp1[2]
+
+
+# ------------------------------------------------------------------ dedup ----
+
+
+def test_exact_dedup_with_planted_duplicates():
+    base = _docs().to_pandas()
+    dup = base.head(5).copy()
+    dup["doc_id"] = dup["doc_id"] + 100_000  # duplicates with new ids
+    docs = rd.from_pandas(pd.concat([base, dup], ignore_index=True))
+    out = dedup.exact_dedup(docs).to_pandas()
+    assert out["n_dups"].sum() == len(base) + 5
+    dups = out[out["n_dups"] >= 2]
+    assert len(dups) >= 5
+    # keeper is always the min doc_id (the original)
+    assert (dups["keep_id"] < 100_000).all()
+
+
+def test_minhash_lsh_finds_planted_near_dups():
+    base = _docs().to_pandas().head(60)
+    near = base.head(4).copy()
+    near["doc_id"] = near["doc_id"] + 100_000
+    near["text"] = near["text"] + " tiny suffix"
+    docs = rd.from_pandas(pd.concat([base, near], ignore_index=True))
+    pairs = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5).to_pandas()
+    found = {(int(min(a, b)), int(max(a, b))) for a, b in zip(pairs["a"], pairs["b"])}
+    for i in range(4):
+        want = (int(base["doc_id"][i]), int(base["doc_id"][i]) + 100_000)
+        assert want in found
+    # clusters via connected components keep the min id
+    ids = rd.from_pandas(pd.concat([base, near])[["doc_id"]])
+    clusters = dedup.dedup_clusters(rd.from_pandas(pairs), ids, num_parts=4)
+    cl = dict(zip(clusters["v"].to_pylist(), clusters["keep_id"].to_pylist()))
+    for i in range(4):
+        assert cl[int(base["doc_id"][i]) + 100_000] == int(base["doc_id"][i])
+
+
+def test_simhash_near_dups():
+    base = _docs().to_pandas().head(40)
+    near = base.head(3).copy()
+    near["doc_id"] = near["doc_id"] + 100_000
+    docs = rd.from_pandas(pd.concat([base, near], ignore_index=True))
+    pairs = dedup.simhash_pairs(docs, max_hamming=3).to_pandas()
+    found = {(int(min(a, b)), int(max(a, b))) for a, b in zip(pairs["a"], pairs["b"])}
+    for i in range(3):
+        assert (int(base["doc_id"][i]), int(base["doc_id"][i]) + 100_000) in found
+
+
+def test_ngram_jaccard():
+    j = dedup.ngram_jaccard(["a b c d e", "a b c d e"], ["a b c d e", "x y z w q"])
+    assert j[0] == 1.0 and j[1] == 0.0
+
+
+# -------------------------------------------------------------- similarity ----
+
+
+def test_knn_cosine_exact_matches_numpy():
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    df = emb.to_pandas()
+    M = np.stack([np.asarray(e, np.float64) for e in df["embedding"]])
+    queries = M[:3]
+    got = similarity.knn_cosine(emb, queries, k=5).to_pandas()
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    Qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+    sims = Mn @ Qn.T
+    for qi in range(3):
+        s = sims[:, qi]
+        order = np.lexsort((df["vec_id"].to_numpy(), -s))[:5]
+        want = df["vec_id"].to_numpy()[order].tolist()
+        mine = got[got["query_id"] == qi].sort_values("rank")["vec_id"].tolist()
+        assert mine == want
+
+
+def test_knn_lsh_self_recall():
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    df = emb.to_pandas()
+    M = np.stack([np.asarray(e, np.float64) for e in df["embedding"]])
+    got = similarity.knn_cosine_lsh(emb, M[:5], k=3, num_planes=4).to_pandas()
+    # a vector's own bucket always matches its own query -> self in top-k
+    for qi in range(5):
+        mine = got[got["query_id"] == qi]
+        assert int(df["vec_id"][qi]) in set(mine["vec_id"])
+
+
+def test_embedding_near_dups_finds_clones():
+    df = rd.read_parquet(f"{SF}/embeddings.parquet").to_pandas().head(50)
+    clone = df.head(2).copy()
+    clone["vec_id"] = clone["vec_id"] + 100_000
+    emb = rd.from_pandas(pd.concat([df, clone], ignore_index=True))
+    pairs = similarity.embedding_near_dups(emb, threshold=0.999).to_pandas()
+    found = {(int(min(a, b)), int(max(a, b))) for a, b in zip(pairs["a"], pairs["b"])}
+    for i in range(2):
+        assert (int(df["vec_id"][i]), int(df["vec_id"][i]) + 100_000) in found
+
+
+# ---------------------------------------------------------------- windows ----
+
+
+def test_tumbling_window_matches_pandas():
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    got = windows.tumbling_window(ev, key="event_type", window_s=3600).to_pandas()
+    df = ev.to_pandas()
+    df["window"] = (df["ts"].astype("datetime64[s]").astype("int64") // 3600) * 3600
+    want = df.groupby(["event_type", "window"]).agg(
+        sum_value=("value", "sum"), n=("value", "size")
+    ).reset_index()
+    m = got.merge(want, on=["event_type", "window"], suffixes=("", "_w"))
+    assert len(m) == len(want) == len(got)
+    np.testing.assert_allclose(m["sum_value"], m["sum_value_w"])
+    assert (m["n"] == m["n_w"]).all()
+
+
+def test_asof_join_matches_pandas():
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    df = ev.to_pandas()
+    left = df[["user_id", "ts", "value"]].copy()
+    right = df[["user_id", "ts", "value"]].copy()
+    right["ts"] = (right["ts"] - pd.Timedelta(seconds=30)).astype("datetime64[us]")
+    right = right.rename(columns={"value": "snapshot"})
+    got = windows.asof_join(
+        rd.from_pandas(left), rd.from_pandas(right.rename(columns={"snapshot": "value"})),
+        key="user_id", num_buckets=8,
+    ).to_pandas()
+    want = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("ts"), on="ts", by="user_id"
+    )
+    gm = got.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    wm = want.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    assert len(gm) == len(wm)
+    np.testing.assert_allclose(
+        gm["value_r"].fillna(-1).to_numpy(), wm["snapshot"].fillna(-1).to_numpy()
+    )
+
+
+# ------------------------------------------------------------------ media ----
+
+
+def test_media_plumbing():
+    tbl = media.synth_media_table(64)
+    ds = rd.from_arrow(tbl)
+    feats = media.decode_images(ds, concurrency=2).to_pandas()
+    assert len(feats) == 64
+    assert all(len(f) == 16 for f in feats["feature"])
+    # deterministic: same payload -> same feature
+    again = media.decode_images(rd.from_arrow(tbl), concurrency=1).to_pandas()
+    f1 = np.stack([np.asarray(x) for x in feats.sort_values("media_id")["feature"]])
+    f2 = np.stack([np.asarray(x) for x in again.sort_values("media_id")["feature"]])
+    np.testing.assert_array_equal(f1, f2)
+    frames = media.sample_frames(ds.limit(8)).to_pandas()
+    assert (frames.groupby("media_id").size() >= 1).all()
+
+
+def test_media_real_codec_gate_raises():
+    import pytest
+
+    dec = media.ImageDecoder(fake=False)
+    with pytest.raises(NotImplementedError):
+        dec.decode(b"xx", 4, 4)
