@@ -43,14 +43,19 @@ def knn_cosine(
     k: int = 10,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    query_ids: np.ndarray | None = None,
 ):
     """Exact cosine top-k: returns Dataset (query_id, vec_id, sim, rank).
 
-    Deterministic ordering: ties broken by ascending vec_id.
+    Deterministic ordering: ties broken by ascending vec_id. ``query_ids``
+    relabels the positional query index in the output.
     """
     import ray
 
     Q = _normalize(np.asarray(queries, np.float64))
+    qids = np.arange(Q.shape[0], dtype=np.int64) if query_ids is None else np.asarray(
+        query_ids, np.int64
+    )
     qref = ray.put(Q)
 
     def score(t: pa.Table) -> pa.Table:
@@ -68,7 +73,7 @@ def knn_cosine(
         for qi in range(q.shape[0]):
             s = sims[:, qi]
             top = np.argpartition(-s, kk - 1)[:kk]
-            out_q.append(np.full(kk, qi, np.int64))
+            out_q.append(np.full(kk, qids[qi], np.int64))
             out_i.append(ids[top].astype(np.int64))
             out_s.append(s[top])
         return pa.table({"query_id": np.concatenate(out_q),
@@ -213,3 +218,33 @@ def embedding_near_dups(emb_ds, *, threshold: float = 0.95, id_col: str = "vec_i
         .groupby(["a", "b"])
         .map_groups(lambda g: g.head(1), batch_format="pandas")
     )
+
+
+def embedding_near_dups_exact(emb_ds, *, threshold: float = 0.9, id_col: str = "vec_id",
+                              emb_col: str = "embedding"):
+    """Exact all-pairs cosine near-dups: per-batch rows x broadcast corpus.
+
+    The corpus matrix is normalized once and broadcast (``ray.put``); each
+    batch computes its block of the similarity matrix and keeps pairs
+    (a < b) over threshold — the whole matrix never materializes. Exact
+    counterpart of the LSH-bucketed :func:`embedding_near_dups`.
+    """
+    import ray
+
+    corpus = emb_ds.select_columns([id_col, emb_col]).to_pandas()
+    all_ids = corpus[id_col].to_numpy(np.int64)
+    M = _normalize(np.stack([np.asarray(e, np.float64) for e in corpus[emb_col]]))
+    ref = ray.put((all_ids, M))
+
+    def score(t: pa.Table) -> pa.Table:
+        ids_all, m_all = ray.get(ref)
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), np.int64)
+        if len(ids) == 0:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        m = _normalize(_emb_matrix(t, emb_col))
+        sims = m @ m_all.T
+        ok = (sims >= threshold) & (ids[:, None] < ids_all[None, :])
+        ai, bj = np.nonzero(ok)
+        return pa.table({"a": ids[ai], "b": ids_all[bj]})
+
+    return emb_ds.map_batches(score, batch_format="pyarrow")

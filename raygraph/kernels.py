@@ -50,11 +50,13 @@ def to_table(x, sort_by: str | None = "v") -> pa.Table:
         tbl = x
     else:
         batches = [b for b in x.iter_batches(batch_size=None, batch_format="pyarrow")]
-        tbl = (
-            pa.concat_tables(batches)
-            if batches
-            else pa.table({"v": pa.array([], pa.uint64())})
-        )
+        if batches:
+            tbl = pa.concat_tables(batches, promote_options="permissive")
+        else:
+            try:  # preserve the dataset schema for empty results
+                tbl = x.schema().base_schema.empty_table()
+            except Exception:
+                tbl = pa.table({"v": pa.array([], pa.uint64())})
     if sort_by and sort_by in tbl.column_names:
         return tbl.sort_by(sort_by)
     return tbl

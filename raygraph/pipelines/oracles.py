@@ -1,0 +1,228 @@
+"""DuckDB oracle SQL for every SQL-expressible query in queries.py.
+
+Column names, rounding, and id types mirror the Ray implementations
+exactly. The shared CTE prelude defines the g1 fixture graph. Iterative
+algorithms use WITH RECURSIVE (cc/bfs) or programmatically-unrolled
+iterations (pagerank, lpa) so DuckDB stays a pure ANSI-ish oracle.
+"""
+
+from __future__ import annotations
+
+MOD = 211
+
+_E = f"""e AS (
+  SELECT l_partkey % {MOD} AS src, l_suppkey % {MOD} AS dst,
+         round(sum(l_quantity), 6) AS w, count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+)"""
+
+_N = """n AS (SELECT src AS v FROM e UNION SELECT dst AS v FROM e)"""
+_EBIN = """ebin AS (SELECT DISTINCT src, dst FROM e)"""
+_UE = """ue AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e)"""
+_UE_NOSELF = """ue AS (
+  SELECT src, dst FROM e WHERE src <> dst
+  UNION SELECT dst, src FROM e WHERE src <> dst)"""
+_SUPP = f"""sv AS (
+  SELECT s_suppkey % {MOD} AS v, round(sum(s_acctbal), 6) AS val
+  FROM supplier GROUP BY 1)"""
+_CUST = f"""cv AS (
+  SELECT c_custkey % {MOD} AS v, round(sum(c_acctbal), 6) AS val
+  FROM customer GROUP BY 1)"""
+
+
+def _pagerank_sql(k: int = 8, damping: float = 0.85) -> str:
+    parts = [
+        _E,
+        _EBIN,
+        _N,
+        "dout AS (SELECT src, count(*) AS c FROM ebin GROUP BY 1)",
+        "nn AS (SELECT count(*) AS c FROM n)",
+        "r0 AS (SELECT v, 1.0 / (SELECT c FROM nn) AS score FROM n)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""r{i} AS (
+  SELECT n.v,
+         ({1 - damping} / (SELECT c FROM nn))
+         + {damping} * COALESCE(s.x, 0) AS score
+  FROM n LEFT JOIN (
+    SELECT eb.dst AS v, sum(r{i-1}.score / d.c) AS x
+    FROM ebin eb
+    JOIN r{i-1} ON r{i-1}.v = eb.src
+    JOIN dout d ON d.src = eb.src
+    GROUP BY eb.dst
+  ) s ON s.v = n.v
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT v, round(score, 6) AS score FROM r{k} ORDER BY v"
+    )
+
+
+def _lpa_sql(k: int = 3) -> str:
+    parts = [_E, _UE_NOSELF, _N, "l0 AS (SELECT v, v AS label FROM n)"]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""l{i} AS (
+  SELECT n.v, COALESCE(w.label, l{i-1}.label) AS label
+  FROM n
+  JOIN l{i-1} ON l{i-1}.v = n.v
+  LEFT JOIN (
+    SELECT dst AS v, label FROM (
+      SELECT ue.dst, lp.label, count(*) AS cnt,
+             row_number() OVER (PARTITION BY ue.dst
+                                ORDER BY count(*) DESC, lp.label ASC) AS rn
+      FROM ue JOIN l{i-1} lp ON lp.v = ue.src
+      GROUP BY ue.dst, lp.label
+    ) WHERE rn = 1
+  ) w ON w.v = n.v
+)"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT v, label FROM l{k} ORDER BY v"
+
+
+def _sliding_sql(window_s=3600, slide_s=900) -> str:
+    n_covers = window_s // slide_s
+    unions = []
+    for j in range(n_covers):
+        unions.append(
+            f"""SELECT event_type,
+       CAST((floor(epoch(ts) / {slide_s}) - {j}) * {slide_s} AS BIGINT) AS "window",
+       value
+FROM events
+WHERE epoch(ts) >= (floor(epoch(ts) / {slide_s}) - {j}) * {slide_s}
+  AND epoch(ts) <  (floor(epoch(ts) / {slide_s}) - {j}) * {slide_s} + {window_s}"""
+        )
+    body = "\nUNION ALL\n".join(unions)
+    return f"""WITH assigned AS (
+{body}
+)
+SELECT event_type, "window", round(sum(value), 6) AS sum_value, count(*) AS n
+FROM assigned GROUP BY 1, 2 ORDER BY event_type, "window\""""
+
+
+ORACLES: dict[str, str] = {
+    "coo_build_dup_plus": f"WITH {_E} SELECT src, dst, w, n FROM e ORDER BY src, dst",
+    "degrees_out": f"""WITH {_E}
+SELECT src AS v, count(*) AS deg, round(sum(w), 6) AS wsum
+FROM e GROUP BY 1 ORDER BY v""",
+    "mxv_plus_times": f"""WITH {_E}, {_SUPP}
+SELECT e.src AS v, round(sum(e.w * sv.val), 6) AS val
+FROM e JOIN sv ON sv.v = e.dst GROUP BY 1 ORDER BY v""",
+    "vxm_min_plus": f"""WITH {_E}, {_SUPP}
+SELECT e.dst AS v, round(min(e.w + sv.val), 6) AS val
+FROM e JOIN sv ON sv.v = e.src GROUP BY 1 ORDER BY v""",
+    "ewise_add_plus": f"""WITH {_CUST}, {_SUPP}
+SELECT COALESCE(cv.v, sv.v) AS v,
+       round(COALESCE(cv.val, 0) + COALESCE(sv.val, 0), 6) AS val
+FROM cv FULL OUTER JOIN sv ON cv.v = sv.v ORDER BY v""",
+    "ewise_mult_times": f"""WITH {_CUST}, {_SUPP}
+SELECT cv.v AS v, round(cv.val * sv.val, 6) AS val
+FROM cv JOIN sv ON cv.v = sv.v ORDER BY v""",
+    "ewise_union_minus": f"""WITH {_CUST}, {_SUPP}
+SELECT COALESCE(cv.v, sv.v) AS v,
+       round(COALESCE(cv.val, 0) - COALESCE(sv.val, 0), 6) AS val
+FROM cv FULL OUTER JOIN sv ON cv.v = sv.v ORDER BY v""",
+    "apply_abs_minus": f"""WITH {_SUPP}
+SELECT v, round(abs(val - 100.0), 6) AS val FROM sv ORDER BY v""",
+    "select_triu_w": f"""WITH {_E}
+SELECT src, dst, w FROM e WHERE dst >= src AND w >= 25.0 ORDER BY src, dst""",
+    "reduce_rowwise_max": f"""WITH {_E}
+SELECT src AS v, round(max(w), 6) AS val FROM e GROUP BY 1 ORDER BY v""",
+    "reduce_scalar_plus": f"WITH {_E} SELECT round(sum(w), 4) AS total FROM e",
+    "extract_remap": f"""WITH {_SUPP},
+idx(pos, tgt) AS (VALUES (0, 3), (1, 5), (2, 10), (3, 5), (4, 200))
+SELECT idx.pos AS v, sv.val AS val
+FROM idx JOIN sv ON sv.v = idx.tgt ORDER BY v""",
+    "assign_reduce_min": f"""WITH {_SUPP},
+u AS (SELECT o_custkey % {MOD} AS v, min(o_totalprice) AS val
+      FROM orders GROUP BY 1)
+SELECT COALESCE(sv.v, u.v) AS v,
+       round(CASE WHEN sv.v IS NOT NULL AND u.v IS NOT NULL
+                  THEN least(sv.val, u.val)
+                  ELSE COALESCE(u.val, sv.val) END, 6) AS val
+FROM sv FULL OUTER JOIN u ON sv.v = u.v ORDER BY v""",
+    "transpose_edges": f"""WITH {_E}
+SELECT dst AS src, src AS dst, w FROM e ORDER BY src, dst""",
+    "triangle_count": f"""WITH {_E},
+ud AS (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS d
+       FROM e WHERE src <> dst)
+SELECT count(*) AS triangles
+FROM ud a JOIN ud b ON b.s = a.s AND b.d > a.d
+          JOIN ud c ON c.s = a.d AND c.d = b.d""",
+    "cc_labels": f"""WITH RECURSIVE {_E}, {_UE}, {_N},
+reach(v, r) AS (
+  SELECT v, v FROM n
+  UNION
+  SELECT ue.dst, reach.r FROM reach JOIN ue ON ue.src = reach.v
+)
+SELECT v, min(r) AS label FROM reach GROUP BY v ORDER BY v""",
+    "pagerank_k8": _pagerank_sql(8),
+    "bfs_from_1": f"""WITH RECURSIVE {_E}, {_EBIN},
+reach(v, d) AS (
+  SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+  UNION
+  SELECT eb.dst, reach.d + 1
+  FROM reach JOIN ebin eb ON eb.src = reach.v
+  WHERE reach.d < 64
+)
+SELECT v, min(d) AS dist FROM reach GROUP BY v ORDER BY v""",
+    "lpa_k3": _lpa_sql(3),
+    "doc_exact_dedup": """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+       count(*) AS n_dups
+FROM documents GROUP BY 1 ORDER BY content_hash""",
+    "doc_token_counts": """SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws_tokens
+FROM documents ORDER BY doc_id""",
+    "knn_topk": """WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5
+),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.embedding, e.embedding) AS sim
+  FROM q CROSS JOIN embeddings e
+)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM s
+) WHERE rank <= 10 ORDER BY query_id, rank""",
+    "emb_near_dups": """SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+ORDER BY a, b""",
+    "events_tumbling": """SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS "window",
+       round(sum(value), 6) AS sum_value, count(*) AS n
+FROM events GROUP BY 1, 2 ORDER BY event_type, "window\"""",
+    "events_sliding": _sliding_sql(),
+    "events_asof_prev": """SELECT l.event_id, l.user_id,
+       CAST(floor(epoch(l.ts)) AS BIGINT) AS epoch_s,
+       round(l.value, 6) AS value, round(r.value, 6) AS prev
+FROM events l ASOF LEFT JOIN (
+  SELECT user_id, ts + INTERVAL 60 SECOND AS ts, value FROM events
+) r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id""",
+    "agg_argmax": """SELECT l_returnflag, l_orderkey FROM (
+  SELECT l_returnflag, l_orderkey,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice DESC, l_orderkey ASC) AS rn
+  FROM lineitem
+) WHERE rn = 1 ORDER BY l_returnflag""",
+    "agg_stats": """SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(min(l_quantity), 4) AS min_qty,
+       round(max(l_quantity), 4) AS max_qty,
+       count(*) AS n
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "topk_per_group": """SELECT o_orderpriority, rank, o_orderkey FROM (
+  SELECT o_orderpriority, o_orderkey,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= 3 ORDER BY o_orderpriority, rank""",
+}

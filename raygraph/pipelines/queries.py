@@ -1,0 +1,486 @@
+"""Ray-native implementations of the driver-checked queries.
+
+Each callable takes ``sf_dir`` and returns a pyarrow Table / Dataset /
+DataFrame. Column names and rounding match the DuckDB oracles in
+oracles.py EXACTLY (the driver hash-compares values after sorting columns
+by name); every float that results from arithmetic is rounded to 6
+decimals ON BOTH SIDES, ids are int64.
+
+The shared fixture graph g1 is derived from lineitem:
+src = l_partkey % 211, dst = l_suppkey % 211, w = sum(l_quantity) per
+(src,dst), n = duplicate count — i.e. Matrix.from_coo with dup_op
+(reference graphblas/core/matrix.py:643-698) over a 211-vertex id space.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from raygraph import kernels as K
+from raygraph.graph import build_graph
+
+MOD = 211
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _round_col(tbl: pa.Table, col: str, nd: int = 6) -> pa.Table:
+    i = tbl.schema.get_field_index(col)
+    vals = np.round(np.asarray(tbl[col].to_numpy(zero_copy_only=False), np.float64), nd)
+    return tbl.set_column(i, col, pa.array(vals, pa.float64()))
+
+
+def _int64_col(tbl: pa.Table, col: str) -> pa.Table:
+    i = tbl.schema.get_field_index(col)
+    vals = np.asarray(tbl[col].to_numpy(zero_copy_only=False)).astype(np.int64)
+    return tbl.set_column(i, col, pa.array(vals, pa.int64()))
+
+
+# ------------------------------------------------------------ g1 builders ----
+
+
+def _lineitem_coo(sf_dir: str):
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey", "l_quantity"]
+    )
+
+    def m(t: pa.Table) -> pa.Table:
+        src = (np.asarray(t["l_partkey"].to_numpy(zero_copy_only=False)) % MOD).astype(np.uint64)
+        dst = (np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False)) % MOD).astype(np.uint64)
+        w = np.asarray(t["l_quantity"].to_numpy(zero_copy_only=False), np.float64)
+        return pa.table({"src": src, "dst": dst, "w": w})
+
+    return ds.map_batches(m, batch_format="pyarrow")
+
+
+def _edges_dedup(sf_dir: str):
+    """(src, dst, w=round(sum qty,6), n=count) — COO build with dup_op."""
+    from ray.data.aggregate import Count, Sum
+
+    agg = (
+        _lineitem_coo(sf_dir)
+        .groupby(["src", "dst"])
+        .aggregate(Sum("w", alias_name="w"), Count(alias_name="n"))
+    )
+    return agg.map_batches(lambda t: _round_col(t, "w"), batch_format="pyarrow")
+
+
+def _edges_table(sf_dir: str) -> pa.Table:
+    return K.to_table(_edges_dedup(sf_dir), sort_by=None)
+
+
+def _vec_from(sf_dir: str, table: str, key: str, val: str) -> pa.Table:
+    t = pq.read_table(f"{sf_dir}/{table}.parquet", columns=[key, val])
+    v = (np.asarray(t[key].to_numpy(zero_copy_only=False)) % MOD).astype(np.uint64)
+    x = np.asarray(t[val].to_numpy(zero_copy_only=False), np.float64)
+    from raygraph.ops import local_combine, MONOID
+
+    k, s = local_combine(MONOID["plus"], v, x)
+    return pa.table({"v": k, "val": np.round(s, 6)})
+
+
+def _supplier_vec(sf_dir):
+    return _vec_from(sf_dir, "supplier", "s_suppkey", "s_acctbal")
+
+
+def _customer_vec(sf_dir):
+    return _vec_from(sf_dir, "customer", "c_custkey", "c_acctbal")
+
+
+def _vv_out(x, nd: int = 6) -> pa.Table:
+    """(v:int64, val:round) result normalization."""
+    t = K.to_table(x)
+    return _round_col(_int64_col(t, "v"), "val", nd)
+
+
+def _g1_graph(sf_dir: str, **kw):
+    return build_graph(_edges_dedup(sf_dir), num_parts=16, dup_op="first", **kw)
+
+
+# ------------------------------------------------------- graphblas queries ----
+
+
+def q_coo_build(sf_dir):
+    t = _edges_table(sf_dir)
+    return _int64_col(_int64_col(t, "src"), "dst")
+
+
+def q_degrees_out(sf_dir):
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        _edges_dedup(sf_dir)
+        .groupby("src")
+        .aggregate(Count(alias_name="deg"), Sum("w", alias_name="wsum"))
+    )
+    t = K.to_table(out, sort_by=None).rename_columns(
+        ["v" if c == "src" else c for c in ["src", "deg", "wsum"]]
+    )
+    return _round_col(_int64_col(_int64_col(t, "v"), "deg"), "wsum")
+
+
+def q_mxv_plus_times(sf_dir):
+    return _vv_out(K.mxv(_edges_dedup(sf_dir), _supplier_vec(sf_dir), "plus_times"))
+
+
+def q_vxm_min_plus(sf_dir):
+    return _vv_out(K.vxm(_supplier_vec(sf_dir), _edges_dedup(sf_dir), "min_plus"))
+
+
+def q_ewise_add_plus(sf_dir):
+    return _vv_out(K.ewise_add(_customer_vec(sf_dir), _supplier_vec(sf_dir), "plus"))
+
+
+def q_ewise_mult_times(sf_dir):
+    return _vv_out(K.ewise_mult(_customer_vec(sf_dir), _supplier_vec(sf_dir), "times"))
+
+
+def q_ewise_union_minus(sf_dir):
+    return _vv_out(
+        K.ewise_union(_customer_vec(sf_dir), _supplier_vec(sf_dir), "minus",
+                      left_default=0.0, right_default=0.0)
+    )
+
+
+def q_apply_abs_minus(sf_dir):
+    out = K.apply(K.apply(_supplier_vec(sf_dir), "minus", right=100.0), "abs")
+    return _vv_out(out)
+
+
+def q_select_triu_w(sf_dir):
+    sel = K.select_value(K.select_positional(_edges_dedup(sf_dir), "triu"), ">=", 25.0, col="w")
+    t = K.to_table(sel, sort_by=None).select(["src", "dst", "w"])
+    return _int64_col(_int64_col(t, "src"), "dst")
+
+
+def q_reduce_rowwise_max(sf_dir):
+    return _vv_out(K.reduce_rowwise(_edges_dedup(sf_dir), "max"))
+
+
+def q_reduce_scalar_plus(sf_dir):
+    total = K.reduce_scalar(_edges_dedup(sf_dir), "plus", col="w")
+    return pa.table({"total": pa.array([round(total, 4)], pa.float64())})
+
+
+def q_extract_remap(sf_dir):
+    idx = np.array([3, 5, 10, 5, 200], np.uint64)
+    return _vv_out(K.extract(_supplier_vec(sf_dir), idx, remap=True))
+
+
+def q_assign_reduce_min(sf_dir):
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_totalprice"])
+
+    def m(t: pa.Table) -> pa.Table:
+        v = (np.asarray(t["o_custkey"].to_numpy(zero_copy_only=False)) % MOD).astype(np.uint64)
+        return pa.table({"v": v,
+                         "val": np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False),
+                                           np.float64)})
+
+    updates = orders.map_batches(m, batch_format="pyarrow")
+    out = K.assign_reduce(_supplier_vec(sf_dir), updates, dup_monoid="min", accum="min")
+    return _vv_out(out)
+
+
+def q_transpose(sf_dir):
+    t = K.to_table(K.transpose(_edges_dedup(sf_dir)), sort_by=None).select(["src", "dst", "w"])
+    return _int64_col(_int64_col(t, "src"), "dst")
+
+
+def q_triangles(sf_dir):
+    from raygraph.algorithms.triangles import triangle_count
+
+    g = _g1_graph(sf_dir, symmetrize=True, drop_self=True, binarize=True)
+    return pa.table({"triangles": pa.array([triangle_count(g)], pa.int64())})
+
+
+def q_cc_labels(sf_dir):
+    from raygraph.algorithms.components import connected_components
+
+    g = _g1_graph(sf_dir, symmetrize=True, binarize=True)
+    f, _ = connected_components(g)
+    t = g.to_vertex_table(f, "label")
+    return _int64_col(_int64_col(t, "v"), "label")
+
+
+def q_pagerank_k8(sf_dir):
+    from raygraph.algorithms.pagerank import pagerank
+
+    g = _g1_graph(sf_dir, binarize=True)
+    r, _ = pagerank(g, damping=0.85, tol=0.0, itermax=8)
+    t = g.to_vertex_table(r, "score")
+    return _round_col(_int64_col(t, "v"), "score")
+
+
+def q_bfs_from_1(sf_dir):
+    from raygraph.algorithms.paths import bfs_levels
+
+    g = _g1_graph(sf_dir, binarize=True)
+    dist, _ = bfs_levels(g, 1)
+    t = g.to_vertex_table(dist, "dist")
+    d = np.asarray(t["dist"].to_numpy(zero_copy_only=False))
+    keep = np.isfinite(d)
+    return pa.table({
+        "v": pa.array(np.asarray(t["v"].to_numpy(zero_copy_only=False))[keep].astype(np.int64)),
+        "dist": pa.array(d[keep].astype(np.int64)),
+    })
+
+
+def q_lpa_k3(sf_dir):
+    from raygraph.algorithms.lpa import label_propagation
+
+    g = _g1_graph(sf_dir, symmetrize=True, drop_self=True, binarize=True)
+    labels, _ = label_propagation(g, itermax=3)
+    t = g.to_vertex_table(labels, "label")
+    return _int64_col(_int64_col(t, "v"), "label")
+
+
+# ------------------------------------------------------- training-data ops ----
+
+
+def q_doc_exact_dedup(sf_dir):
+    from raygraph.datapipe.dedup import exact_dedup
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    t = K.to_table(exact_dedup(docs), sort_by="content_hash")
+    return _int64_col(_int64_col(t, "keep_id"), "n_dups")
+
+
+def q_doc_token_counts(sf_dir):
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def m(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n = [len((s or "").split()) for s in texts]
+        return pa.table({"doc_id": t["doc_id"], "n_ws_tokens": pa.array(n, pa.int64())})
+
+    return K.to_table(docs.map_batches(m, batch_format="pyarrow"), sort_by="doc_id")
+
+
+def q_doc_analysis(sf_dir):
+    """Full text analysis (lang-ID + quality heuristics): rows-only check
+    (the scoring heuristics are not SQL-expressible)."""
+    from raygraph.datapipe.text import analyze_documents
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet")
+    out = analyze_documents(docs, concurrency=4)
+    return out.select_columns(
+        ["doc_id", "n_tokens", "n_ws_tokens", "pred_lang", "quality", "fingerprint"]
+    )
+
+
+def _query_embeddings(sf_dir, n=5):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").sort_by("vec_id")
+    ids = np.asarray(t["vec_id"].to_numpy()[:n], np.int64)
+    q = np.stack([np.asarray(e, np.float64) for e in t["embedding"].to_pylist()[:n]])
+    return ids, q
+
+
+def q_knn_topk(sf_dir):
+    from raygraph.datapipe.similarity import knn_cosine
+
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    ids, q = _query_embeddings(sf_dir)
+    out = knn_cosine(emb, q, k=10, query_ids=ids)
+    t = K.to_table(out, sort_by=None).select(["query_id", "vec_id", "rank"])
+    return t.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+def q_emb_near_dups(sf_dir):
+    from raygraph.datapipe.similarity import embedding_near_dups_exact
+
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    t = K.to_table(embedding_near_dups_exact(emb, threshold=0.45), sort_by=None)
+    return t.sort_by([("a", "ascending"), ("b", "ascending")])
+
+
+def q_minhash_pairs(sf_dir):
+    """MinHash+LSH near-dup candidates: rows-only check (sketch-based)."""
+    from raygraph.datapipe.dedup import minhash_lsh_pairs
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(docs, jaccard_threshold=0.8)
+
+
+def q_simhash_pairs(sf_dir):
+    """SimHash near-dup candidates: rows-only check (sketch-based)."""
+    from raygraph.datapipe.dedup import simhash_pairs
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_pairs(docs, max_hamming=3)
+
+
+def q_knn_lsh(sf_dir):
+    """LSH-bucketed approximate ANN: rows-only check (approximate by design)."""
+    from raygraph.datapipe.similarity import knn_cosine_lsh
+
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    _, q = _query_embeddings(sf_dir)
+    return knn_cosine_lsh(emb, q, k=5, num_planes=4)
+
+
+# ----------------------------------------------------------- events queries ----
+
+
+def q_events_tumbling(sf_dir):
+    from raygraph.datapipe.windows import tumbling_window
+
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet")
+    out = tumbling_window(ev, key="event_type", window_s=3600, aggs=("sum", "count"))
+    t = K.to_table(out, sort_by=None)
+    t = _round_col(t, "sum_value")
+    t = _int64_col(_int64_col(t, "window"), "n")
+    return t.sort_by([("event_type", "ascending"), ("window", "ascending")])
+
+
+def q_events_sliding(sf_dir):
+    from raygraph.datapipe.windows import sliding_window
+
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet")
+    out = sliding_window(ev, key="event_type", window_s=3600, slide_s=900)
+    t = _round_col(K.to_table(out, sort_by=None), "sum_value")
+    t = _int64_col(_int64_col(t, "window"), "n")
+    return t.sort_by([("event_type", "ascending"), ("window", "ascending")])
+
+
+def q_events_asof_prev(sf_dir):
+    from raygraph.datapipe.windows import asof_join
+
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts", "value"])
+
+    def shift(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False) + np.timedelta64(60, "s")
+        return pa.table({"user_id": t["user_id"], "ts": pa.array(ts),
+                         "value": t["value"]})
+
+    right = ev.select_columns(["user_id", "ts", "value"]).map_batches(
+        shift, batch_format="pyarrow"
+    )
+    out = asof_join(ev, right, key="user_id", num_buckets=16)
+
+    def finish(t: pa.Table) -> pa.Table:
+        ep = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[s]").astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": pa.array(np.asarray(
+                    t["user_id"].to_numpy(zero_copy_only=False), np.int64)),
+                "epoch_s": pa.array(ep),
+                "value": pa.array(np.round(np.asarray(
+                    t["value"].to_numpy(zero_copy_only=False), np.float64), 6)),
+                "prev": pa.array(np.round(np.asarray(
+                    t["value_r"].to_numpy(zero_copy_only=False), np.float64), 6)),
+            }
+        )
+
+    t = K.to_table(out.map_batches(finish, batch_format="pyarrow"), sort_by="event_id")
+    return _int64_col(t, "event_id")
+
+
+# --------------------------------------------------------- aggregator suite ----
+
+
+def q_agg_argmax(sf_dir):
+    li = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_returnflag", "l_orderkey", "l_extendedprice"])
+
+    def top(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["l_extendedprice", "l_orderkey"],
+                          ascending=[False, True]).head(1)
+        return g[["l_returnflag", "l_orderkey"]]
+
+    out = li.groupby("l_returnflag").map_groups(top, batch_format="pandas")
+    return K.to_table(out, sort_by="l_returnflag")
+
+
+def q_agg_stats(sf_dir):
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    li = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    out = li.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Mean("l_extendedprice", alias_name="avg_price"),
+        Min("l_quantity", alias_name="min_qty"),
+        Max("l_quantity", alias_name="max_qty"),
+        Count(alias_name="n"),
+    )
+    t = K.to_table(out, sort_by=None)
+    for c in ("sum_qty", "avg_price", "min_qty", "max_qty"):
+        t = _round_col(t, c, 4)
+    t = _int64_col(t, "n")
+    return t.sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
+
+
+def q_topk_per_group(sf_dir):
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderpriority", "o_orderkey", "o_totalprice"])
+
+    def top(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]).head(3).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["o_orderpriority", "rank", "o_orderkey"]]
+
+    out = orders.groupby("o_orderpriority").map_groups(top, batch_format="pandas")
+    t = K.to_table(out, sort_by=None)
+    return t.sort_by([("o_orderpriority", "ascending"), ("rank", "ascending")])
+
+
+# ------------------------------------------------------------------- registry ----
+
+QUERIES = {
+    # GraphBLAS operation surface (SURVEY.md §2.1) over the g1 graph
+    "coo_build_dup_plus": q_coo_build,
+    "degrees_out": q_degrees_out,
+    "mxv_plus_times": q_mxv_plus_times,
+    "vxm_min_plus": q_vxm_min_plus,
+    "ewise_add_plus": q_ewise_add_plus,
+    "ewise_mult_times": q_ewise_mult_times,
+    "ewise_union_minus": q_ewise_union_minus,
+    "apply_abs_minus": q_apply_abs_minus,
+    "select_triu_w": q_select_triu_w,
+    "reduce_rowwise_max": q_reduce_rowwise_max,
+    "reduce_scalar_plus": q_reduce_scalar_plus,
+    "extract_remap": q_extract_remap,
+    "assign_reduce_min": q_assign_reduce_min,
+    "transpose_edges": q_transpose,
+    # link-graph algorithms (SURVEY.md §3.2-3.3, §7.1)
+    "triangle_count": q_triangles,
+    "cc_labels": q_cc_labels,
+    "pagerank_k8": q_pagerank_k8,
+    "bfs_from_1": q_bfs_from_1,
+    "lpa_k3": q_lpa_k3,
+    # training-data operators
+    "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_token_counts": q_doc_token_counts,
+    "doc_analysis": q_doc_analysis,
+    "knn_topk": q_knn_topk,
+    "emb_near_dups": q_emb_near_dups,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "knn_lsh": q_knn_lsh,
+    # stream-shaped
+    "events_tumbling": q_events_tumbling,
+    "events_sliding": q_events_sliding,
+    "events_asof_prev": q_events_asof_prev,
+    # aggregator suite
+    "agg_argmax": q_agg_argmax,
+    "agg_stats": q_agg_stats,
+    "topk_per_group": q_topk_per_group,
+}
+
+
+def entry_pipeline(sf_dir: str = "/root/testdata/sf0.001"):
+    """Flagship: lineitem -> g1 edge table -> PageRank scores."""
+    return q_pagerank_k8(sf_dir).to_pandas()
