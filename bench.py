@@ -1,0 +1,183 @@
+"""BENCH driver: headline link-graph pipeline + query timings, one JSON line.
+
+Plain run:     python bench.py          (GRAFT_SF_DIR, RAY_GRAFT_CPUS honored)
+Scaling run:   python bench.py --scaling   (8 vs 32 CPUs in fresh processes,
+                                            same input, reports efficiency)
+
+Headline = end-to-end link-graph pipeline on a deterministic synthetic
+web-pages table (read parquet -> HTML-extract actor pool -> resolve/dedup
+-> partitioned CSR build -> PageRank to 1e-6), the north-star workload.
+Per-query timings over $GRAFT_SF_DIR cover the operator families.
+Page generation is cached in /tmp (untimed; also warms the page cache).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "100000"))
+PAGES_DIR = f"/tmp/raygraph_bench/pages_{N_PAGES}"
+
+
+def _ensure_pages():
+    import ray.data as rd
+
+    if not (os.path.isdir(PAGES_DIR) and any(f.endswith(".parquet")
+                                             for f in os.listdir(PAGES_DIR))):
+        from raygraph.synth import write_pages
+
+        os.makedirs(PAGES_DIR, exist_ok=True)
+        write_pages(PAGES_DIR, N_PAGES, pages_per_site=200, seed=42)
+    # warm OS page cache so both scaling levels measure compute, not first read
+    rd.read_parquet(PAGES_DIR).count()
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data as rd
+
+    from raygraph.algorithms.pagerank import pagerank
+    from raygraph.algorithms.components import connected_components
+    from raygraph.algorithms.triangles import triangle_count
+    from raygraph.graph import build_graph, edges_from_pages
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from raygraph.pipelines import QUERIES
+
+    _ensure_pages()
+    # untimed warm-up: spin up the worker pool so the measurement reflects a
+    # running cluster, not cold python-process imports
+    rd.range(10_000, override_num_blocks=NUM_CPUS).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
+
+    q: dict[str, float] = {}
+
+    # ---- headline: pages -> extract -> graph build -> pagerank
+    t0 = time.perf_counter()
+    # num_parts is FIXED (not cpu-derived) so both scaling levels run the
+    # identical job with identical partitioning
+    P = int(os.environ.get("GRAFT_BENCH_PARTS", "32"))
+    # fixed block count (same job at every parallelism level); without it the
+    # handful of parquet files caps extraction parallelism at ~5 tasks
+    pages = rd.read_parquet(PAGES_DIR, override_num_blocks=128)
+    extracted, links, verts = edges_from_pages(pages, concurrency=(1, max(4, NUM_CPUS - 2)))
+    links = links.materialize()  # extraction runs ONCE; both graphs build from it
+    verts = verts.materialize()
+    q["extract"] = time.perf_counter() - t0
+    tb = time.perf_counter()
+    g = build_graph(links, vertices_ds=verts, num_parts=P,
+                    dup_op="plus", binarize=True)
+    q["build"] = time.perf_counter() - tb
+    q["extract_build"] = time.perf_counter() - t0
+
+    t1 = time.perf_counter()
+    slices, info = pagerank(g, tol=1e-6, itermax=100, mode="fused", check_every=4)
+    q["pagerank"] = time.perf_counter() - t1
+    headline = q["extract_build"] + q["pagerank"]
+
+    pr_meta = {
+        "nnz": g.nnz,
+        "n_vertices": g.n_vertices,
+        "pr_iters": info["iters"],
+        "pr_residual": info["residual"],
+        "pagerank_iters_per_sec": round(info["iters"] / q["pagerank"], 3),
+        "edges_per_sec_pagerank": round(info["edges_traversed"] / q["pagerank"], 1),
+        "edges_per_sec_e2e": round(info["edges_traversed"] / headline, 1),
+    }
+
+    if os.environ.get("GRAFT_BENCH_HEADLINE"):  # scaling runs: headline only
+        ray.shutdown()
+        q = {k: round(v, 3) for k, v in q.items()}
+        return {
+            "metric": "e2e_link_graph_sec",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": q,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            **pr_meta,
+        }
+
+    # ---- cc + triangles on the symmetric graph
+    t2 = time.perf_counter()
+    gs = build_graph(links, vertices_ds=verts, num_parts=P,
+                     dup_op="first", binarize=True, symmetrize=True, drop_self=True)
+    f, cci = connected_components(gs, mode="fused")
+    q["cc"] = time.perf_counter() - t2
+    t3 = time.perf_counter()
+    tri = triangle_count(gs)
+    q["triangles"] = time.perf_counter() - t3
+    pr_meta["cc_rounds"] = cci["iters"]
+    pr_meta["triangle_count"] = tri
+
+    # ---- operator-family queries over the testdata tables
+    for name in ("coo_build_dup_plus", "pagerank_k8", "cc_labels",
+                 "doc_exact_dedup", "minhash_pairs", "knn_topk",
+                 "events_tumbling", "events_asof_prev", "agg_stats"):
+        t = time.perf_counter()
+        out = QUERIES[name](SF_DIR)
+        if hasattr(out, "materialize"):
+            out = out.materialize()
+        q[name] = time.perf_counter() - t
+
+    ray.shutdown()
+    q = {k: round(v, 3) for k, v in q.items()}
+    return {
+        "metric": "e2e_link_graph_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": q,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        **pr_meta,
+    }
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_HEADLINE="1")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    # throughput = edges traversed per second of end-to-end pipeline time
+    tput_lo = r_lo["edges_per_sec_e2e"]
+    tput_hi = r_hi["edges_per_sec_e2e"]
+    eff = tput_hi / (tput_lo * (hi / lo))
+    pr_eff = r_hi["edges_per_sec_pagerank"] / (r_lo["edges_per_sec_pagerank"] * (hi / lo))
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus": [lo, hi],
+        "sec": [r_lo["value"], r_hi["value"]],
+        "edges_per_sec_e2e": [tput_lo, tput_hi],
+        "pagerank_scaling_efficiency": round(pr_eff, 3),
+        "queries": {"sec_8": r_lo["value"], "sec_32": r_hi["value"]},
+        "runs": {"8": r_lo, "32": r_hi},
+    }
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -31,8 +31,13 @@ def connected_components(
     itermax: int = 64,
     ckpt_dir: str | None = None,
     resume: bool = True,
+    mode: str = "dataset",  # "dataset" (engine primitives) | "fused" (raw-task BSP)
 ) -> tuple[list[np.ndarray], dict]:
     """Returns (parent slices f with f[v]=component min id, info dict)."""
+    if mode == "fused":
+        from raygraph.fused import cc_fused
+
+        return cc_fused(graph, itermax=itermax, ckpt_dir=ckpt_dir, resume=resume)
     ids = graph.ids_slices()
     f = [i.copy() for i in ids]
     gp = [i.copy() for i in ids]

@@ -34,8 +34,16 @@ def pagerank(
     ckpt_dir: str | None = None,
     ckpt_every: int = 1,
     resume: bool = True,
+    mode: str = "dataset",  # "dataset" (engine.spmv groupby) | "fused" (raw-task BSP)
+    check_every: int = 1,
 ) -> tuple[list[np.ndarray], dict]:
     """Returns (score slices per partition, info dict with iteration metrics)."""
+    if mode == "fused":
+        from raygraph.fused import pagerank_fused
+
+        return pagerank_fused(graph, damping=damping, tol=tol, itermax=itermax,
+                              ckpt_dir=ckpt_dir, ckpt_every=ckpt_every, resume=resume,
+                              check_every=check_every)
     n = graph.n_vertices
     if n == 0:
         return graph.state(0.0), {"iters": 0, "residual": 0.0, "edges_traversed": 0}

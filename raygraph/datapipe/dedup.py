@@ -89,6 +89,83 @@ class MinHasher:
         return batch
 
 
+def _pairs_in_segments(values: np.ndarray, seg_starts: np.ndarray,
+                       seg_sizes: np.ndarray, cap: int = 200):
+    """All intra-segment ordered pairs (i<j), vectorized per distinct size;
+    segments larger than ``cap`` are skipped (degenerate-bucket guard)."""
+    a_out, b_out = [], []
+    for s in np.unique(seg_sizes):
+        if s < 2 or s > cap:
+            continue
+        segs = np.flatnonzero(seg_sizes == s)
+        idx = seg_starts[segs][:, None] + np.arange(s)[None, :]
+        mem = values[idx]
+        iu, ju = np.triu_indices(int(s), 1)
+        a_out.append(mem[:, iu].ravel())
+        b_out.append(mem[:, ju].ravel())
+    if not a_out:
+        return np.empty(0, values.dtype), np.empty(0, values.dtype)
+    return np.concatenate(a_out), np.concatenate(b_out)
+
+
+def _segments_of(cols: list[np.ndarray], tiebreak: np.ndarray):
+    """Sort rows by key columns (+tiebreak) and return order + segment layout."""
+    order = np.lexsort((tiebreak, *reversed(cols)))
+    change = np.zeros(len(tiebreak), bool)
+    if len(tiebreak):
+        change[0] = True
+        for a in cols:
+            a = a[order]
+            change[1:] |= a[1:] != a[:-1]
+    starts = np.flatnonzero(change)
+    sizes = np.diff(np.r_[starts, len(tiebreak)])
+    return order, starts, sizes
+
+
+def distinct_pairs(pairs_ds, *, val_col: str | None = None, val_reduce: str = "min",
+                   num_buckets: int = 64):
+    """Distinct (a,b) pairs via coarse-bucketed vectorized dedup.
+
+    A plain ``groupby(["a","b"]).aggregate`` pays per-group overhead on
+    hundreds of thousands of tiny groups; here pairs hash into
+    ``num_buckets`` coarse buckets (ONE shuffle) and each bucket dedups
+    with a numpy lexsort — constant group count regardless of pair count.
+    ``val_col`` optionally carries a value reduced per pair (min/max).
+    """
+    red = {"min": np.minimum, "max": np.maximum}[val_reduce]
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a"].to_numpy(zero_copy_only=False), np.uint64)
+        b = np.asarray(t["b"].to_numpy(zero_copy_only=False), np.uint64)
+        with np.errstate(over="ignore"):
+            bk = mix64(a * np.uint64(0x9E3779B97F4A7C15) ^ b) % np.uint64(num_buckets)
+        return t.append_column("_pb", pa.array(bk.astype(np.int32)))
+
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["a"].to_numpy(np.int64)
+        b = g["b"].to_numpy(np.int64)
+        if len(a) == 0:
+            out = {"a": a, "b": b}
+            if val_col is not None:
+                out[val_col] = g[val_col].to_numpy()
+            return pd.DataFrame(out)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        new = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        starts = np.flatnonzero(new)
+        out = {"a": a[starts], "b": b[starts]}
+        if val_col is not None:
+            v = g[val_col].to_numpy()[order]
+            out[val_col] = red.reduceat(v, starts) if len(v) else v
+        return pd.DataFrame(out)
+
+    return (
+        pairs_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(uniq, batch_format="pandas")
+    )
+
+
 def _band_rows(t: pa.Table, id_col: str, bands: int, rows: int) -> pa.Table:
     """Explode signatures into (band, band_hash, id) rows for LSH bucketing."""
     ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False))
@@ -136,22 +213,31 @@ def minhash_lsh_pairs(
         concurrency=(1, 8),
         batch_size=1024,
     ).materialize()  # consumed twice: banding + signature verification
-    banded = signed.map_batches(
-        lambda t: _band_rows(t, id_col, bands, rows), batch_format="pyarrow"
-    )
+    def banded_with_coarse(t: pa.Table) -> pa.Table:
+        b = _band_rows(t, id_col, bands, rows)
+        with np.errstate(over="ignore"):
+            coarse = mix64(
+                np.asarray(b["band_hash"].to_numpy(zero_copy_only=False), np.uint64)
+                ^ (np.asarray(b["band"].to_numpy(zero_copy_only=False), np.uint64) + 1)
+                * np.uint64(0x9E3779B97F4A7C15)
+            ) % np.uint64(64)
+        return b.append_column("coarse", pa.array(coarse.astype(np.int32)))
 
+    banded = signed.map_batches(banded_with_coarse, batch_format="pyarrow")
+
+    # coarse hash buckets: many tiny (band, band_hash) groups ride one group,
+    # pair generation is vectorized inside (per-group python calls would
+    # dominate at scale)
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g[id_col].to_numpy())
-        if len(ids) < 2 or len(ids) > 200:  # degenerate bucket guard (log-worthy)
-            return pd.DataFrame({"a": [], "b": []})
-        iu, ju = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"a": ids[iu], "b": ids[ju]})
+        band = g["band"].to_numpy(np.int64)
+        bh = g["band_hash"].to_numpy(np.uint64)
+        ids = g[id_col].to_numpy(np.int64)
+        order, starts, sizes = _segments_of([band, bh], ids)
+        a, b = _pairs_in_segments(ids[order], starts, sizes)
+        return pd.DataFrame({"a": a, "b": b})
 
-    pairs = (
-        banded.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")  # distinct pairs
+    pairs = distinct_pairs(
+        banded.groupby("coarse").map_groups(bucket_pairs, batch_format="pandas")
     )
 
     # verification: re-sign both sides and estimate Jaccard from signatures.
@@ -263,25 +349,38 @@ def simhash_pairs(docs_ds, *, id_col: str = "doc_id", max_hamming: int = 3):
         return pa.concat_tables(out)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2 or len(g) > 500:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
-        ids = g[id_col].to_numpy()
+        chunk = g["chunk"].to_numpy(np.int64)
+        key = g["key"].to_numpy(np.uint64)
+        ids = g[id_col].to_numpy(np.int64)
         sh = g["simhash"].to_numpy(np.uint64)
-        order = np.argsort(ids)
-        ids, sh = ids[order], sh[order]
-        iu, ju = np.triu_indices(len(ids), 1)
-        x = sh[iu] ^ sh[ju]
-        ham = np.array([bin(int(v)).count("1") for v in x])
+        order, starts, sizes = _segments_of([chunk, key], ids)
+        ids_s, sh_s = ids[order], sh[order]
+        pos = np.arange(len(ids_s))
+        ia, ib = _pairs_in_segments(pos, starts, sizes, cap=500)
+        if len(ia) == 0:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        x = sh_s[ia] ^ sh_s[ib]
+        ham = np.unpackbits(x[:, None].view(np.uint8), axis=1).sum(axis=1)
         keep = ham <= max_hamming
-        return pd.DataFrame({"a": ids[iu][keep], "b": ids[ju][keep],
-                             "hamming": ham[keep]})
+        return pd.DataFrame({"a": ids_s[ia][keep], "b": ids_s[ib][keep],
+                             "hamming": ham[keep].astype(np.int64)})
 
-    return (
-        signed.map_batches(chunks, batch_format="pyarrow")
-        .groupby(["chunk", "key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    def chunks_with_coarse(t: pa.Table) -> pa.Table:
+        c = chunks(t)
+        with np.errstate(over="ignore"):
+            coarse = mix64(
+                np.asarray(c["key"].to_numpy(zero_copy_only=False), np.uint64)
+                ^ (np.asarray(c["chunk"].to_numpy(zero_copy_only=False), np.uint64) + 1)
+                * np.uint64(0x9E3779B97F4A7C15)
+            ) % np.uint64(64)
+        return c.append_column("coarse", pa.array(coarse.astype(np.int32)))
+
+    return distinct_pairs(
+        signed.map_batches(chunks_with_coarse, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(bucket_pairs, batch_format="pandas"),
+        val_col="hamming",
+        val_reduce="min",
     )
 
 

@@ -212,11 +212,12 @@ def embedding_near_dups(emb_ds, *, threshold: float = 0.95, id_col: str = "vec_i
         return pd.DataFrame({"a": ids[iu][keep], "b": ids[ju][keep],
                              "sim": sims[iu, ju][keep]})
 
-    return (
-        bucketed.groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    from raygraph.datapipe.dedup import distinct_pairs
+
+    return distinct_pairs(
+        bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas"),
+        val_col="sim",
+        val_reduce="max",
     )
 
 

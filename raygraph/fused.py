@@ -1,0 +1,402 @@
+"""Fused BSP execution of the SpMV superstep on raw Ray tasks.
+
+The canonical kernel (engine.spmv) expresses one iteration as
+``map_batches`` + ``groupby(part)`` — correct and streaming, but each
+iteration pays the Dataset stage-scheduling and sort-shuffle constant.
+For tight iterative loops (PageRank to convergence) this module fuses the
+same gather-scatter into 2P raw Ray tasks per superstep — the analog of
+the reference collapsing an expression into ONE fused C call
+(SURVEY.md §3.1; reference graphblas/core/base.py:23-54 ``call``):
+
+  scatter task p: w = f(t_p)  ->  per-dst-partition combined (pos, val)
+                  (num_returns=P: each destination partition's packet is
+                  its own object, so reduce q fetches ONLY its packet)
+  reduce  task q: dense r_q = teleport + sum(packets) + residual_q
+
+All edge->partition routing, permutations and reduceat group boundaries
+are precomputed ONCE at cache build (``block_cache``), so the per
+iteration work is repeat/multiply/permute/reduceat — pure vectorized
+numpy, no sorting, no hashing. State never touches the driver: slices
+live in the object store and only the residual scalars come back. The
+same partitioning as engine.spmv; results agree to FP rounding (tested).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _prep_block(row: dict, num_parts: int) -> dict:
+    """Precompute routing for one CSR block (driver-side, once)."""
+    src_pos = np.asarray(row["src_pos"], np.int64)
+    indptr = np.asarray(row["indptr"], np.int64)
+    dst_part = np.asarray(row["dst_part"], np.int32)
+    dst_pos = np.asarray(row["dst_pos"], np.int64)
+    w = np.asarray(row["w"], np.float64)
+    counts = np.diff(indptr)
+    perm = np.lexsort((dst_pos, dst_part))
+    dp = dst_part[perm]
+    dq = dst_pos[perm]
+    segs = []
+    if len(dp):
+        q_starts = np.flatnonzero(np.r_[True, dp[1:] != dp[:-1]])
+        q_ends = np.r_[q_starts[1:], len(dp)]
+        for s, e in zip(q_starts, q_ends):
+            q = int(dp[s])
+            seg_pos = dq[s:e]
+            starts_rel = np.flatnonzero(np.r_[True, seg_pos[1:] != seg_pos[:-1]])
+            segs.append((q, int(s), int(e), starts_rel, seg_pos[starts_rel]))
+    return {
+        "src_pos": src_pos,
+        "counts": counts,
+        "w_perm": w[perm],
+        "perm": perm,
+        "deg": np.asarray(row["deg"], np.float64),
+        "segs": segs,
+        "nnz": int(len(w)),
+    }
+
+
+def block_cache(graph) -> list:
+    """Per-partition routing caches as object refs (built once per Graph)."""
+    import ray
+
+    if getattr(graph, "_fused_cache", None) is not None:
+        return graph._fused_cache
+    refs = [None] * graph.num_parts
+    block_refs = getattr(graph, "_block_refs", None)
+    if block_refs is not None:
+        # fast path: prep directly from the build's per-partition table refs
+        # (exchange output index == partition), zero driver data movement
+        def _prep_tbl(tbl, P):
+            row = {
+                c: np.asarray(tbl[c][0].values)
+                for c in ("src_pos", "indptr", "dst_part", "dst_pos", "w", "deg")
+            }
+            return _prep_block(row, P)
+
+        prep_t = ray.remote(_prep_tbl)
+        for p, r in enumerate(block_refs):
+            if r is not None:
+                refs[p] = prep_t.remote(r, graph.num_parts)
+    else:
+        prep = ray.remote(_prep_block)
+        for p, row in graph.iter_block_rows(
+            ["src_pos", "indptr", "dst_part", "dst_pos", "w", "deg"]
+        ):
+            refs[p] = prep.remote(row, graph.num_parts)
+    graph._fused_cache = refs
+    return refs
+
+
+def pagerank_fused(
+    graph,
+    *,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    itermax: int = 100,
+    ckpt_dir: str | None = None,
+    ckpt_every: int = 10,
+    resume: bool = True,
+    check_every: int = 1,
+):
+    """pagerank_3f with the fused superstep. Semantics identical to
+    algorithms.pagerank (same formula, FP64, deterministic packet order).
+
+    ``check_every > 1`` submits that many supersteps before synchronizing
+    on the residual scalars — task waves of consecutive iterations chain
+    through object refs and pipeline across partitions, removing the
+    driver round-trip from the critical path. If convergence happened at
+    an earlier submitted iteration, the state is rolled back to exactly
+    that iteration, so results are identical to check_every=1."""
+    import ray
+
+    from raygraph import checkpoint as ck
+
+    P = graph.num_parts
+    n = graph.n_vertices
+    if n == 0:
+        return graph.state(0.0), {"iters": 0, "residual": 0.0, "edges_traversed": 0}
+    teleport = (1.0 - damping) / n
+    cache = block_cache(graph)
+    live = [p for p in range(P) if cache[p] is not None]
+    sizes = [int(s) for s in graph.sizes]
+
+    def _scatter_body(blk, t_p):
+        w = np.divide(t_p * damping, blk["deg"],
+                      out=np.zeros_like(t_p), where=blk["deg"] > 0)
+        xv = np.repeat(w[blk["src_pos"]], blk["counts"])  # edge order
+        valp = xv[blk["perm"]]
+        out = [None] * P
+        for q, s, e, starts_rel, out_pos in blk["segs"]:
+            out[q] = (out_pos, np.add.reduceat(valp[s:e], starts_rel))
+        return out
+
+    if P > 1:
+        scatter = ray.remote(num_returns=P)(
+            lambda blk, t_p: tuple(_scatter_body(blk, t_p))
+        )
+    else:
+        scatter = ray.remote(lambda blk, t_p: _scatter_body(blk, t_p)[0])
+
+    @ray.remote(num_returns=2)
+    def reduce_q(size, t_q, *packets):
+        live_pk = [pk for pk in packets if pk is not None]
+        if live_pk:
+            # one bincount over the concatenated packets (fixed arg order ->
+            # deterministic FP sums); ~10x faster than per-packet np.add.at
+            pos = np.concatenate([pk[0] for pk in live_pk])
+            val = np.concatenate([pk[1] for pk in live_pk])
+            dense = teleport + np.bincount(pos, weights=val, minlength=size)
+        else:
+            dense = np.full(size, teleport, np.float64)
+        residual = float(np.abs(dense - t_q).sum()) if t_q is not None else 0.0
+        return dense, residual
+
+    # initial state (or resume)
+    it0 = 0
+    t_refs = [ray.put(np.full(s, 1.0 / n, np.float64)) for s in sizes]
+    if ckpt_dir is not None:
+        ck.save_graph(graph, ckpt_dir)
+        if resume:
+            last = ck.latest_iter(ckpt_dir)
+            if last is not None:
+                state, lineage = ck.read_iter(ckpt_dir, last, graph)
+                slices = [np.asarray(s, np.float64) for s in state["r"]]
+                if lineage.get("residual", np.inf) <= tol:
+                    return slices, {"iters": last + 1, "residual": lineage["residual"],
+                                    "edges_traversed": (last + 1) * graph.nnz,
+                                    "resumed": True}
+                t_refs = [ray.put(s) for s in slices]
+                it0 = last + 1
+
+    import time
+
+    residual = np.inf
+    it = it0 - 1
+    t_start = time.perf_counter()
+    pending: list[tuple[int, list, list]] = []  # (iter, res_refs, r_refs)
+
+    def _sync() -> bool:
+        """Resolve pending residuals; on convergence roll back state."""
+        nonlocal residual, t_refs, it
+        for k, res_refs, r_refs in pending:
+            res_k = float(sum(ray.get(res_refs)))
+            residual = res_k
+            if res_k <= tol:
+                t_refs = r_refs
+                it = k
+                pending.clear()
+                return True
+        pending.clear()
+        return False
+
+    done = False
+    for it in range(it0, itermax):
+        sc = {p: scatter.remote(cache[p], t_refs[p]) for p in live}
+        if P == 1:
+            sc = {p: [r] for p, r in sc.items()}
+        r_refs = [None] * P
+        res_refs = []
+        for q in range(P):
+            packets = [sc[p][q] for p in live]
+            r_refs[q], rr = reduce_q.remote(sizes[q], t_refs[q], *packets)
+            res_refs.append(rr)
+        pending.append((it, res_refs, r_refs))
+        t_refs = r_refs
+        if len(pending) >= check_every or it == itermax - 1:
+            done = _sync()
+        if ckpt_dir is not None and (it % ckpt_every == 0 or done or it == itermax - 1):
+            if pending:
+                done = _sync()  # checkpoint needs a consistent residual
+            slices = ray.get([r for r in t_refs])
+            ck.write_iter(ckpt_dir, it, graph, {"r": slices},
+                          {"iter": it, "residual": residual,
+                           "edges_traversed": graph.nnz,
+                           "wall_s": time.perf_counter() - t_start,
+                           "algorithm": "pagerank_3f", "damping": damping,
+                           "tol": tol})
+        if done:
+            break
+    slices = ray.get(list(t_refs))
+    return slices, {
+        "iters": it + 1,
+        "residual": residual,
+        "edges_traversed": (it + 1) * graph.nnz,
+        "wall_s": time.perf_counter() - t_start,
+    }
+
+
+U64MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def cc_fused(graph, *, itermax: int = 64, ckpt_dir: str | None = None,
+             resume: bool = True):
+    """FastSV with fused task waves (semantics identical to
+    algorithms.connected_components; requires a symmetric graph).
+
+    Per round, 5 waves of P tasks each, chained purely by object refs —
+    only P boolean convergence flags return to the driver per round:
+      1 scatter    min_second contributions per destination partition
+      2 hook_emit  mngp+mask; route hook updates (tgt=f[v], val=mngp[v])
+                   to the partition owning tgt (reduce-assign packets)
+      3 apply      min-apply incoming hooks; f=min(f,mngp,gp); emit
+                   pointer-jump lookup requests for f[f] routed by owner
+      4 lookup     answer each requester from the new f
+      5 assemble   gp = f[f]; changed flag per partition
+    """
+    import time
+
+    import ray
+
+    from raygraph import checkpoint as ck
+    from raygraph.util import part_of
+
+    P = graph.num_parts
+    if P == 1:  # degenerate case: the Dataset path is simpler and tiny
+        from raygraph.algorithms.components import connected_components
+
+        return connected_components(graph, itermax=itermax, ckpt_dir=ckpt_dir,
+                                    resume=resume, mode="dataset")
+
+    cache = block_cache(graph)
+    live = [p for p in range(P) if cache[p] is not None]
+    sizes = [int(s) for s in graph.sizes]
+    ids_refs = [ray.put(i) for i in graph.ids_slices()]
+
+    def _scatter_body(blk, gp_p):
+        xv = np.repeat(gp_p[blk["src_pos"]], blk["counts"])
+        valp = xv[blk["perm"]]
+        out = [None] * P
+        for q, s, e, starts_rel, out_pos in blk["segs"]:
+            out[q] = (out_pos, np.minimum.reduceat(valp[s:e], starts_rel))
+        return tuple(out)
+
+    scatter = ray.remote(num_returns=P)(_scatter_body)
+
+    def _hook_emit_body(size, f_q, *packets):
+        mngp = np.full(size, U64MAX, np.uint64)
+        mask = np.zeros(size, bool)
+        for pk in packets:
+            if pk is not None:
+                np.minimum.at(mngp, pk[0], pk[1])
+                mask[pk[0]] = True
+        tgt = f_q[mask]
+        val = mngp[mask]
+        owner = part_of(tgt, P)
+        out = [None] * P
+        for r in np.unique(owner):
+            sel = owner == r
+            t, v = tgt[sel], val[sel]
+            order = np.argsort(t, kind="stable")
+            t, v = t[order], v[order]
+            st = np.flatnonzero(np.r_[True, t[1:] != t[:-1]])
+            out[int(r)] = (t[st], np.minimum.reduceat(v, st))
+        return ((mngp, mask), *out)
+
+    hook_emit = ray.remote(num_returns=P + 1)(_hook_emit_body)
+
+    def _apply_body(ids_q, f_q, gp_q, local, *hooks):
+        mngp, mask = local
+        f = f_q.copy()
+        for hk in hooks:
+            if hk is not None and len(ids_q):
+                pos = np.searchsorted(ids_q, hk[0])
+                np.minimum.at(f, pos, hk[1])
+        if len(f):
+            f = np.where(mask, np.minimum(f, mngp), f)
+            f = np.minimum(f, gp_q)
+        owner = part_of(f, P)
+        idx_by_r = [None] * P
+        out = [None] * P
+        for r in np.unique(owner):
+            sel = np.flatnonzero(owner == r)
+            idx_by_r[int(r)] = sel
+            out[int(r)] = f[sel]
+        return ((f, idx_by_r), *out)
+
+    apply_hooks = ray.remote(num_returns=P + 1)(_apply_body)
+
+    def _lookup_body(ids_r, local_r, *reqs):
+        f_r = local_r[0]
+        out = [None] * P
+        for q, rq in enumerate(reqs):
+            if rq is not None and len(rq) and len(ids_r):
+                pos = np.minimum(np.searchsorted(ids_r, rq), len(f_r) - 1)
+                out[q] = f_r[pos]
+        return tuple(out)
+
+    lookup = ray.remote(num_returns=P)(_lookup_body)
+
+    @ray.remote(num_returns=3)
+    def assemble(size, local, gp_prev, *resps):
+        f, idx_by_r = local
+        gp = f.copy()  # self-parents resolve to f where no response needed
+        for r, resp in enumerate(resps):
+            if idx_by_r[r] is not None and resp is not None:
+                gp[idx_by_r[r]] = resp
+        changed = bool((gp != gp_prev).any())
+        return gp, f, changed
+
+    # ---- init / resume
+    ids = graph.ids_slices()
+    f_refs = [ray.put(i.copy()) for i in ids]
+    gp_refs = [ray.put(i.copy()) for i in ids]
+    it0 = 0
+    if ckpt_dir is not None:
+        ck.save_graph(graph, ckpt_dir)
+        if resume:
+            last = ck.latest_iter(ckpt_dir)
+            if last is not None:
+                state, lineage = ck.read_iter(ckpt_dir, last, graph)
+                f_slices = [np.asarray(s, np.uint64) for s in state["f"]]
+                gp_slices = [np.asarray(s, np.uint64) for s in state["gp"]]
+                if lineage.get("converged"):
+                    return f_slices, {"iters": last + 1, "resumed": True}
+                f_refs = [ray.put(s) for s in f_slices]
+                gp_refs = [ray.put(s) for s in gp_slices]
+                it0 = last + 1
+
+    t_start = time.perf_counter()
+    it = it0 - 1
+    for it in range(it0, itermax):
+        sc = {p: scatter.remote(cache[p], gp_refs[p]) for p in live}
+        he = [
+            hook_emit.remote(sizes[q], f_refs[q], *[sc[p][q] for p in live])
+            for q in range(P)
+        ]
+        ap = [
+            apply_hooks.remote(ids_refs[q], f_refs[q], gp_refs[q], he[q][0],
+                               *[he[r][q + 1] for r in range(P)])
+            for q in range(P)
+        ]
+        lk = [
+            lookup.remote(ids_refs[r], ap[r][0], *[ap[q][r + 1] for q in range(P)])
+            for r in range(P)
+        ]
+        gp_new, f_new, flags = [], [], []
+        for q in range(P):
+            g_ref, f_ref, c_ref = assemble.remote(
+                sizes[q], ap[q][0], gp_refs[q], *[lk[r][q] for r in range(P)]
+            )
+            gp_new.append(g_ref)
+            f_new.append(f_ref)
+            flags.append(c_ref)
+        changed = any(ray.get(flags))
+        f_refs, gp_refs = f_new, gp_new
+        if ckpt_dir is not None:
+            f_slices = ray.get(list(f_refs))
+            gp_slices = ray.get(list(gp_refs))
+            ck.write_iter(ckpt_dir, it, graph, {"f": f_slices, "gp": gp_slices},
+                          {"iter": it, "converged": not changed,
+                           "edges_traversed": graph.nnz,
+                           "wall_s": time.perf_counter() - t_start,
+                           "algorithm": "fastsv"})
+        if not changed:
+            break
+    return [np.asarray(s, np.uint64) for s in ray.get(list(f_refs))], {
+        "iters": it + 1,
+        "edges_traversed": (it + 1) * graph.nnz,
+        "wall_s": time.perf_counter() - t_start,
+    }

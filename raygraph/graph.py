@@ -89,19 +89,35 @@ class Graph:
 
     # ---- driver-side helpers (sandbox-scale; at cluster scale these stay
     # ---- as per-partition object refs and never centralize — see engine.py)
+    def iter_block_rows(self, columns: list[str] | None = None):
+        """Yield (part, {col: numpy array}) per CSR block, zero-copy Arrow
+        (never ``take_all`` — that converts the big list arrays to Python)."""
+        ds = self.blocks if columns is None else self.blocks.select_columns(
+            ["part"] + columns
+        )
+        for tbl in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+            parts = tbl["part"].to_numpy(zero_copy_only=False)
+            names = [c for c in tbl.column_names if c != "part"]
+            for i in range(tbl.num_rows):
+                row = {}
+                for c in names:
+                    v = tbl[c][i]
+                    row[c] = np.asarray(v.values) if hasattr(v, "values") else v.as_py()
+                yield int(parts[i]), row
+
     def ids_slices(self) -> list[np.ndarray]:
         """Per-partition sorted vertex id arrays (cached)."""
         if self._ids_cache is None:
             out: list[np.ndarray] = [np.empty(0, np.uint64) for _ in range(self.num_parts)]
-            for row in self.blocks.select_columns(["part", "ids"]).take_all():
-                out[int(row["part"])] = np.asarray(row["ids"], dtype=np.uint64)
+            for p, row in self.iter_block_rows(["ids"]):
+                out[p] = np.asarray(row["ids"], dtype=np.uint64)
             self._ids_cache = out
         return self._ids_cache
 
     def deg_slices(self) -> list[np.ndarray]:
         out = [np.zeros(s, np.float64) for s in self.sizes]
-        for row in self.blocks.select_columns(["part", "deg"]).take_all():
-            out[int(row["part"])] = np.asarray(row["deg"], dtype=np.float64)
+        for p, row in self.iter_block_rows(["deg"]):
+            out[p] = np.asarray(row["deg"], dtype=np.float64)
         return out
 
     def state(self, fill, dtype=np.float64) -> list[np.ndarray]:
@@ -210,6 +226,10 @@ def build_graph(
     else:
         verts = _vertex_rows(edges_ds, P, None)
         check_src = False
+    # the vertex registry rides BOTH build shuffles; materialize it once so
+    # its (possibly expensive) upstream never re-executes — it is locally
+    # uniqued id rows, tiny next to the edges
+    verts = verts.materialize()
 
     # ---- stage 1: co-grouped by dst partition — resolve + dedup + dst_pos
     def resolve(g: pa.Table) -> pa.Table:
@@ -239,7 +259,9 @@ def build_graph(
             ew = np.ones(len(ew), np.float64)
         return _tag_table(part_of(es, P), es, ed, ew, part, pos, 0)
 
-    resolved = tagged.union(verts).groupby("part").map_groups(resolve, batch_format="pyarrow")
+    from raygraph.shuffle import exchange, refs_to_dataset
+
+    resolved = refs_to_dataset(exchange([tagged, verts], P, resolve))
 
     # ---- stage 2: co-grouped by src partition — emit one CSR block row
     def build_block(g: pa.Table) -> pa.Table:
@@ -275,26 +297,34 @@ def build_graph(
             }
         )
 
-    blocks = (
-        resolved.union(verts)
-        .groupby("part")
-        .map_groups(build_block, batch_format="pyarrow")
-        .materialize()
-    )
+    stage2_in = ([resolved] if resolved is not None else []) + [verts]
+    block_refs = exchange(stage2_in, P, build_block)
+    blocks = refs_to_dataset(block_refs)
+
+    # per-partition metadata via tiny tasks on the block refs (no extra
+    # Dataset execution; only (part, n, nnz) scalars reach the driver)
+    import ray
+
+    @ray.remote
+    def meta(tbl: pa.Table):
+        n = pa.compute.list_value_length(tbl["ids"]).to_numpy(zero_copy_only=False)
+        return (
+            tbl["part"].to_numpy(zero_copy_only=False).tolist(),
+            np.asarray(n, np.int64).tolist(),
+            tbl["nnz"].to_numpy(zero_copy_only=False).tolist(),
+        )
 
     sizes = np.zeros(P, np.int64)
     nnz = 0
-    for row in blocks.select_columns(["part", "nnz"]).take_all():
-        nnz += int(row["nnz"])
-    # vertex counts need list lengths; fetch via a light map
-    def meta(t: pa.Table) -> pa.Table:
-        n = pa.compute.list_value_length(t["ids"]).to_numpy(zero_copy_only=False)
-        return pa.table({"part": t["part"], "n": np.asarray(n, np.int64)})
+    for parts, ns, nnzs in ray.get([meta.remote(r) for r in block_refs if r is not None]):
+        for p, n_, z in zip(parts, ns, nnzs):
+            sizes[int(p)] = int(n_)
+            nnz += int(z)
 
-    for row in blocks.map_batches(meta, batch_format="pyarrow").take_all():
-        sizes[int(row["part"])] = int(row["n"])
-
-    return Graph(blocks=blocks, num_parts=P, sizes=sizes, nnz=nnz, n_vertices=int(sizes.sum()))
+    g = Graph(blocks=blocks, num_parts=P, sizes=sizes, nnz=nnz,
+              n_vertices=int(sizes.sum()))
+    g._block_refs = block_refs  # keeps the CSR tables alive in the object store
+    return g
 
 
 def edges_from_pages(pages_ds, concurrency=(1, 8)):

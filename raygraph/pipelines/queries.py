@@ -101,7 +101,10 @@ def _vv_out(x, nd: int = 6) -> pa.Table:
 
 
 def _g1_graph(sf_dir: str, **kw):
-    return build_graph(_edges_dedup(sf_dir), num_parts=16, dup_op="first", **kw)
+    # materialize the deduped edge table so the build's two shuffles don't
+    # re-execute the dedup groupby
+    return build_graph(_edges_dedup(sf_dir).materialize(), num_parts=16,
+                       dup_op="first", **kw)
 
 
 # ------------------------------------------------------- graphblas queries ----
@@ -205,7 +208,7 @@ def q_cc_labels(sf_dir):
     from raygraph.algorithms.components import connected_components
 
     g = _g1_graph(sf_dir, symmetrize=True, binarize=True)
-    f, _ = connected_components(g)
+    f, _ = connected_components(g, mode="fused")
     t = g.to_vertex_table(f, "label")
     return _int64_col(_int64_col(t, "v"), "label")
 
@@ -214,7 +217,7 @@ def q_pagerank_k8(sf_dir):
     from raygraph.algorithms.pagerank import pagerank
 
     g = _g1_graph(sf_dir, binarize=True)
-    r, _ = pagerank(g, damping=0.85, tol=0.0, itermax=8)
+    r, _ = pagerank(g, damping=0.85, tol=0.0, itermax=8, mode="fused")
     t = g.to_vertex_table(r, "score")
     return _round_col(_int64_col(t, "v"), "score")
 
