@@ -25,6 +25,7 @@ iterative state (SURVEY.md §4 "Data partitioning").
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -196,6 +197,182 @@ def _split_group(g: pa.Table):
     )
 
 
+def _emit_block_table(part, ids, es, ed, ew, edp, edpos, dup_op, binarize) -> pa.Table:
+    """Sort + dup_op dedup + one CSR block row (shared by both build paths)."""
+    if len(es):
+        order = np.lexsort((ed, es))
+        es, ed, ew = es[order], ed[order], ew[order]
+        edp, edpos = edp[order], edpos[order]
+        new = np.r_[True, (es[1:] != es[:-1]) | (ed[1:] != ed[:-1])]
+        starts = np.flatnonzero(new)
+        if len(starts) != len(es):
+            if dup_op == "raise":
+                raise ValueError(
+                    "duplicate (src,dst) without dup_op (reference matrix.py:696)"
+                )
+            if dup_op == "count":
+                ew = np.diff(np.r_[starts, len(es)]).astype(np.float64)
+            elif dup_op == "plus":
+                ew = np.add.reduceat(ew, starts)
+            elif dup_op == "min":
+                ew = np.minimum.reduceat(ew, starts)
+            elif dup_op == "max":
+                ew = np.maximum.reduceat(ew, starts)
+            else:  # first
+                ew = ew[starts]
+            es, edp, edpos = es[starts], edp[starts], edpos[starts]
+        elif dup_op == "count":
+            ew = np.ones(len(es), np.float64)
+        if binarize:
+            ew = np.ones(len(es), np.float64)
+        usrc, counts = np.unique(es, return_counts=True)
+        indptr = np.r_[0, np.cumsum(counts)].astype(np.int64)
+        _, src_pos = _member_mask(ids, usrc)
+    else:
+        ew = np.empty(0, np.float64)
+        edp = np.empty(0, np.int32)
+        edpos = np.empty(0, np.int64)
+        indptr = np.zeros(1, np.int64)
+        src_pos = np.empty(0, np.int64)
+    deg = np.zeros(len(ids), np.float64)
+    if len(src_pos):
+        deg[src_pos] = np.add.reduceat(ew, indptr[:-1]) if len(ew) else 0.0
+
+    def _list(arr, typ):
+        off = np.array([0, len(arr)], np.int64)
+        return pa.LargeListArray.from_arrays(off, pa.array(np.asarray(arr, typ)))
+
+    return pa.table(
+        {
+            "part": pa.array([part], pa.int32()),
+            "ids": _list(ids, np.uint64),
+            "deg": _list(deg, np.float64),
+            "src_pos": _list(src_pos, np.int64),
+            "indptr": _list(indptr, np.int64),
+            "dst_part": _list(edp, np.int32),
+            "dst_pos": _list(edpos, np.int64),
+            "w": _list(ew, np.float64),
+            "nnz": pa.array([int(len(ew))], pa.int64()),
+        }
+    )
+
+
+def _graph_from_block_refs(block_refs, P, timings) -> "Graph":
+    """Assemble the Graph object from per-partition CSR table refs."""
+    import ray
+
+    from raygraph.shuffle import refs_to_dataset
+
+    blocks = refs_to_dataset(block_refs)
+
+    @ray.remote
+    def meta(tbl: pa.Table):
+        n = pa.compute.list_value_length(tbl["ids"]).to_numpy(zero_copy_only=False)
+        return (
+            tbl["part"].to_numpy(zero_copy_only=False).tolist(),
+            np.asarray(n, np.int64).tolist(),
+            tbl["nnz"].to_numpy(zero_copy_only=False).tolist(),
+        )
+
+    sizes = np.zeros(P, np.int64)
+    nnz = 0
+    for parts, ns, nnzs in ray.get([meta.remote(r) for r in block_refs if r is not None]):
+        for p, n_, z in zip(parts, ns, nnzs):
+            sizes[int(p)] = int(n_)
+            nnz += int(z)
+    g = Graph(blocks=blocks, num_parts=P, sizes=sizes, nnz=nnz,
+              n_vertices=int(sizes.sum()))
+    g._block_refs = block_refs
+    g.build_timings = timings
+    return g
+
+
+def _build_broadcast(edges_ds, verts, P, *, dup_op, binarize, symmetrize,
+                     drop_self, check_src, t_start) -> "Graph":
+    """Single-exchange build with broadcast per-partition vertex ids."""
+    import time as _time
+
+    import ray
+
+    from raygraph.shuffle import exchange
+
+    timings: dict[str, float] = {}
+
+    # collect the (locally uniqued) vertex registry rows -> per-part ids
+    vcol = []
+    for tbl in verts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        vcol.append(np.asarray(tbl["src"].to_numpy(zero_copy_only=False), np.uint64))
+    all_ids = np.unique(np.concatenate(vcol)) if vcol else np.empty(0, np.uint64)
+    parts = part_of(all_ids, P)
+    ids_sl = [np.ascontiguousarray(all_ids[parts == p]) for p in range(P)]
+    ids_refs = [ray.put(a) for a in ids_sl]
+    timings["verts_broadcast"] = _time.perf_counter() - t_start
+    _t1 = _time.perf_counter()
+
+    def prep(t: pa.Table) -> pa.Table:
+        src = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        dst = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        if "w" in t.column_names:
+            w = np.asarray(t["w"].to_numpy(zero_copy_only=False), np.float64)
+        else:
+            w = np.ones(len(src), np.float64)
+        if symmetrize:
+            src, dst = np.r_[src, dst], np.r_[dst, src]
+            w = np.r_[w, w]
+        if drop_self:
+            keep = src != dst
+            src, dst, w = src[keep], dst[keep], w[keep]
+        return pa.table(
+            {
+                "part": pa.array(part_of(src, P), pa.int32()),
+                "src": pa.array(src, pa.uint64()),
+                "dst": pa.array(dst, pa.uint64()),
+                "w": pa.array(w, pa.float64()),
+            }
+        )
+
+    tagged = edges_ds.map_batches(prep, batch_format="pyarrow")
+
+    def csr_fast(g: pa.Table) -> pa.Table:
+        part = int(g["part"][0].as_py())
+        ids = ray.get(ids_refs[part])
+        es = np.asarray(g["src"].to_numpy(zero_copy_only=False), np.uint64)
+        ed = np.asarray(g["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        ew = np.asarray(g["w"].to_numpy(zero_copy_only=False), np.float64)
+        if check_src:
+            ok, _ = _member_mask(ids, es)
+            es, ed, ew = es[ok], ed[ok], ew[ok]
+        edp = part_of(ed, P)
+        edpos = np.empty(len(ed), np.int64)
+        ok_d = np.zeros(len(ed), bool)
+        for q in np.unique(edp):
+            sel = edp == q
+            okq, posq = _member_mask(ray.get(ids_refs[int(q)]), ed[sel])
+            ok_d[sel] = okq
+            edpos[sel] = posq
+        es, ed, ew = es[ok_d], ed[ok_d], ew[ok_d]
+        edp, edpos = edp[ok_d], edpos[ok_d]
+        return _emit_block_table(part, ids, es, ed, ew, edp, edpos, dup_op, binarize)
+
+    block_refs = exchange([tagged], P, csr_fast)
+    timings["csr"] = _time.perf_counter() - _t1
+
+    # parts with vertices but no out-edges still need their block row
+    @ray.remote
+    def empty_block(part, ids):
+        z = np.empty(0)
+        return _emit_block_table(part, ids, np.empty(0, np.uint64),
+                                 np.empty(0, np.uint64), z,
+                                 np.empty(0, np.int32), np.empty(0, np.int64),
+                                 dup_op, binarize)
+
+    for p in range(P):
+        if block_refs[p] is None and len(ids_sl[p]):
+            block_refs[p] = empty_block.remote(p, ids_refs[p])
+
+    return _graph_from_block_refs(block_refs, P, timings)
+
+
 def build_graph(
     edges_ds,
     *,
@@ -231,100 +408,54 @@ def build_graph(
     # uniqued id rows, tiny next to the edges
     verts = verts.materialize()
 
-    # ---- stage 1: co-grouped by dst partition — resolve + dedup + dst_pos
+    import time as _time
+
+    timings: dict[str, float] = {}
+    _t0 = _time.perf_counter()
+
+    # ---- fast path: when the vertex id set is small enough to broadcast
+    # (default 256 MB ~ 32M vertices), the whole build is ONE exchange keyed
+    # by src partition; dst membership/positions come from per-partition id
+    # refs fetched inside the task (zero-copy plasma). Above the threshold
+    # the scale-honest two-stage routing below runs instead.
+    bc_max = int(os.environ.get("GRAFT_BROADCAST_VERTS_MAX", str(256 << 20)))
+    if 8 * verts.count() <= bc_max:
+        return _build_broadcast(
+            edges_ds, verts, P,
+            dup_op=dup_op, binarize=binarize, symmetrize=symmetrize,
+            drop_self=drop_self, check_src=check_src, t_start=_t0,
+        )
+
+    # ---- stage 1: co-grouped by dst partition — resolve membership and
+    # annotate dst_pos. SORT-FREE: dedup is folded into stage 2's single
+    # lexsort (one full sort of the edges instead of two).
     def resolve(g: pa.Table) -> pa.Table:
         part = int(g["part"][0].as_py())
         ids, es, (ed, ew, _dp, _dpos) = _split_group(g)
         ok, pos = _member_mask(ids, ed)
         es, ed, ew, pos = es[ok], ed[ok], ew[ok], pos[ok]
-        if len(es):
-            order = np.lexsort((ed, es))
-            es, ed, ew, pos = es[order], ed[order], ew[order], pos[order]
-            new = np.r_[True, (es[1:] != es[:-1]) | (ed[1:] != ed[:-1])]
-            starts = np.flatnonzero(new)
-            if dup_op == "raise" and len(starts) != len(es):
-                raise ValueError("duplicate (src,dst) without dup_op (reference matrix.py:696)")
-            if dup_op == "count":
-                ew = np.diff(np.r_[starts, len(es)]).astype(np.float64)
-            elif dup_op == "plus":
-                ew = np.add.reduceat(ew, starts)
-            elif dup_op == "min":
-                ew = np.minimum.reduceat(ew, starts)
-            elif dup_op == "max":
-                ew = np.maximum.reduceat(ew, starts)
-            else:  # first
-                ew = ew[starts]
-            es, ed, pos = es[starts], ed[starts], pos[starts]
-        if binarize:
-            ew = np.ones(len(ew), np.float64)
         return _tag_table(part_of(es, P), es, ed, ew, part, pos, 0)
 
     from raygraph.shuffle import exchange, refs_to_dataset
 
     resolved = refs_to_dataset(exchange([tagged, verts], P, resolve))
+    timings["resolve"] = _time.perf_counter() - _t0
+    _t1 = _time.perf_counter()
 
-    # ---- stage 2: co-grouped by src partition — emit one CSR block row
+    # ---- stage 2: co-grouped by src partition — dedup (dup_op) + one CSR
+    # block row per partition
     def build_block(g: pa.Table) -> pa.Table:
         part = int(g["part"][0].as_py())
         ids, es, (ed, ew, edp, edpos) = _split_group(g)
         if check_src:
             ok, _ = _member_mask(ids, es)
             es, ed, ew, edp, edpos = es[ok], ed[ok], ew[ok], edp[ok], edpos[ok]
-        if len(es):
-            order = np.lexsort((ed, es))
-            es, ew, edp, edpos = es[order], ew[order], edp[order], edpos[order]
-            usrc, counts = np.unique(es, return_counts=True)
-            indptr = np.r_[0, np.cumsum(counts)].astype(np.int64)
-            _, src_pos = _member_mask(ids, usrc)
-        else:
-            indptr = np.zeros(1, np.int64)
-            src_pos = np.empty(0, np.int64)
-            counts = np.empty(0, np.int64)
-        deg = np.zeros(len(ids), np.float64)
-        if len(src_pos):
-            deg[src_pos] = np.add.reduceat(ew, indptr[:-1]) if len(ew) else 0.0
-        return pa.Table.from_pydict(
-            {
-                "part": [part],
-                "ids": [ids],
-                "deg": [deg],
-                "src_pos": [src_pos],
-                "indptr": [indptr],
-                "dst_part": [edp],
-                "dst_pos": [edpos],
-                "w": [ew],
-                "nnz": [int(len(ew))],
-            }
-        )
+        return _emit_block_table(part, ids, es, ed, ew, edp, edpos, dup_op, binarize)
 
     stage2_in = ([resolved] if resolved is not None else []) + [verts]
     block_refs = exchange(stage2_in, P, build_block)
-    blocks = refs_to_dataset(block_refs)
-
-    # per-partition metadata via tiny tasks on the block refs (no extra
-    # Dataset execution; only (part, n, nnz) scalars reach the driver)
-    import ray
-
-    @ray.remote
-    def meta(tbl: pa.Table):
-        n = pa.compute.list_value_length(tbl["ids"]).to_numpy(zero_copy_only=False)
-        return (
-            tbl["part"].to_numpy(zero_copy_only=False).tolist(),
-            np.asarray(n, np.int64).tolist(),
-            tbl["nnz"].to_numpy(zero_copy_only=False).tolist(),
-        )
-
-    sizes = np.zeros(P, np.int64)
-    nnz = 0
-    for parts, ns, nnzs in ray.get([meta.remote(r) for r in block_refs if r is not None]):
-        for p, n_, z in zip(parts, ns, nnzs):
-            sizes[int(p)] = int(n_)
-            nnz += int(z)
-
-    g = Graph(blocks=blocks, num_parts=P, sizes=sizes, nnz=nnz,
-              n_vertices=int(sizes.sum()))
-    g._block_refs = block_refs  # keeps the CSR tables alive in the object store
-    return g
+    timings["csr"] = _time.perf_counter() - _t1
+    return _graph_from_block_refs(block_refs, P, timings)
 
 
 def edges_from_pages(pages_ds, concurrency=(1, 8)):

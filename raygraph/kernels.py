@@ -459,3 +459,232 @@ def assign_reduce(vec, targets: "pa.Table", dup_monoid: str = "min",
     groupby(target) reduction of the updates followed by an accum merge."""
     updates = salted_aggregate(_ds(targets), "v", "val", dup_monoid, salt=0, alias="val")
     return merge(vec, updates, accum=accum)
+
+
+def isequal(a, b, num_buckets: int = _DEFAULT_BUCKETS) -> bool:
+    """Structural + value equality of two vectors (reference matrix.py:357,
+    vector.py:329 — the conformance predicate). Distributed anti-join
+    emptiness check: any bucket with a one-sided or unequal element fails."""
+
+    def check(df: pd.DataFrame) -> pa.Table:
+        m = _pivot(df, "outer")
+        if len(m) == 0:
+            return pa.table({"bad": pa.array([0], pa.int64())})
+        va, vb = m["val_a"], m["val_b"]
+        bad = int((va.isna() | vb.isna() | (va != vb)).sum())
+        return pa.table({"bad": pa.array([bad], pa.int64())})
+
+    out = _cogroup([(a, 0), (b, 1)], check, num_buckets)
+    return sum(r["bad"] for r in out.take_all()) == 0
+
+
+def isclose(a, b, *, rel_tol: float = 1e-7, abs_tol: float = 0.0,
+            num_buckets: int = _DEFAULT_BUCKETS) -> bool:
+    """Same structure + allclose values (reference matrix.py:400)."""
+
+    def check(df: pd.DataFrame) -> pa.Table:
+        m = _pivot(df, "outer")
+        if len(m) == 0:
+            return pa.table({"bad": pa.array([0], pa.int64())})
+        va, vb = m["val_a"], m["val_b"]
+        miss = int((va.isna() | vb.isna()).sum())
+        both = va.notna() & vb.notna()
+        bad = miss + int(
+            (~np.isclose(va[both].to_numpy(), vb[both].to_numpy(),
+                         rtol=rel_tol, atol=abs_tol)).sum()
+        )
+        return pa.table({"bad": pa.array([bad], pa.int64())})
+
+    out = _cogroup([(a, 0), (b, 1)], check, num_buckets)
+    return sum(r["bad"] for r in out.take_all()) == 0
+
+
+def selectk_rowwise(edges, k: int, *, largest: bool = True):
+    """Top-k weights per src row — the SuiteSparse ``selectk``/``compactify``
+    analog (reference core/ss/matrix.py:3815,3877; SURVEY.md §2.5).
+    Deterministic: ties broken by ascending dst."""
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["w", "dst"], ascending=[not largest, True]).head(k)
+
+    return _ds(edges).groupby("src").map_groups(topk, batch_format="pandas")
+
+
+# ------------------------------------------------------- remaining surface ----
+
+
+def mxm(a_edges, b_edges, semiring: str = "plus_times",
+        num_buckets: int = _DEFAULT_BUCKETS):
+    """General sparse matmul C[i,j] = ⊕_k A[i,k] ⊗ B[k,j]
+    (reference matrix.py:2206).
+
+    Shape: both operands ride ONE groupby on the contraction key k
+    (A bucketed by dst, B by src); each bucket emits locally ⊕-combined
+    (i, j, partial) products; a second grouped reduce combines partials.
+    The masked variant used by triangle counting lives in
+    algorithms/triangles.py (wedge + semi-join, no materialized product).
+    """
+    sr = SEMIRING[semiring]
+    monoid = sr.monoid
+
+    def tag(ds, side):
+        def fn(t: pa.Table) -> pa.Table:
+            key = t["dst" if side == 0 else "src"]
+            k = np.asarray(key.to_numpy(zero_copy_only=False), np.uint64)
+            other = t["src" if side == 0 else "dst"]
+            return pa.table(
+                {
+                    "bucket": (mix64(k) % np.uint64(num_buckets)).astype(np.int32),
+                    "k": k,
+                    "o": np.asarray(other.to_numpy(zero_copy_only=False), np.uint64),
+                    "w": np.asarray(t["w"].to_numpy(zero_copy_only=False), np.float64),
+                    "side": np.full(t.num_rows, side, np.int8),
+                }
+            )
+
+        return _ds(ds).map_batches(fn, batch_format="pyarrow")
+
+    def join(g: pd.DataFrame) -> pa.Table:
+        a = g[g["side"] == 0]
+        b = g[g["side"] == 1]
+        if len(a) == 0 or len(b) == 0:
+            return pa.table({"src": pa.array([], pa.uint64()),
+                             "dst": pa.array([], pa.uint64()),
+                             "w": pa.array([], pa.float64())})
+        m = a.merge(b, on="k", suffixes=("_a", "_b"))
+        if len(m) == 0:
+            return pa.table({"src": pa.array([], pa.uint64()),
+                             "dst": pa.array([], pa.uint64()),
+                             "w": pa.array([], pa.float64())})
+        i = m["o_a"].to_numpy(np.uint64)
+        j = m["o_b"].to_numpy(np.uint64)
+        val = np.asarray(sr.binary(m["w_a"].to_numpy(), m["w_b"].to_numpy()), np.float64)
+        # local ⊕-combine per (i, j) before the second shuffle
+        order = np.lexsort((j, i))
+        i, j, val = i[order], j[order], val[order]
+        new = np.r_[True, (i[1:] != i[:-1]) | (j[1:] != j[:-1])]
+        starts = np.flatnonzero(new)
+        val = monoid.ufunc.reduceat(val, starts)
+        return pa.table({"src": i[starts], "dst": j[starts], "w": val})
+
+    u = tag(a_edges, 0).union(tag(b_edges, 1))
+
+    def gf(g: pd.DataFrame) -> pa.Table:
+        return join(g)
+
+    partial = u.groupby("bucket").map_groups(gf, batch_format="pandas")
+
+    # final combine per (src,dst) — coarse-bucketed vectorized reduce
+    def add_bucket(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        with np.errstate(over="ignore"):
+            bk = mix64(s * np.uint64(0x9E3779B97F4A7C15) ^ d) % np.uint64(num_buckets)
+        return t.append_column("_pb", pa.array(bk.astype(np.int32)))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["src"].to_numpy(np.uint64)
+        d = g["dst"].to_numpy(np.uint64)
+        w = g["w"].to_numpy(np.float64)
+        if len(s) == 0:
+            return pd.DataFrame({"src": s, "dst": d, "w": w})
+        order = np.lexsort((d, s))
+        s, d, w = s[order], d[order], w[order]
+        new = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])]
+        starts = np.flatnonzero(new)
+        return pd.DataFrame({"src": s[starts], "dst": d[starts],
+                             "w": monoid.ufunc.reduceat(w, starts)})
+
+    return (
+        partial.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def diag_matrix(vec):
+    """Vector -> diagonal edge table (reference Matrix.diag, matrix.py:735)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.uint64)
+        w = np.asarray(t["val"].to_numpy(zero_copy_only=False), np.float64)
+        return pa.table({"src": v, "dst": v, "w": w})
+
+    return _ds(vec).map_batches(fn, batch_format="pyarrow")
+
+
+def diag_extract(edges):
+    """Matrix diagonal -> vector (reference Vector.diag, vector.py:620)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        keep = s == d
+        return pa.table({"v": s[keep],
+                         "val": np.asarray(t["w"].to_numpy(zero_copy_only=False),
+                                           np.float64)[keep]})
+
+    return _ds(edges).map_batches(fn, batch_format="pyarrow")
+
+
+def inner(a, b, semiring: str = "plus_times") -> float | None:
+    """v.inner(w, semiring) -> scalar (reference vector.py:1609): ⊗ on the
+    intersection, global ⊕ reduce."""
+    sr = SEMIRING[semiring]
+    mul_name = next((k for k, v in BINARY.items() if v is sr.binary), "times")
+    prod = ewise_mult(a, b, op_name=mul_name)
+    return reduce_scalar(prod, sr.monoid.name, col="val")
+
+
+def outer(a, b, op_name: str = "times", num_buckets: int = _DEFAULT_BUCKETS):
+    """v.outer(w, binary) -> edge table (reference vector.py:1653).
+
+    A cross product — materializes |a| x |b| entries; intended for SMALL
+    vectors only (documented reference behavior is equally dense)."""
+    bt = to_table(b)
+    bv = np.asarray(bt["v"].to_numpy(zero_copy_only=False), np.uint64)
+    bx = np.asarray(bt["val"].to_numpy(zero_copy_only=False), np.float64)
+    op = BINARY[op_name]
+    import ray
+
+    ref = ray.put((bv, bx))
+
+    def fn(t: pa.Table) -> pa.Table:
+        rv, rx = ray.get(ref)
+        av = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.uint64)
+        ax = np.asarray(t["val"].to_numpy(zero_copy_only=False), np.float64)
+        src = np.repeat(av, len(rv))
+        dst = np.tile(rv, len(av))
+        w = np.asarray(op(np.repeat(ax, len(rx)), np.tile(rx, len(ax))), np.float64)
+        return pa.table({"src": src, "dst": dst, "w": w})
+
+    return _ds(a).map_batches(fn, batch_format="pyarrow")
+
+
+def reposition(vec, offset: int):
+    """Shift indices by a constant (reference vector.py:1695)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.uint64)
+        with np.errstate(over="ignore"):
+            v = v + np.uint64(offset)
+        return pa.table({"v": v, "val": t["val"]})
+
+    return _ds(vec).map_batches(fn, batch_format="pyarrow")
+
+
+def apply_positional(x, which: str = "index", *, col: str = "val"):
+    """Index-aware apply: positioni / rowindex analogs — the output value is
+    (a function of) the key itself (reference indexunary rowindex/colindex,
+    core/operator/indexunary.py:102-110)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        if "v" in t.column_names:
+            k = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.uint64)
+            return pa.table({"v": k, col: k.astype(np.float64)})
+        s = np.asarray(t["src" if which != "colindex" else "dst"]
+                       .to_numpy(zero_copy_only=False), np.uint64)
+        out = pa.table({"src": t["src"], "dst": t["dst"], "w": s.astype(np.float64)})
+        return out
+
+    return _ds(x).map_batches(fn, batch_format="pyarrow")

@@ -82,3 +82,16 @@ def test_state_round_trip():
     out = g.to_vertex_table(st)
     vals = dict(zip(out["v"].to_pylist(), out["val"].to_pylist()))
     assert vals == {0: 0.0, 1: 1.0, 2: 0.0, 3: 1.0, 4: 2.0, 5: 0.0, 6: 0.0}
+
+
+def test_two_stage_build_matches_broadcast_path(monkeypatch):
+    # force the scale (two-stage routing) path and compare against fast path
+    edges = rd.from_arrow(fx.edge_table(fx.A7_ROWS, fx.A7_COLS, fx.A7_VALS))
+    verts = rd.from_arrow(fx.vertex_table(7))
+    monkeypatch.setenv("GRAFT_BROADCAST_VERTS_MAX", "0")
+    g_big = build_graph(edges, vertices_ds=verts, num_parts=4)
+    monkeypatch.delenv("GRAFT_BROADCAST_VERTS_MAX")
+    g_fast = build_graph(edges, vertices_ds=verts, num_parts=4)
+    assert g_big.nnz == g_fast.nnz == 12
+    assert np.array_equal(_graph_to_dense(g_big), _graph_to_dense(g_fast))
+    assert np.array_equal(_graph_to_dense(g_big), fx.a7_dense())

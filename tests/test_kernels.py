@@ -168,3 +168,67 @@ def test_assign_reduce_duplicate_targets_min():
                         "val": np.array([9.0, 3.0, 7.0])})
     got = _as_dict(K.assign_reduce(vec, updates, dup_monoid="min", accum="min"))
     assert got == {0: 5.0, 1: 3.0, 2: 5.0}
+
+
+def test_isequal_isclose():
+    a = _vec([0, 1], [1.0, 2.0])
+    assert K.isequal(a, _vec([0, 1], [1.0, 2.0]))
+    assert not K.isequal(a, _vec([0, 1], [1.0, 2.1]))       # value differs
+    assert not K.isequal(a, _vec([0, 2], [1.0, 2.0]))       # structure differs
+    assert not K.isequal(a, _vec([0], [1.0]))               # missing element
+    assert K.isclose(a, _vec([0, 1], [1.0 + 1e-9, 2.0]), rel_tol=1e-7)
+    assert not K.isclose(a, _vec([0, 1], [1.01, 2.0]), rel_tol=1e-7)
+
+
+def test_selectk_rowwise():
+    out = K.to_table(K.selectk_rowwise(EDGES7, 2), sort_by=None).to_pandas()
+    A = fx.a7_dense()
+    for src, g in out.groupby("src"):
+        row = A[int(src)]
+        want = sorted(row[row != 0], reverse=True)[:2]
+        assert sorted(g["w"], reverse=True) == want
+
+
+def test_mxm_matches_dense():
+    got = K.to_table(K.mxm(EDGES7, EDGES7, "plus_times"), sort_by=None).to_pandas()
+    A = fx.a7_dense()
+    want = A @ A
+    dense = np.zeros((7, 7))
+    dense[got["src"].astype(int), got["dst"].astype(int)] = got["w"]
+    assert np.allclose(dense, want)
+    # sparsity: zero entries are absent, not stored
+    assert (got["w"] != 0).all()
+
+
+def test_mxm_min_plus():
+    got = K.to_table(K.mxm(EDGES7, EDGES7, "min_plus"), sort_by=None).to_pandas()
+    A = fx.a7_dense()
+    INF = np.inf
+    Ap = np.where(A != 0, A, INF)
+    want = np.full((7, 7), INF)
+    for i in range(7):
+        for j in range(7):
+            want[i, j] = np.min(Ap[i, :] + Ap[:, j])
+    for _, r in got.iterrows():
+        assert r["w"] == want[int(r["src"]), int(r["dst"])]
+
+
+def test_diag_round_trip_and_inner_outer():
+    v = _vec([1, 3], [2.0, 5.0])
+    d = K.to_table(K.diag_matrix(v), sort_by=None)
+    assert d.num_rows == 2 and d["src"].to_pylist() == d["dst"].to_pylist()
+    back = _as_dict(K.diag_extract(d))
+    assert back == {1: 2.0, 3: 5.0}
+    assert K.inner(v, _vec([1, 3], [10.0, 1.0]), "plus_times") == 25.0
+    o = K.to_table(K.outer(v, _vec([0, 2], [3.0, 4.0]), "times"), sort_by=None)
+    assert o.num_rows == 4
+    got = {(int(s), int(dd)): w for s, dd, w in zip(o["src"].to_pylist(),
+                                                    o["dst"].to_pylist(),
+                                                    o["w"].to_pylist())}
+    assert got == {(1, 0): 6.0, (1, 2): 8.0, (3, 0): 15.0, (3, 2): 20.0}
+
+
+def test_reposition_and_positional():
+    v = _vec([1, 3], [2.0, 5.0])
+    assert _as_dict(K.reposition(v, 10)) == {11: 2.0, 13: 5.0}
+    assert _as_dict(K.apply_positional(v)) == {1: 1.0, 3: 3.0}
