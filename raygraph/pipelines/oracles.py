@@ -226,3 +226,21 @@ FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
   FROM orders
 ) WHERE rank <= 3 ORDER BY o_orderpriority, rank""",
 }
+
+ORACLES.update(
+    {
+        "mxm_plus_times": f"""WITH {_E}
+SELECT a.src AS src, b.dst AS dst, round(sum(a.w * b.w), 4) AS w
+FROM e a JOIN e b ON a.dst = b.src
+GROUP BY 1, 2 ORDER BY src, dst""",
+        "inner_product": f"""WITH {_CUST}, {_SUPP}
+SELECT round(sum(cv.val * sv.val), 4) AS ip
+FROM cv JOIN sv ON cv.v = sv.v""",
+        "selectk_rowwise": f"""WITH {_E}
+SELECT src, dst, w FROM (
+  SELECT src, dst, w,
+         row_number() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) AS rn
+  FROM e
+) WHERE rn <= 2 ORDER BY src, dst""",
+    }
+)

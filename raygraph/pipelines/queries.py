@@ -487,3 +487,33 @@ QUERIES = {
 def entry_pipeline(sf_dir: str = "/root/testdata/sf0.001"):
     """Flagship: lineitem -> g1 edge table -> PageRank scores."""
     return q_pagerank_k8(sf_dir).to_pandas()
+
+
+def q_mxm_plus_times(sf_dir):
+    e = _edges_dedup(sf_dir).materialize()
+    out = K.mxm(e, e, "plus_times")
+    t = K.to_table(out, sort_by=None).select(["src", "dst", "w"])
+    t = _round_col(_int64_col(_int64_col(t, "src"), "dst"), "w", 4)
+    return t.sort_by([("src", "ascending"), ("dst", "ascending")])
+
+
+def q_inner_product(sf_dir):
+    ip = K.inner(_customer_vec(sf_dir), _supplier_vec(sf_dir), "plus_times")
+    return pa.table({"ip": pa.array([round(ip, 4) if ip is not None else None],
+                                    pa.float64())})
+
+
+def q_selectk_rowwise(sf_dir):
+    out = K.selectk_rowwise(_edges_dedup(sf_dir), 2, largest=True)
+    t = K.to_table(out, sort_by=None).select(["src", "dst", "w"])
+    t = _int64_col(_int64_col(t, "src"), "dst")
+    return t.sort_by([("src", "ascending"), ("dst", "ascending")])
+
+
+QUERIES.update(
+    {
+        "mxm_plus_times": q_mxm_plus_times,
+        "inner_product": q_inner_product,
+        "selectk_rowwise": q_selectk_rowwise,
+    }
+)
