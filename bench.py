@@ -21,7 +21,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-N_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "2500000"))
+N_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "4000000"))
 PAGES_DIR = f"/tmp/raygraph_bench/pages_{N_PAGES}"
 
 
