@@ -202,3 +202,25 @@ def local_combine(
     v = values[order]
     starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
     return k[starts], monoid.ufunc.reduceat(v, starts)
+
+
+def register_numpy_ops() -> tuple[int, int]:
+    """Register every applicable numpy ufunc under its numpy name
+    (reference graphblas/unary/numpy.py:17-69 and binary/numpy.py:16-62
+    expose the same surface as ``gb.unary.numpy.*`` / ``gb.binary.numpy.*``).
+    Returns (n_unary, n_binary) registered. Idempotent."""
+    n_u = n_b = 0
+    for name in dir(np):
+        f = getattr(np, name)
+        if not isinstance(f, np.ufunc):
+            continue
+        if f.nin == 1 and f.nout == 1:
+            UNARY.setdefault(f"np_{name}", f)
+            n_u += 1
+        elif f.nin == 2 and f.nout == 1:
+            BINARY.setdefault(f"np_{name}", f)
+            n_b += 1
+    return n_u, n_b
+
+
+register_numpy_ops()

@@ -1,0 +1,57 @@
+"""Operator registry tests — the reference's test_numpyops.py analog:
+every registered numpy-backed op must agree with the raw ufunc."""
+
+import numpy as np
+import pytest
+
+from raygraph import ops
+
+
+def test_numpy_ops_registered():
+    assert "np_sqrt" in ops.UNARY
+    assert "np_hypot" in ops.BINARY
+    assert "np_gcd" in ops.BINARY  # reference binary/numpy.py includes gcd/lcm
+    assert "np_lcm" in ops.BINARY
+
+
+@pytest.mark.parametrize("name", ["abs", "sqrt", "exp", "log1p", "signum", "floor"])
+def test_unary_matches_numpy(name):
+    rng = np.random.default_rng(3)
+    x = rng.random(1000) * 5 + 0.1
+    ref = {"abs": np.abs, "sqrt": np.sqrt, "exp": np.exp, "log1p": np.log1p,
+           "signum": np.sign, "floor": np.floor}[name]
+    np.testing.assert_array_equal(ops.UNARY[name](x), ref(x))
+
+
+@pytest.mark.parametrize("name", ["plus", "minus", "times", "min", "max", "pow"])
+def test_binary_matches_numpy(name):
+    rng = np.random.default_rng(4)
+    a, b = rng.random(1000) + 1, rng.random(1000) + 1
+    ref = {"plus": np.add, "minus": np.subtract, "times": np.multiply,
+           "min": np.minimum, "max": np.maximum, "pow": np.power}[name]
+    np.testing.assert_array_equal(ops.BINARY[name](a, b), ref(a, b))
+
+
+def test_monoid_identities():
+    x = np.array([2.0, 3.0])
+    for name in ("plus", "min", "max", "times"):
+        m = ops.MONOID[name]
+        out = m.ufunc(x, np.full(2, float(m.identity)))
+        np.testing.assert_array_equal(out, x)  # op(x, identity) == x
+
+
+def test_local_combine():
+    k = np.array([3, 1, 3, 1, 2], np.uint64)
+    v = np.array([1.0, 2.0, 4.0, 8.0, 16.0])
+    kk, vv = ops.local_combine(ops.MONOID["plus"], k, v)
+    assert kk.tolist() == [1, 2, 3]
+    assert vv.tolist() == [10.0, 16.0, 5.0]
+    kk, vv = ops.local_combine(ops.MONOID["min"], k, v)
+    assert vv.tolist() == [2.0, 16.0, 1.0]
+
+
+def test_register_custom():
+    ops.register_unary("double_it", lambda x: 2 * x)
+    ops.register_semiring("max_plus", "max", "plus")
+    assert ops.SEMIRING["max_plus"].monoid.name == "max"
+    np.testing.assert_array_equal(ops.UNARY["double_it"](np.array([3.0])), [6.0])
