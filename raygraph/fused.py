@@ -140,8 +140,7 @@ def pagerank_fused(
     else:
         scatter = ray.remote(lambda blk, t_p: _scatter_body(blk, t_p)[0])
 
-    @ray.remote(num_returns=2)
-    def reduce_q(size, t_q, *packets):
+    def _reduce_body(size, t_q, packets):
         live_pk = [pk for pk in packets if pk is not None]
         if live_pk:
             # one bincount over the concatenated packets (fixed arg order ->
@@ -153,6 +152,20 @@ def pagerank_fused(
             dense = np.full(size, teleport, np.float64)
         residual = float(np.abs(dense - t_q).sum()) if t_q is not None else 0.0
         return dense, residual
+
+    # combined step: reduce THIS iteration's packets into the new state and
+    # immediately scatter the NEXT iteration's contributions from it — one
+    # task wave per iteration on the critical path
+    def _step_body(blk, size, t_q, *packets):
+        dense, residual = _reduce_body(size, t_q, packets)
+        out = _scatter_body(blk, dense) if blk is not None else [None] * P
+        return (dense, residual, *out)
+
+    step = ray.remote(num_returns=P + 2)(_step_body)
+
+    @ray.remote(num_returns=2)
+    def reduce_q(size, t_q, *packets):
+        return _reduce_body(size, t_q, packets)
 
     # initial state (or resume)
     it0 = 0
@@ -192,17 +205,26 @@ def pagerank_fused(
         pending.clear()
         return False
 
+    # seed wave: scatter iteration it0's contributions from the initial state
+    sc = {p: scatter.remote(cache[p], t_refs[p]) for p in live}
+    if P == 1:
+        sc = {p: [r] for p, r in sc.items()}
+    packets_by_q = [[sc[p][q] for p in live] for q in range(P)]
+
     done = False
     for it in range(it0, itermax):
-        sc = {p: scatter.remote(cache[p], t_refs[p]) for p in live}
-        if P == 1:
-            sc = {p: [r] for p, r in sc.items()}
         r_refs = [None] * P
         res_refs = []
+        next_packets = [[None] * len(live) for _ in range(P)]
         for q in range(P):
-            packets = [sc[p][q] for p in live]
-            r_refs[q], rr = reduce_q.remote(sizes[q], t_refs[q], *packets)
-            res_refs.append(rr)
+            outs = step.remote(cache[q], sizes[q], t_refs[q], *packets_by_q[q])
+            r_refs[q] = outs[0]
+            res_refs.append(outs[1])
+            if q in live:
+                li = live.index(q)
+                for qq in range(P):
+                    next_packets[qq][li] = outs[2 + qq]
+        packets_by_q = next_packets
         pending.append((it, res_refs, r_refs))
         t_refs = r_refs
         if len(pending) >= check_every or it == itermax - 1:
@@ -218,6 +240,8 @@ def pagerank_fused(
                            "algorithm": "pagerank_3f", "damping": damping,
                            "tol": tol})
         if done:
+            # on rollback t_refs points at the converged iteration's state;
+            # later-submitted waves are simply dropped
             break
     slices = ray.get(list(t_refs))
     return slices, {
