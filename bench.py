@@ -157,12 +157,19 @@ def run_scaling() -> dict:
     BASELINE.md).
     """
 
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "1"))
+
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_HEADLINE="1")
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
-                             capture_output=True, text=True, check=True,
-                             cwd=os.path.dirname(os.path.abspath(__file__)))
-        return json.loads(out.stdout.strip().splitlines()[-1])
+        best = None
+        for _ in range(repeats):  # min across repeats = least host interference
+            out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                                 capture_output=True, text=True, check=True,
+                                 cwd=os.path.dirname(os.path.abspath(__file__)))
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        return best
 
     runs = {c: one(c) for c in (2, 8, 32)}
 
