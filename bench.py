@@ -73,7 +73,10 @@ def run_bench() -> dict:
     P = int(os.environ.get("GRAFT_BENCH_PARTS", "32"))
     # fixed block count (same job at every parallelism level); without it the
     # handful of parquet files caps extraction parallelism at ~5 tasks
-    pages = rd.read_parquet(PAGES_DIR, override_num_blocks=128)
+    # prune at the read: the extractor needs url/html/lang only — never decode
+    # the ground-truth text column (VERDICT r1 'What's wrong' #6)
+    pages = rd.read_parquet(PAGES_DIR, override_num_blocks=128,
+                            columns=["url", "html", "lang"])
     extracted, links, verts = edges_from_pages(pages, concurrency=(1, max(4, NUM_CPUS - 2)))
     links = links.materialize()  # extraction runs ONCE; both graphs build from it
     verts = verts.materialize()
@@ -116,8 +119,12 @@ def run_bench() -> dict:
     # benchmarked on the g1 query below; on the full power-law web graph the
     # wedge count makes it a multi-minute job, out of per-round budget)
     t2 = time.perf_counter()
-    gs = build_graph(links, vertices_ds=verts, num_parts=P,
-                     dup_op="first", binarize=True, symmetrize=True, drop_self=True)
+    from raygraph.graph import symmetrize_graph
+
+    # derive A+A.T from the directed build's CSR blocks (one positional
+    # exchange) instead of re-running the whole build from the link table
+    gs = symmetrize_graph(g, dup_op="first", binarize=True, drop_self=True)
+    q["symmetrize"] = time.perf_counter() - t2
     f, cci = connected_components(gs, mode="fused")
     q["cc"] = time.perf_counter() - t2
     pr_meta["cc_rounds"] = cci["iters"]

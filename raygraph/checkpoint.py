@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
 import numpy as np
@@ -86,7 +87,10 @@ def write_iter(
 ) -> None:
     """Checkpoint one iteration: state vectors + lineage, atomically."""
     d = _iter_dir(ckpt_dir, it)
-    tmp = d + ".tmp"
+    # tmp name must NOT start with 'iter=' — it may contain _SUCCESS before
+    # the rename, and a crash in the commit window would otherwise make
+    # latest_iter() parse 'K.tmp' forever after (ADVICE r1, medium)
+    tmp = os.path.join(ckpt_dir, f"_tmp_iter_{it}")
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
     cols: dict[str, list] = {"part": list(range(graph.num_parts))}
@@ -110,9 +114,14 @@ def latest_iter(ckpt_dir: str) -> int | None:
         return None
     best = None
     for name in os.listdir(ckpt_dir):
-        if name.startswith("iter=") and os.path.exists(
-            os.path.join(ckpt_dir, name, "_SUCCESS")
-        ):
+        # match ONLY complete 'iter=<digits>' dirs; stale tmp dirs from a
+        # crash mid-commit are garbage-collected, never parsed
+        if name.startswith("_tmp_iter_"):
+            shutil.rmtree(os.path.join(ckpt_dir, name), ignore_errors=True)
+            continue
+        if not re.fullmatch(r"iter=\d+", name):
+            continue
+        if os.path.exists(os.path.join(ckpt_dir, name, "_SUCCESS")):
             k = int(name.split("=", 1)[1])
             best = k if best is None else max(best, k)
     return best

@@ -72,7 +72,15 @@ def knn_cosine(
         out_q, out_i, out_s = [], [], []
         for qi in range(q.shape[0]):
             s = sims[:, qi]
-            top = np.argpartition(-s, kk - 1)[:kk]
+            # tie-aware partial top-k: argpartition, then widen to ALL
+            # candidates tied with the k-th sim and break ties by ascending
+            # id — otherwise a tied candidate with a smaller id could be
+            # dropped batch-dependently before the final sort (ADVICE r1)
+            part = np.argpartition(-s, kk - 1)[:kk]
+            kth = s[part].min()
+            cand = np.flatnonzero(s >= kth)
+            order = np.lexsort((ids[cand], -s[cand]))[:kk]
+            top = cand[order]
             out_q.append(np.full(kk, qids[qi], np.int64))
             out_i.append(ids[top].astype(np.int64))
             out_s.append(s[top])

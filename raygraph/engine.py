@@ -320,7 +320,10 @@ def scatter_min_by_id(graph, target_ids: list[np.ndarray], values: list[np.ndarr
         tgt = np.asarray(g["tgt"].to_numpy(zero_copy_only=False), np.uint64)
         val = np.asarray(g["val"].to_numpy(zero_copy_only=False), dt)
         pos = np.searchsorted(ids, tgt)
-        k, v = local_combine(monoid, pos, val)
+        pos = np.minimum(pos, max(len(ids) - 1, 0))
+        # drop targets not owned here (ADVICE r1: silent neighbor-assign hazard)
+        ok = ids[pos] == tgt if len(ids) else np.zeros(len(tgt), bool)
+        k, v = local_combine(monoid, pos[ok], val[ok])
         return pa.Table.from_pydict({"part": [p], "pos": [k], "val": [v]})
 
     rows = routed.groupby("part").map_groups(reduce_part, batch_format="pyarrow").take_all()
@@ -376,9 +379,15 @@ def gather_by_id(graph, state: list[np.ndarray], query_ids: list[np.ndarray]):
         ids = ray.get(ids_refs[p])
         st = ray.get(state_refs[p])
         qid = np.asarray(g["qid"].to_numpy(zero_copy_only=False), np.uint64)
-        pos = np.searchsorted(ids, qid)
+        pos = np.minimum(np.searchsorted(ids, qid), max(len(ids) - 1, 0))
+        # answer only queries whose id is actually owned here; unknown ids
+        # are dropped (callers see the dense default) instead of silently
+        # returning a neighboring vertex's value (ADVICE r1)
+        ok = ids[pos] == qid if len(ids) else np.zeros(len(qid), bool)
         return pa.table(
-            {"part": g["home"], "idx": g["idx"], "val": st[np.minimum(pos, len(st) - 1)]}
+            {"part": g["home"].filter(pa.array(ok)),
+             "idx": g["idx"].filter(pa.array(ok)),
+             "val": st[pos[ok]]}
         )
 
     back = (

@@ -458,6 +458,154 @@ def build_graph(
     return _graph_from_block_refs(block_refs, P, timings)
 
 
+def _emit_block_pos(part, ids, sp, dp, dpos, w, dup_op, binarize, drop_self) -> pa.Table:
+    """CSR block row from POSITION-encoded edges (sp = src position in this
+    partition's ids, dp/dpos = dst partition/position). Same dedup semantics
+    as _emit_block_table, but no id resolution — used when the edges already
+    carry positions (symmetrize_graph)."""
+    sp = np.asarray(sp, np.int64)
+    dp = np.asarray(dp, np.int32)
+    dpos = np.asarray(dpos, np.int64)
+    w = np.asarray(w, np.float64)
+    if drop_self and len(sp):
+        keep = ~((dp == part) & (dpos == sp))
+        sp, dp, dpos, w = sp[keep], dp[keep], dpos[keep], w[keep]
+    if len(sp):
+        order = np.lexsort((dpos, dp, sp))
+        sp, dp, dpos, w = sp[order], dp[order], dpos[order], w[order]
+        new = np.r_[True, (sp[1:] != sp[:-1]) | (dp[1:] != dp[:-1]) | (dpos[1:] != dpos[:-1])]
+        starts = np.flatnonzero(new)
+        if len(starts) != len(sp):
+            if dup_op == "raise":
+                raise ValueError(
+                    "duplicate (src,dst) without dup_op (reference matrix.py:696)"
+                )
+            if dup_op == "count":
+                w = np.diff(np.r_[starts, len(sp)]).astype(np.float64)
+            elif dup_op == "plus":
+                w = np.add.reduceat(w, starts)
+            elif dup_op == "min":
+                w = np.minimum.reduceat(w, starts)
+            elif dup_op == "max":
+                w = np.maximum.reduceat(w, starts)
+            else:  # first
+                w = w[starts]
+            sp, dp, dpos = sp[starts], dp[starts], dpos[starts]
+        elif dup_op == "count":
+            w = np.ones(len(sp), np.float64)
+        if binarize:
+            w = np.ones(len(sp), np.float64)
+        row_starts = np.flatnonzero(np.r_[True, sp[1:] != sp[:-1]])
+        src_pos = sp[row_starts]
+        indptr = np.r_[0, np.cumsum(np.diff(np.r_[row_starts, len(sp)]))].astype(np.int64)
+    else:
+        w = np.empty(0, np.float64)
+        dp = np.empty(0, np.int32)
+        dpos = np.empty(0, np.int64)
+        indptr = np.zeros(1, np.int64)
+        src_pos = np.empty(0, np.int64)
+    deg = np.zeros(len(ids), np.float64)
+    if len(src_pos):
+        deg[src_pos] = np.add.reduceat(w, indptr[:-1])
+
+    def _list(arr, typ):
+        off = np.array([0, len(arr)], np.int64)
+        return pa.LargeListArray.from_arrays(off, pa.array(np.asarray(arr, typ)))
+
+    return pa.table(
+        {
+            "part": pa.array([part], pa.int32()),
+            "ids": _list(ids, np.uint64),
+            "deg": _list(deg, np.float64),
+            "src_pos": _list(src_pos, np.int64),
+            "indptr": _list(indptr, np.int64),
+            "dst_part": _list(dp, np.int32),
+            "dst_pos": _list(dpos, np.int64),
+            "w": _list(w, np.float64),
+            "nnz": pa.array([int(len(w))], pa.int64()),
+        }
+    )
+
+
+def symmetrize_graph(g: "Graph", *, dup_op: str = "first", binarize: bool = True,
+                     drop_self: bool = True) -> "Graph":
+    """Symmetric graph derived from an already-built directed graph's CSR
+    blocks — ONE exchange of position-encoded reversed edges, instead of
+    re-running the whole build (url hashing + vertex resolution) from the
+    raw link table. An edge (u→v) stored in partition p as
+    (src_pos, dst_part=q, dst_pos) becomes, for partition q, the reversed
+    edge (src_pos'=dst_pos, dst_part'=p, dst_pos'=src_pos): positions are
+    already resolved, so no vertex registry shuffle is needed.
+
+    Reference analog: ``A + A.T`` / the FastSV notebook's symmetric input
+    requirement (Connected Components -- FastSV.ipynb cell 2)."""
+    import ray
+
+    P = g.num_parts
+    block_refs = getattr(g, "_block_refs", None)
+    if block_refs is None:
+        # graphs rebuilt from checkpoint: pin per-partition rows as refs
+        block_refs = [None] * P
+        for tbl in g.blocks.iter_batches(batch_size=None, batch_format="pyarrow"):
+            parts = tbl["part"].to_numpy(zero_copy_only=False)
+            for i in range(tbl.num_rows):
+                block_refs[int(parts[i])] = ray.put(tbl.slice(i, 1))
+
+    def _cols(tbl, names):
+        return {c: np.asarray(tbl[c][0].values) for c in names}
+
+    def _reverse_split(tbl, P):
+        """Reversed-edge packets by new owner (= old dst_part)."""
+        b = _cols(tbl, ("src_pos", "indptr", "dst_part", "dst_pos", "w"))
+        sp_exp = np.repeat(b["src_pos"], np.diff(b["indptr"]))
+        dp, dpos, w = b["dst_part"], b["dst_pos"], b["w"]
+        order = np.argsort(dp, kind="stable")
+        dp_s = dp[order]
+        out = [None] * P
+        if len(dp_s):
+            starts = np.flatnonzero(np.r_[True, dp_s[1:] != dp_s[:-1]])
+            ends = np.r_[starts[1:], len(dp_s)]
+            for s, e in zip(starts, ends):
+                sel = order[s:e]
+                # (new src_pos, new dst_pos, w); new dst_part = sender const
+                out[int(dp_s[s])] = (dpos[sel], sp_exp[sel], w[sel])
+        return tuple(out) if P > 1 else out[0]
+
+    rev = ray.remote(num_returns=P)(_reverse_split) if P > 1 else ray.remote(_reverse_split)
+
+    def _merge_sym(q, tbl, senders, *packets):
+        """Own forward edges + incoming reversed packets -> symmetric block."""
+        ids = np.asarray(tbl["ids"][0].values, np.uint64)
+        b = _cols(tbl, ("src_pos", "indptr", "dst_part", "dst_pos", "w"))
+        sp = [np.repeat(b["src_pos"], np.diff(b["indptr"]))]
+        dp = [b["dst_part"]]
+        dpos = [b["dst_pos"]]
+        w = [b["w"]]
+        for p, pk in zip(senders, packets):
+            if pk is not None:
+                sp.append(np.asarray(pk[0], np.int64))
+                dp.append(np.full(len(pk[0]), p, np.int32))
+                dpos.append(np.asarray(pk[1], np.int64))
+                w.append(np.asarray(pk[2], np.float64))
+        return _emit_block_pos(q, ids, np.concatenate(sp), np.concatenate(dp),
+                               np.concatenate(dpos), np.concatenate(w),
+                               dup_op, binarize, drop_self)
+
+    merge = ray.remote(_merge_sym)
+
+    live = [p for p in range(P) if block_refs[p] is not None]
+    splits = {p: rev.remote(block_refs[p], P) for p in live}
+    if P == 1:
+        splits = {p: [r] for p, r in splits.items()}
+    out_refs: list = [None] * P
+    for q in range(P):
+        if block_refs[q] is None:
+            continue  # no vertices in q -> no reversed edges can target it
+        out_refs[q] = merge.remote(q, block_refs[q], live,
+                                   *[splits[p][q] for p in live])
+    return _graph_from_block_refs(out_refs, P, {"symmetrize": 0.0})
+
+
 def edges_from_pages(pages_ds, concurrency=(1, 8)):
     """pages -> (extracted_ds, links_ds, vertices_ds) ready for build_graph."""
     from raygraph.extract import extract_pages, links_table

@@ -77,10 +77,37 @@ def salted_aggregate(ds, key: str, val: str, monoid_name: str, *, salt: int = 0,
 
     alias = alias or val
     aggs = {"plus": Sum, "min": Min, "max": Max, "any": Max, "lor": Max, "land": Min}
-    if monoid_name not in aggs:
-        raise ValueError(f"unsupported monoid for grouped aggregate: {monoid_name}")
-    A = aggs[monoid_name]
     ds = _ds(ds)
+    if monoid_name not in aggs:
+        # fallback for monoids without a Ray builtin aggregate (times, band,
+        # bor, bxor, ...): segmented ufunc.reduceat inside map_groups —
+        # covers every registered Monoid (ADVICE r1)
+        m = MONOID[monoid_name]
+
+        def seg_reduce(t: pa.Table, vcol: str) -> pa.Table:
+            a = np.asarray(t[vcol].to_numpy(zero_copy_only=False))
+            k = np.asarray(t[key].to_numpy(zero_copy_only=False))
+            if len(k) == 0:
+                return pa.table({key: k, alias: a})
+            order = np.argsort(k, kind="stable")
+            k_s, a_s = k[order], a[order]
+            cast_back = None
+            if a_s.dtype.kind == "f" and "bitwise" in m.ufunc.__name__:
+                cast_back, a_s = a_s.dtype, a_s.astype(np.int64)
+            starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+            red = m.ufunc.reduceat(a_s, starts)
+            if cast_back is not None:
+                red = red.astype(cast_back)
+            return pa.table({key: k_s[starts], alias: red})
+
+        # per-block partial combine (cheap, associative), then the grouped
+        # final combine — same shape as the builtin-aggregate path
+        partial = ds.map_batches(lambda t: seg_reduce(t, val),
+                                 batch_format="pyarrow")
+        return partial.groupby(key).map_groups(
+            lambda t: seg_reduce(t, alias), batch_format="pyarrow"
+        )
+    A = aggs[monoid_name]
     if salt > 0:
         def add_salt(t: pa.Table) -> pa.Table:
             return t.append_column(
@@ -402,6 +429,12 @@ def merge(old, new, *, mask=None, complement=False, value_mask=False,
     def join(df: pd.DataFrame) -> pa.Table:
         o = df[df["side"] == 0].set_index("v")["val"]
         n = df[df["side"] == 1].set_index("v")["val"]
+        if mask is None and replace and op is None:
+            # GrB_replace with no mask and no accum: C = T exactly — every
+            # old element not written by new is cleared (reference
+            # descriptor semantics; ADVICE r1). With accum, Z = C⊙T keeps
+            # the union structure, so replace is a no-op there.
+            o = o.iloc[:0]
         if mask is not None:
             mk = df[df["side"] == 2]
             if value_mask:

@@ -72,3 +72,26 @@ def test_cc_resume(tmp_path):
     full, _ = connected_components(g)
     for a, b in zip(full, f2):
         np.testing.assert_array_equal(a, b)
+
+
+def test_latest_iter_survives_crash_in_commit_window(tmp_path):
+    # a crash between writing _SUCCESS and the rename used to leave a dir
+    # whose name parsed as int('K.tmp') and broke every later resume
+    import os
+
+    from raygraph import checkpoint as ck2
+
+    d = str(tmp_path)
+    ok = os.path.join(d, "iter=3")
+    os.makedirs(ok)
+    open(os.path.join(ok, "_SUCCESS"), "w").close()
+    # legacy-style tmp dir that startswith('iter=') but is not a valid K
+    stale_legacy = os.path.join(d, "iter=5.tmp")
+    os.makedirs(stale_legacy)
+    open(os.path.join(stale_legacy, "_SUCCESS"), "w").close()
+    # current-style tmp dir mid-commit
+    stale = os.path.join(d, "_tmp_iter_7")
+    os.makedirs(stale)
+    open(os.path.join(stale, "_SUCCESS"), "w").close()
+    assert ck2.latest_iter(d) == 3
+    assert not os.path.exists(stale)  # garbage-collected on resume

@@ -95,3 +95,43 @@ def test_two_stage_build_matches_broadcast_path(monkeypatch):
     assert g_big.nnz == g_fast.nnz == 12
     assert np.array_equal(_graph_to_dense(g_big), _graph_to_dense(g_fast))
     assert np.array_equal(_graph_to_dense(g_big), fx.a7_dense())
+
+
+def test_symmetrize_graph_matches_full_rebuild():
+    # derive-from-blocks path vs building symmetric from the raw edges
+    from raygraph.graph import symmetrize_graph
+
+    rng = np.random.default_rng(3)
+    rows = rng.integers(0, 40, 300).astype(np.uint64)
+    cols = rng.integers(0, 40, 300).astype(np.uint64)
+    vals = rng.random(300)
+    edges = rd.from_arrow(fx.edge_table(rows, cols, vals))
+    verts = rd.from_arrow(fx.vertex_table(40))
+    g = build_graph(edges, vertices_ds=verts, num_parts=4, dup_op="plus",
+                    binarize=True)
+    gs_fast = symmetrize_graph(g, dup_op="first", binarize=True, drop_self=True)
+    gs_full = build_graph(edges, vertices_ds=verts, num_parts=4, dup_op="first",
+                          binarize=True, symmetrize=True, drop_self=True)
+    assert gs_fast.nnz == gs_full.nnz
+    assert gs_fast.n_vertices == gs_full.n_vertices
+    m_fast, m_full = _graph_to_dense(gs_fast), _graph_to_dense(gs_full)
+    assert np.array_equal(m_fast, m_full)
+    assert np.array_equal(m_fast, m_fast.T)
+    assert m_fast.diagonal().sum() == 0
+    # degree slices agree too
+    a = gs_fast.to_vertex_table(gs_fast.deg_slices(), "deg")
+    b = gs_full.to_vertex_table(gs_full.deg_slices(), "deg")
+    assert a.equals(b)
+
+
+def test_symmetrize_graph_weighted_plus():
+    from raygraph.graph import symmetrize_graph
+
+    edges = rd.from_arrow(fx.edge_table([0, 1, 0], [1, 0, 2], [2.0, 3.0, 1.0]))
+    verts = rd.from_arrow(fx.vertex_table(3))
+    g = build_graph(edges, vertices_ds=verts, num_parts=2, dup_op="plus")
+    gs = symmetrize_graph(g, dup_op="plus", binarize=False, drop_self=False)
+    m = _graph_to_dense(gs)
+    # (0,1): fwd 2 + rev-of-(1,0) 3 = 5; symmetric
+    assert m[0, 1] == 5.0 and m[1, 0] == 5.0
+    assert m[0, 2] == 1.0 and m[2, 0] == 1.0

@@ -232,3 +232,30 @@ def test_reposition_and_positional():
     v = _vec([1, 3], [2.0, 5.0])
     assert _as_dict(K.reposition(v, 10)) == {11: 2.0, 13: 5.0}
     assert _as_dict(K.apply_positional(v)) == {1: 1.0, 3: 3.0}
+
+
+def test_merge_replace_no_mask_clears_old():
+    # GrB C(replace) << new with no mask and no accum: C = new exactly
+    old = _vec([0, 1, 2], [1.0, 2.0, 3.0])
+    new = _vec([1, 5], [20.0, 50.0])
+    got = _as_dict(K.merge(old, new, replace=True))
+    assert got == {1: 20.0, 5: 50.0}
+    # with accum, Z = C (+) T has union structure: replace is a no-op
+    got2 = _as_dict(K.merge(old, new, accum="plus", replace=True))
+    assert got2 == {0: 1.0, 1: 22.0, 2: 3.0, 5: 50.0}
+
+
+def test_salted_aggregate_times_fallback():
+    # monoids without a Ray builtin aggregate route through the
+    # reduceat-based map_groups fallback
+    edges = pa.table({"src": np.array([0, 0, 0, 1], np.uint64),
+                      "dst": np.array([1, 2, 3, 2], np.uint64),
+                      "w": np.array([2.0, 3.0, 4.0, 5.0])})
+    got = _as_dict(K.reduce_rowwise(edges, "times"))
+    assert got == {0: 24.0, 1: 5.0}
+    # bitwise monoid over integer-valued floats
+    edges2 = pa.table({"src": np.array([0, 0], np.uint64),
+                       "dst": np.array([1, 2], np.uint64),
+                       "w": np.array([6.0, 3.0])})
+    got2 = _as_dict(K.reduce_rowwise(edges2, "band"))
+    assert got2 == {0: float(6 & 3)}
