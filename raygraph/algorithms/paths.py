@@ -1,10 +1,15 @@
-"""BFS levels / SSSP — iterated min_plus SpMV (Bellman-Ford style).
+"""BFS levels / SSSP — sparse-frontier delta relaxation (min_plus).
 
-Reference analog: BFS via ``min_first``/``lor_land`` semirings and SSSP
-via ``min_plus`` (SURVEY.md §2.2 Semiring row). Distance vector is dense
-(+inf = unreached); each round relaxes every edge:
-``dist = min(dist, A.mxv(dist, min_plus))`` until fixpoint. For unit
-weights this yields BFS hop levels.
+Reference analog: BFS via the masked-mxv idiom
+``q(~v.S, replace=True) << A.mxv(q, min_first)`` and SSSP via ``min_plus``
+(reference graphblas/core/mask.py:131-200 masks, BFS notebook; SURVEY.md
+§2.2 Semiring row). The production path (``mode="frontier"``) relaxes
+only the frontier's out-edges each round — Σ|frontier-degree| work, not
+D·nnz — via fused.sssp_frontier's refs-only task waves.
+
+``mode="dataset"`` keeps the original full-edge Bellman-Ford over
+engine.spmv as a small-scale cross-check (every round relaxes every edge
+with a dense dist vector; parity-tested against the frontier path).
 """
 
 from __future__ import annotations
@@ -15,8 +20,13 @@ from raygraph.engine import spmv
 from raygraph.util import part_of
 
 
-def sssp(graph, source: int, *, itermax: int = 10_000, unit_weights: bool = False):
+def sssp(graph, source: int, *, itermax: int = 10_000, mode: str = "frontier"):
     """Returns (distance slices, info). Unreached vertices stay +inf."""
+    if mode == "frontier":
+        from raygraph.fused import sssp_frontier
+
+        return sssp_frontier(graph, source, itermax=itermax)
+
     dist = graph.state(np.inf)
     sid = np.uint64(source)
     p = int(part_of(np.asarray([sid], np.uint64), graph.num_parts)[0])
@@ -27,9 +37,7 @@ def sssp(graph, source: int, *, itermax: int = 10_000, unit_weights: bool = Fals
     dist[p][pos] = 0.0
     it = 0
     for it in range(itermax):
-        relaxed = spmv(graph, dist, "min_plus" if not unit_weights else "min_plus")
-        if unit_weights:
-            pass  # weights are already 1.0 in a binarized graph
+        relaxed = spmv(graph, dist, "min_plus")
         new = [np.minimum(d, r) for d, r in zip(dist, relaxed)]
         changed = any(bool((a != b).any()) for a, b in zip(new, dist))
         dist = new
@@ -38,6 +46,6 @@ def sssp(graph, source: int, *, itermax: int = 10_000, unit_weights: bool = Fals
     return dist, {"iters": it + 1, "edges_traversed": (it + 1) * graph.nnz}
 
 
-def bfs_levels(graph, source: int, *, itermax: int = 10_000):
+def bfs_levels(graph, source: int, *, itermax: int = 10_000, mode: str = "frontier"):
     """Hop distance from source (graph must be binarized: w == 1.0)."""
-    return sssp(graph, source, itermax=itermax, unit_weights=True)
+    return sssp(graph, source, itermax=itermax, mode=mode)

@@ -56,8 +56,13 @@ def _block_arrays(tbl: pa.Table, i: int, names: tuple[str, ...]):
     return [np.asarray(tbl[n][i].values) for n in names]
 
 
-def make_scatter(x_refs, semiring_name: str, out_dtype):
-    """Scatter closure over per-partition state refs (one ray.get per block)."""
+def make_scatter(x_refs, semiring_name: str, out_dtype, frontier_refs=None):
+    """Scatter closure over per-partition state refs (one ray.get per block).
+
+    With ``frontier_refs`` (per-partition sorted position arrays) only the
+    frontier rows' adjacency is processed — the reference's masked mxv
+    ``A.mxv(q)`` where q is sparse (graphblas/core/mask.py:131-200);
+    work is Σ frontier out-degree instead of nnz."""
     sr = SEMIRING[semiring_name]
 
     def scatter(tbl: pa.Table) -> pa.Table:
@@ -76,8 +81,29 @@ def make_scatter(x_refs, semiring_name: str, out_dtype):
             if len(w) == 0:
                 continue
             x = ray.get(x_refs[p])  # gather: only THIS partition's slice
-            counts = np.diff(indptr)
-            xv = np.repeat(x[src_pos], counts)
+            if frontier_refs is not None:
+                fpos = ray.get(frontier_refs[p])
+                j = np.searchsorted(src_pos, fpos)
+                ok = j < len(src_pos)
+                ok[ok] = src_pos[j[ok]] == fpos[ok]
+                rows = j[ok]
+                if len(rows) == 0:
+                    continue
+                starts = indptr[rows]
+                lens = indptr[rows + 1] - starts
+                total = int(lens.sum())
+                if total == 0:
+                    continue
+                off = np.repeat(np.cumsum(lens) - lens, lens)
+                eidx = np.repeat(starts, lens) + (
+                    np.arange(total, dtype=np.int64) - off
+                )
+                src_pos, indptr = src_pos[rows], None
+                dst_part, dst_pos, w = dst_part[eidx], dst_pos[eidx], w[eidx]
+                xv = np.repeat(x[src_pos], lens)
+            else:
+                counts = np.diff(indptr)
+                xv = np.repeat(x[src_pos], counts)
             val = np.asarray(sr.binary(w, xv), dtype=out_dtype)
             key = (dst_part.astype(np.uint64) << _POS_BITS) | dst_pos.astype(np.uint64)
             k, v = local_combine(sr.monoid, key, val)  # per-batch combiner
@@ -112,6 +138,7 @@ def spmv(
     semiring: str = "plus_times",
     *,
     out_dtype=None,
+    frontier: list[np.ndarray] | None = None,
 ) -> list[np.ndarray]:
     """w[dst] = ⊕_src A[src,dst] ⊗ x[src] — one distributed superstep.
 
@@ -122,11 +149,13 @@ def spmv(
     need GraphBLAS absence semantics (missing != identity) also get the
     contribution mask via :func:`spmv_with_mask`.
     """
-    dense, _ = spmv_with_mask(graph, x_slices, semiring, out_dtype=out_dtype)
+    dense, _ = spmv_with_mask(graph, x_slices, semiring, out_dtype=out_dtype,
+                              frontier=frontier)
     return dense
 
 
-def spmv_with_mask(graph, x_slices, semiring="plus_times", *, out_dtype=None):
+def spmv_with_mask(graph, x_slices, semiring="plus_times", *, out_dtype=None,
+                   frontier=None):
     import ray
 
     sr = SEMIRING[semiring]
@@ -134,8 +163,11 @@ def spmv_with_mask(graph, x_slices, semiring="plus_times", *, out_dtype=None):
     ident = identity_for(sr.monoid, out_dtype)
 
     x_refs = [ray.put(s) for s in x_slices]
+    f_refs = None
+    if frontier is not None:
+        f_refs = [ray.put(np.asarray(f, np.int64)) for f in frontier]
     contrib = graph.blocks.map_batches(
-        make_scatter(x_refs, semiring, out_dtype), batch_format="pyarrow"
+        make_scatter(x_refs, semiring, out_dtype, f_refs), batch_format="pyarrow"
     )
 
     monoid = sr.monoid

@@ -244,3 +244,29 @@ SELECT src, dst, w FROM (
 ) WHERE rn <= 2 ORDER BY src, dst""",
     }
 )
+
+
+def _sssp_sql(k: int = 24, source: int = 1) -> str:
+    """Unrolled Bellman-Ford: d_i[v] = min(d_{i-1}[v], min(d_{i-1}[src]+w)).
+
+    Bit-identical to the frontier fixpoint (queries.q_sssp_weighted):
+    both compute min over paths of the left-folded FP64 sum; k rounds
+    suffice when every optimal path has <= k hops (measured 9 at sf0.01;
+    24 leaves margin)."""
+    parts = [_E, f"d0 AS (SELECT CAST({source} AS BIGINT) AS v, 0.0 AS dist)"]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT v, min(dist) AS dist FROM (
+    SELECT v, dist FROM d{i-1}
+    UNION ALL
+    SELECT e.dst AS v, d{i-1}.dist + e.w AS dist
+    FROM d{i-1} JOIN e ON e.src = d{i-1}.v
+  ) GROUP BY v
+)"""
+        )
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT v, round(dist, 6) AS dist FROM d{k} ORDER BY v")
+
+
+ORACLES["sssp_weighted"] = _sssp_sql(24)

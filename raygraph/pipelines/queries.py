@@ -517,3 +517,22 @@ QUERIES.update(
         "selectk_rowwise": q_selectk_rowwise,
     }
 )
+
+
+def q_sssp_weighted(sf_dir):
+    """Weighted single-source shortest paths on g1 (frontier delta
+    relaxation; reference min_plus semiring, SURVEY.md §2.2)."""
+    from raygraph.algorithms.paths import sssp
+
+    g = _g1_graph(sf_dir)  # weighted: w = round(sum qty, 6), dup first
+    dist, _ = sssp(g, 1, mode="frontier")
+    t = g.to_vertex_table(dist, "dist")
+    d = np.asarray(t["dist"].to_numpy(zero_copy_only=False))
+    keep = np.isfinite(d)
+    return pa.table({
+        "v": pa.array(np.asarray(t["v"].to_numpy(zero_copy_only=False))[keep].astype(np.int64)),
+        "dist": pa.array(np.round(d[keep], 6)),
+    })
+
+
+QUERIES["sssp_weighted"] = q_sssp_weighted

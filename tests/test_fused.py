@@ -91,3 +91,90 @@ def test_cc_fused_resume(tmp_path):
     resumed, _ = connected_components(g, mode="fused", ckpt_dir=ckpt)
     for a, b in zip(full, resumed):
         np.testing.assert_array_equal(a, b)
+
+
+# ------------------------------------------------------- frontier sssp ----
+
+
+def test_sssp_frontier_matches_dataset_mode():
+    from raygraph.algorithms.paths import sssp
+
+    rng = np.random.default_rng(41)
+    A = fx.random_graph(80, 0.04, seed=41)
+    W = A * np.round(rng.uniform(0.5, 9.5, A.shape), 3)
+    verts = rd.from_arrow(fx.vertex_table(80))
+    g = build_graph(rd.from_arrow(fx.dense_to_edge_table(W)),
+                    vertices_ds=verts, num_parts=5)
+    d_fr, i_fr = sssp(g, 0, mode="frontier")
+    d_ds, i_ds = sssp(g, 0, mode="dataset")
+    for a, b in zip(d_fr, d_ds):
+        np.testing.assert_array_equal(a, b)  # bit-identical fixpoint
+    # frontier relaxation must touch far fewer edges than D * nnz
+    assert i_fr["edges_traversed"] < i_ds["edges_traversed"]
+
+
+def test_sssp_frontier_scipy_oracle():
+    from raygraph.algorithms.paths import sssp
+
+    rng = np.random.default_rng(7)
+    A = fx.random_graph(60, 0.06, seed=9)
+    W = A * np.round(rng.uniform(1.0, 5.0, A.shape), 3)
+    verts = rd.from_arrow(fx.vertex_table(60))
+    g = build_graph(rd.from_arrow(fx.dense_to_edge_table(W)),
+                    vertices_ds=verts, num_parts=4)
+    d, _ = sssp(g, 3, mode="frontier")
+    t = g.to_vertex_table(d, "dist")
+    got = dict(zip(t["v"].to_pylist(), t["dist"].to_pylist()))
+    # pure-numpy Bellman-Ford oracle
+    n = 60
+    want = np.full(n, np.inf)
+    want[3] = 0.0
+    src, dst = np.nonzero(W)
+    for _ in range(n):
+        cand = want[src] + W[src, dst]
+        upd = np.full(n, np.inf)
+        np.minimum.at(upd, dst, cand)
+        new = np.minimum(want, upd)
+        if (new == want).all():
+            break
+        want = new
+    np.testing.assert_allclose([got[i] for i in range(n)], want, atol=1e-12)
+
+
+def test_bfs_frontier_single_partition():
+    from raygraph.algorithms.paths import bfs_levels
+
+    A = fx.cc_dense()
+    g = build_graph(rd.from_arrow(fx.dense_to_edge_table(A)), num_parts=1,
+                    symmetrize=True, binarize=True)
+    dist, _ = bfs_levels(g, 0, mode="frontier")
+    t = g.to_vertex_table(dist, "dist")
+    got = dict(zip(t["v"].to_pylist(), t["dist"].to_pylist()))
+    want = {0: 0, 1: 1, 2: 1, 3: 1, 4: 2, 5: 2}
+    for v, d in want.items():
+        assert got[v] == d
+
+
+def test_spmv_dataset_frontier_matches_full():
+    """engine.spmv(frontier=...) processes only frontier rows."""
+    from raygraph.engine import spmv
+
+    A = fx.random_graph(40, 0.1, seed=13)
+    verts = rd.from_arrow(fx.vertex_table(40))
+    g = build_graph(rd.from_arrow(fx.dense_to_edge_table(A)),
+                    vertices_ds=verts, num_parts=4)
+    x = g.state(0.0)
+    rng = np.random.default_rng(3)
+    for s in x:
+        s[:] = np.round(rng.uniform(0, 1, len(s)), 6)
+    full = spmv(g, x, "min_plus")
+    # frontier = every row -> identical to full spmv
+    frontier = [np.arange(len(s), dtype=np.int64) for s in x]
+    fr = spmv(g, x, "min_plus", frontier=frontier)
+    for a, b in zip(full, fr):
+        np.testing.assert_array_equal(a, b)
+    # frontier = empty -> all identity
+    empty = [np.empty(0, np.int64) for _ in x]
+    fr0 = spmv(g, x, "min_plus", frontier=empty)
+    for s in fr0:
+        assert (s == np.inf).all()
