@@ -27,9 +27,21 @@ def label_propagation(
     itermax: int = 30,
     ckpt_dir: str | None = None,
     resume: bool = True,
+    mode: str = "fused",
 ) -> tuple[list[np.ndarray], dict]:
-    """Returns (label slices, info). Initial label of v = its own id."""
+    """Returns (label slices, info). Initial label of v = its own id.
+
+    ``mode="fused"`` (production): one task wave per round, label state
+    stays in the object store (fused.lpa_fused). ``mode="dataset"``
+    keeps the original engine.lpa_step Dataset supersteps as a
+    small-scale cross-check (it round-trips full state through the
+    driver each round); parity-tested. Checkpointing uses dataset mode.
+    """
     labels = [i.copy() for i in graph.ids_slices()]
+    if mode == "fused" and ckpt_dir is None:
+        from raygraph.fused import lpa_fused
+
+        return lpa_fused(graph, labels, itermax=itermax)
     it0 = 0
     if ckpt_dir is not None:
         ck.save_graph(graph, ckpt_dir)

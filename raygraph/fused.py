@@ -633,3 +633,110 @@ def sssp_frontier(graph, source: int, *, itermax: int = 10_000):
         "frontier_updates": frontier_total,
         "wall_s": time.perf_counter() - t_start,
     }
+
+
+# ---------------------------------------------------------------------------
+# Fused label propagation
+# ---------------------------------------------------------------------------
+
+
+def lpa_fused(graph, labels0: list, *, itermax: int = 30):
+    """Synchronous LPA with fused task waves (semantics identical to
+    engine.lpa_step: most-frequent neighbor label, ties -> smallest label,
+    isolated vertices keep theirs).
+
+    One wave of P tasks per round: each partition sums the incoming
+    (pos, label, count) packets, takes the deterministic argmax, and
+    immediately scatters its own new labels' per-destination counts for
+    the next round — label state never touches the driver (VERDICT r1
+    'What's wrong' #4), only P changed-flags per round do.
+    """
+    import time
+
+    import ray
+
+    P = graph.num_parts
+    cache = frontier_cache(graph)
+
+    def _scatter_lab(blk, lab_p):
+        """Per-destination-partition (pos, label, count) packets."""
+        if blk is None:
+            return [None] * P
+        src_pos, indptr = blk["src_pos"], blk["indptr"]
+        lv = np.repeat(lab_p[src_pos], np.diff(indptr))
+        dp, dq = blk["dst_part"], blk["dst_pos"]
+        order = np.lexsort((lv, dq, dp))
+        dp, dq, lv = dp[order], dq[order], lv[order]
+        new = np.r_[True, (dp[1:] != dp[:-1]) | (dq[1:] != dq[:-1]) | (lv[1:] != lv[:-1])]
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.r_[starts, len(dp)]).astype(np.int64)
+        dp, dq, lv = dp[starts], dq[starts], lv[starts]
+        out = [None] * P
+        pstarts = np.flatnonzero(np.r_[True, dp[1:] != dp[:-1]])
+        pends = np.r_[pstarts[1:], len(dp)]
+        for s, e in zip(pstarts, pends):
+            out[int(dp[s])] = (dq[s:e], lv[s:e], cnt[s:e])
+        return out
+
+    scatter = ray.remote(num_returns=P)(
+        lambda blk, lab_p: tuple(_scatter_lab(blk, lab_p))
+    ) if P > 1 else ray.remote(lambda blk, lab_p: _scatter_lab(blk, lab_p)[0])
+
+    def _step_body(blk, lab_q, *packets):
+        live_pk = [pk for pk in packets if pk is not None]
+        if not live_pk:
+            return (lab_q, False, *([None] * P))
+        pos = np.concatenate([pk[0] for pk in live_pk])
+        lab = np.concatenate([pk[1] for pk in live_pk])
+        cnt = np.concatenate([pk[2] for pk in live_pk])
+        order = np.lexsort((lab, pos))
+        pos, lab, cnt = pos[order], lab[order], cnt[order]
+        new = np.r_[True, (pos[1:] != pos[:-1]) | (lab[1:] != lab[:-1])]
+        starts = np.flatnonzero(new)
+        tot = np.add.reduceat(cnt, starts)
+        pos, lab = pos[starts], lab[starts]
+        # deterministic argmax: max count, tie -> min label (same rule as
+        # engine.lpa_step's reduce)
+        order2 = np.lexsort((lab, -tot, pos))
+        pos, lab = pos[order2], lab[order2]
+        first = np.r_[True, pos[1:] != pos[:-1]]
+        newlab = lab_q.copy()
+        newlab[pos[first]] = lab[first]
+        changed = bool((newlab != lab_q).any())
+        nxt = _scatter_lab(blk, newlab)
+        return (newlab, changed, *nxt)
+
+    step = ray.remote(num_returns=P + 2)(_step_body)
+
+    t_start = time.perf_counter()
+    lab_refs = [ray.put(np.asarray(s, np.uint64)) for s in labels0]
+    sc = {p: scatter.remote(cache[p], lab_refs[p]) for p in range(P)
+          if cache[p] is not None}
+    if P == 1:
+        sc = {p: [r] for p, r in sc.items()}
+    packets_by_q = [[sc[p][q] for p in sc] for q in range(P)]
+
+    it = -1
+    for it in range(itermax):
+        new_refs = [None] * P
+        flag_refs = []
+        next_packets = [[None] * len(sc) for _ in range(P)]
+        senders = list(sc)
+        for q in range(P):
+            outs = step.remote(cache[q], lab_refs[q], *packets_by_q[q])
+            new_refs[q] = outs[0]
+            flag_refs.append(outs[1])
+            if q in sc:
+                li = senders.index(q)
+                for r in range(P):
+                    next_packets[r][li] = outs[2 + r]
+        lab_refs = new_refs
+        packets_by_q = next_packets
+        changed = any(ray.get(flag_refs))
+        if not changed:
+            break
+    return [np.asarray(s, np.uint64) for s in ray.get(list(lab_refs))], {
+        "iters": it + 1,
+        "edges_traversed": (it + 1) * graph.nnz,
+        "wall_s": time.perf_counter() - t_start,
+    }

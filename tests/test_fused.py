@@ -178,3 +178,31 @@ def test_spmv_dataset_frontier_matches_full():
     fr0 = spmv(g, x, "min_plus", frontier=empty)
     for s in fr0:
         assert (s == np.inf).all()
+
+
+def test_lpa_fused_matches_dataset_mode():
+    from raygraph.algorithms.lpa import label_propagation
+
+    A = fx.planted_partition(seed=29)
+    n = A.shape[0]
+    verts = rd.from_arrow(fx.vertex_table(n))
+    g = build_graph(rd.from_arrow(fx.dense_to_edge_table(A)),
+                    vertices_ds=verts, num_parts=5,
+                    symmetrize=True, drop_self=True, binarize=True)
+    l_fu, i_fu = label_propagation(g, itermax=8, mode="fused")
+    l_ds, i_ds = label_propagation(g, itermax=8, mode="dataset")
+    assert i_fu["iters"] == i_ds["iters"]
+    for a, b in zip(l_fu, l_ds):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_lpa_fused_single_partition():
+    from raygraph.algorithms.lpa import label_propagation
+
+    A = fx.planted_partition(seed=3)
+    g = build_graph(rd.from_arrow(fx.dense_to_edge_table(A)), num_parts=1,
+                    symmetrize=True, drop_self=True, binarize=True)
+    l_fu, _ = label_propagation(g, itermax=5, mode="fused")
+    l_ds, _ = label_propagation(g, itermax=5, mode="dataset")
+    for a, b in zip(l_fu, l_ds):
+        np.testing.assert_array_equal(a, b)

@@ -259,3 +259,36 @@ def test_salted_aggregate_times_fallback():
                        "w": np.array([6.0, 3.0])})
     got2 = _as_dict(K.reduce_rowwise(edges2, "band"))
     assert got2 == {0: float(6 & 3)}
+
+
+def test_mxv_cogroup_matches_broadcast():
+    """The scale path (vector rides the shuffle) equals the broadcast path."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    n = 300
+    src = rng.integers(0, n, 4000).astype(np.uint64)
+    dst = rng.integers(0, n, 4000).astype(np.uint64)
+    w = np.round(rng.uniform(0, 10, 4000), 3)
+    edges = pa.table({"src": src, "dst": dst, "w": w})
+    vids = np.arange(0, n, 2, dtype=np.uint64)  # half the ids present
+    vec = pa.table({"v": vids, "val": np.round(rng.uniform(-5, 5, len(vids)), 3)})
+    for sem in ("plus_times", "min_plus"):
+        bt = K.to_table(K.mxv(edges, vec, sem, distribute="broadcast"))
+        ct = K.to_table(K.mxv(edges, vec, sem, distribute="cogroup"))
+        assert bt.column_names == ct.column_names
+        np.testing.assert_array_equal(bt["v"].to_numpy(), ct["v"].to_numpy())
+        np.testing.assert_allclose(bt["val"].to_numpy(), ct["val"].to_numpy(),
+                                   rtol=0, atol=1e-12)
+        # vxm too (transposed orientation)
+        bt = K.to_table(K.vxm(vec, edges, sem, distribute="broadcast"))
+        ct = K.to_table(K.vxm(vec, edges, sem, distribute="cogroup"))
+        np.testing.assert_array_equal(bt["v"].to_numpy(), ct["v"].to_numpy())
+        np.testing.assert_allclose(bt["val"].to_numpy(), ct["val"].to_numpy(),
+                                   rtol=0, atol=1e-12)
+    # a Dataset-typed vector must auto-route through the cogroup path
+    ds_vec = rd.from_arrow(vec)
+    at = K.to_table(K.mxv(edges, ds_vec, "plus_times"))
+    bt = K.to_table(K.mxv(edges, vec, "plus_times", distribute="broadcast"))
+    np.testing.assert_allclose(at["val"].to_numpy(), bt["val"].to_numpy(),
+                               rtol=0, atol=1e-12)
