@@ -145,3 +145,42 @@ def analyze_documents(docs_ds, *, concurrency=(1, 8), batch_size: int = 2048):
     return docs_ds.map_batches(
         DocAnalyzer, batch_format="pandas", batch_size=batch_size, concurrency=concurrency
     )
+
+
+_PUNCT_EXPLICIT = r"[^\sA-Za-z0-9À-ɏ_]"  # explicit class: identical in re and RE2
+_STOP_EN = sorted(_PROFILES["en"])
+
+
+class DocFeatures:
+    """Integer text features with exact SQL twins (driver-hash-checkable):
+    n_chars, n_tokens (BPE-ish regex), n_ws_tokens, n_punct, n_stopwords.
+    Patterns use explicit character classes so python-re and the oracle's
+    RE2 agree byte-for-byte (\\w differs between the engines)."""
+
+    def __init__(self):
+        self.tok = re.compile(_TOKEN_RE)
+        self.punct = re.compile(_PUNCT_EXPLICIT)
+        self.word = re.compile(r"[A-Za-zÀ-ɏ]+")
+        self.stop = frozenset(_STOP_EN)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        out = pd.DataFrame({"doc_id": batch["doc_id"]})
+        out["n_chars"] = texts.str.len().astype("int64")
+        out["n_tokens"] = texts.map(lambda s: len(self.tok.findall(s))).astype("int64")
+        out["n_ws_tokens"] = texts.str.split().map(len).astype("int64")
+        out["n_punct"] = texts.map(lambda s: len(self.punct.findall(s))).astype("int64")
+        out["n_stopwords"] = texts.map(
+            lambda s: sum(1 for w in self.word.findall(s.lower()) if w in self.stop)
+        ).astype("int64")
+        return out
+
+
+def doc_features(docs_ds, *, concurrency=(1, 8), batch_size: int = 2048):
+    """SQL-oracle-able integer feature extraction (one actor pool)."""
+    if isinstance(concurrency, int):
+        concurrency = (1, concurrency)
+    return docs_ds.map_batches(
+        DocFeatures, batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency
+    )

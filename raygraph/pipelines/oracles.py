@@ -270,3 +270,70 @@ def _sssp_sql(k: int = 24, source: int = 1) -> str:
 
 
 ORACLES["sssp_weighted"] = _sssp_sql(24)
+
+
+# exact SQL twins for the r1 rows-only queries (VERDICT r1 next #4)
+
+_TOKEN_RE_SQL = "[A-Za-zÀ-ɏ]+|[0-9]+|[^\\sA-Za-z0-9À-ɏ]"
+_PUNCT_RE_SQL = "[^\\sA-Za-z0-9À-ɏ_]"
+_WORD_RE_SQL = "[A-Za-zÀ-ɏ]+"
+_STOP_EN_SQL = "('the','and','of','to','a','in','is','that','it','for','was','with')"
+
+ORACLES["doc_analysis"] = f"""SELECT doc_id,
+       length(text) AS n_chars,
+       length(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS n_tokens,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws_tokens,
+       length(regexp_extract_all(text, '{_PUNCT_RE_SQL}')) AS n_punct,
+       (SELECT count(*) FROM unnest(regexp_extract_all(lower(text), '{_WORD_RE_SQL}')) AS u(w)
+        WHERE w IN {_STOP_EN_SQL}) AS n_stopwords
+FROM documents ORDER BY doc_id"""
+
+# exact word-3-gram Jaccard >= threshold over all pairs — the full set the
+# banding+exact-verify pipeline must reproduce (recall 1.0 by construction
+# of the banding parameters on this corpus; precision 1.0 by exact verify)
+ORACLES["minhash_pairs"] = """WITH toks AS MATERIALIZED (
+  SELECT doc_id, tok, ord FROM (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l FROM documents
+    WHERE trim(text) <> ''
+  ), LATERAL (SELECT unnest(l) AS tok, generate_subscripts(l, 1) AS ord) AS u
+),
+grams AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+              JOIN toks c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+FROM inter JOIN cnt ca ON ca.doc_id = inter.a JOIN cnt cb ON cb.doc_id = inter.b
+WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
+ORDER BY a, b"""
+
+# md5-based sim64 recomputed in SQL, then the exact Hamming<=3 pair set
+ORACLES["simhash_pairs"] = """WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+  FROM documents
+),
+tc AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+th AS (SELECT doc_id, cnt, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM tc),
+bits AS (SELECT unnest(range(64)) AS b),
+sc AS (
+  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+  FROM th CROSS JOIN bits GROUP BY 1, 2
+),
+sh AS (
+  SELECT d.doc_id,
+         coalesce((SELECT sum(CASE WHEN s > 0 THEN 1::UBIGINT << b ELSE 0 END)::UBIGINT
+                   FROM sc WHERE sc.doc_id = d.doc_id), 0::UBIGINT) AS sim64
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       bit_count(xor(x.sim64, y.sim64)) AS hamming
+FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.sim64, y.sim64)) <= 3
+ORDER BY a, b"""

@@ -268,8 +268,18 @@ def q_doc_token_counts(sf_dir):
 
 
 def q_doc_analysis(sf_dir):
-    """Full text analysis (lang-ID + quality heuristics): rows-only check
-    (the scoring heuristics are not SQL-expressible)."""
+    """Integer text features with an exact SQL twin (token/char/punct/
+    stopword counts; hash-checked against the DuckDB oracle)."""
+    from raygraph.datapipe.text import doc_features
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    return K.to_table(doc_features(docs, concurrency=4), sort_by="doc_id")
+
+
+def q_doc_profile(sf_dir):
+    """Full text analysis (lang-ID + quality heuristics + fingerprint):
+    rows-only check (the scoring heuristics are not SQL-expressible)."""
     from raygraph.datapipe.text import analyze_documents
 
     docs = _rd().read_parquet(f"{sf_dir}/documents.parquet")
@@ -297,27 +307,38 @@ def q_knn_topk(sf_dir):
 
 
 def q_emb_near_dups(sf_dir):
-    from raygraph.datapipe.similarity import embedding_near_dups_exact
+    """Banded-LSH near-dup pairs with exact in-bucket verification (the
+    scale path; recall 1.0 at this threshold/band setting on this corpus,
+    hash-checked against the exact all-pairs SQL oracle — the broadcast
+    all-pairs variant stays as the pytest oracle twin only)."""
+    from raygraph.datapipe.similarity import embedding_near_dups
 
     emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
-    t = K.to_table(embedding_near_dups_exact(emb, threshold=0.45), sort_by=None)
+    out = embedding_near_dups(emb, threshold=0.45)
+    t = K.to_table(out, sort_by=None).select(["a", "b"])
     return t.sort_by([("a", "ascending"), ("b", "ascending")])
 
 
 def q_minhash_pairs(sf_dir):
-    """MinHash+LSH near-dup candidates: rows-only check (sketch-based)."""
+    """MinHash+LSH near-dups with exact word-3-gram Jaccard verification;
+    hash-checked against the exact-Jaccard SQL oracle (banding recall is
+    1.0 on the planted-dup corpus at this threshold)."""
     from raygraph.datapipe.dedup import minhash_lsh_pairs
 
     docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_lsh_pairs(docs, jaccard_threshold=0.8)
+    t = K.to_table(minhash_lsh_pairs(docs, jaccard_threshold=0.5), sort_by=None)
+    return t.sort_by([("a", "ascending"), ("b", "ascending")])
 
 
 def q_simhash_pairs(sf_dir):
-    """SimHash near-dup candidates: rows-only check (sketch-based)."""
+    """SimHash near-dups: EXACT pair set for Hamming <= 3 (4x16-bit chunk
+    blocking is exhaustive by pigeonhole) with an md5-based sim64 the SQL
+    oracle recomputes bit-for-bit; hash-checked."""
     from raygraph.datapipe.dedup import simhash_pairs
 
     docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return simhash_pairs(docs, max_hamming=3)
+    t = K.to_table(simhash_pairs(docs, max_hamming=3), sort_by=None)
+    return t.sort_by([("a", "ascending"), ("b", "ascending")])
 
 
 def q_knn_lsh(sf_dir):
@@ -468,6 +489,7 @@ QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_counts": q_doc_token_counts,
     "doc_analysis": q_doc_analysis,
+    "doc_profile": q_doc_profile,
     "knn_topk": q_knn_topk,
     "emb_near_dups": q_emb_near_dups,
     "minhash_pairs": q_minhash_pairs,
