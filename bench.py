@@ -129,6 +129,25 @@ def run_bench() -> dict:
     q["cc"] = time.perf_counter() - t2
     pr_meta["cc_rounds"] = cci["iters"]
 
+    # ---- frontier BFS from the max-out-degree hub (masked-SpMV path:
+    # work is the sum of frontier out-degrees, not D*nnz)
+    import numpy as np
+
+    from raygraph.algorithms.paths import bfs_levels
+
+    degs = g.deg_slices()
+    ids = g.ids_slices()
+    pbest = max(range(g.num_parts),
+                key=lambda p: degs[p].max() if len(degs[p]) else -1)
+    src_v = int(ids[pbest][int(np.argmax(degs[pbest]))])
+    t3 = time.perf_counter()
+    dist, bfsi = bfs_levels(g, src_v, mode="frontier")
+    q["bfs"] = time.perf_counter() - t3
+    pr_meta["bfs_rounds"] = bfsi["iters"]
+    pr_meta["bfs_edges_traversed"] = bfsi["edges_traversed"]
+    pr_meta["bfs_dnnz"] = bfsi["iters"] * g.nnz  # what full relaxation would touch
+    pr_meta["bfs_reached"] = int(sum(int(np.isfinite(s).sum()) for s in dist))
+
     # ---- operator-family queries over the testdata tables
     for name in ("coo_build_dup_plus", "pagerank_k8", "cc_labels",
                  "doc_exact_dedup", "minhash_pairs", "knn_topk",

@@ -337,3 +337,27 @@ SELECT x.doc_id AS a, y.doc_id AS b,
 FROM sh x JOIN sh y ON x.doc_id < y.doc_id
 WHERE bit_count(xor(x.sim64, y.sim64)) <= 3
 ORDER BY a, b"""
+
+
+ORACLES["ewise_add_int64"] = f"""WITH va AS (
+  SELECT l_partkey % {MOD} AS v,
+         max(l_orderkey * 1099511627776 + l_linenumber) AS val
+  FROM lineitem GROUP BY 1
+),
+vb AS (
+  SELECT l_suppkey % {MOD} AS v,
+         min(l_orderkey * 1099511627776 + l_linenumber) AS val
+  FROM lineitem GROUP BY 1
+)
+SELECT COALESCE(va.v, vb.v) AS v,
+       CASE WHEN va.val IS NOT NULL AND vb.val IS NOT NULL THEN va.val + vb.val
+            ELSE COALESCE(va.val, vb.val) END AS val
+FROM va FULL OUTER JOIN vb ON va.v = vb.v ORDER BY v"""
+
+ORACLES["graph_overlay"] = f"""WITH {_E},
+t AS (SELECT dst AS src, src AS dst, w FROM e)
+SELECT COALESCE(a.src, b.src) AS src, COALESCE(a.dst, b.dst) AS dst,
+       round(CASE WHEN a.w IS NOT NULL AND b.w IS NOT NULL THEN a.w + b.w
+                  ELSE COALESCE(a.w, b.w) END, 6) AS w
+FROM e a FULL OUTER JOIN t b ON a.src = b.src AND a.dst = b.dst
+ORDER BY src, dst"""

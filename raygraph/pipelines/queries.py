@@ -558,3 +558,45 @@ def q_sssp_weighted(sf_dir):
 
 
 QUERIES["sssp_weighted"] = q_sssp_weighted
+
+
+_BIG = 1099511627776  # 2^40: pushes values past 2^53 so a float64 round-trip corrupts
+
+
+def _int_vec(sf_dir, key: str, monoid: str) -> "object":
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=[key, "l_orderkey", "l_linenumber"])
+
+    def m(t: pa.Table) -> pa.Table:
+        v = (np.asarray(t[key].to_numpy(zero_copy_only=False)) % MOD).astype(np.uint64)
+        val = (np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False), np.int64) * _BIG
+               + np.asarray(t["l_linenumber"].to_numpy(zero_copy_only=False), np.int64))
+        return pa.table({"v": v, "val": val})
+
+    return K.salted_aggregate(ds.map_batches(m, batch_format="pyarrow"),
+                              "v", "val", monoid, alias="val")
+
+
+def q_ewise_add_int64(sf_dir):
+    """Typed-kernel exactness: int64 payloads above 2^53 through ewise_add
+    (the r1 float64-coercing kernels would corrupt the low bits;
+    VERDICT r1 next #7)."""
+    va = _int_vec(sf_dir, "l_partkey", "max")
+    vb = _int_vec(sf_dir, "l_suppkey", "min")
+    t = K.to_table(K.ewise_add(va, vb, "plus"))
+    return _int64_col(_int64_col(t, "v"), "val")
+
+
+def q_graph_overlay(sf_dir):
+    """Matrix ewise_add: overlay of g1 with its transpose (summed weights
+    where both directions exist — reference matrix.py:1912 ewise_add on
+    Matrix)."""
+    e = _edges_dedup(sf_dir).materialize()
+    out = K.ewise_add_matrix(e, K.transpose(e), "plus")
+    t = K.to_table(out, sort_by=None).select(["src", "dst", "w"])
+    t = _round_col(_int64_col(_int64_col(t, "src"), "dst"), "w")
+    return t.sort_by([("src", "ascending"), ("dst", "ascending")])
+
+
+QUERIES["ewise_add_int64"] = q_ewise_add_int64
+QUERIES["graph_overlay"] = q_graph_overlay

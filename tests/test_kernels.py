@@ -292,3 +292,61 @@ def test_mxv_cogroup_matches_broadcast():
     bt = K.to_table(K.mxv(edges, vec, "plus_times", distribute="broadcast"))
     np.testing.assert_allclose(at["val"].to_numpy(), bt["val"].to_numpy(),
                                rtol=0, atol=1e-12)
+
+
+def test_typed_int64_exactness_above_2_53():
+    """int64 payloads survive ewise/merge/extract exactly (no float64
+    round-trip: 2^53+1 etc. would be corrupted by the r1 kernels)."""
+    big = 2**60
+    va = pa.table({"v": np.array([1, 2, 3], np.uint64),
+                   "val": np.array([big + 1, big + 3, 7], np.int64)})
+    vb = pa.table({"v": np.array([2, 3, 4], np.uint64),
+                   "val": np.array([1, big + 5, big + 7], np.int64)})
+    out = K.to_table(K.ewise_add(va, vb, "plus"))
+    got = dict(zip(out["v"].to_pylist(), out["val"].to_pylist()))
+    assert out["val"].type == pa.int64()
+    assert got == {1: big + 1, 2: big + 4, 3: big + 12, 4: big + 7}
+    out = K.to_table(K.ewise_mult(va, vb, "min"))
+    got = dict(zip(out["v"].to_pylist(), out["val"].to_pylist()))
+    assert got == {2: 1, 3: 7}
+    out = K.to_table(K.merge(va, vb, accum="plus"))
+    got = dict(zip(out["v"].to_pylist(), out["val"].to_pylist()))
+    assert got[3] == big + 12 or got[3] == 7 + big + 5
+    out = K.to_table(K.extract(va, np.array([3, 3, 1], np.uint64)))
+    assert out["val"].to_pylist() == [7, 7, big + 1]
+    assert out["val"].type == pa.int64()
+    # bool vectors stay bool through ewise
+    ba = pa.table({"v": np.array([1, 2], np.uint64),
+                   "val": np.array([True, False])})
+    bb = pa.table({"v": np.array([2, 3], np.uint64),
+                   "val": np.array([True, True])})
+    out = K.to_table(K.ewise_add(ba, bb, "lor"))
+    assert out["val"].type == pa.bool_()
+
+
+def test_matrix_ewise_ops():
+    ea = pa.table({"src": np.array([0, 0, 1], np.uint64),
+                   "dst": np.array([1, 2, 2], np.uint64),
+                   "w": np.array([1.0, 2.0, 3.0])})
+    eb = pa.table({"src": np.array([0, 1, 2], np.uint64),
+                   "dst": np.array([2, 2, 0], np.uint64),
+                   "w": np.array([10.0, 20.0, 30.0])})
+    t = K.to_table(K.ewise_add_matrix(ea, eb, "plus"), sort_by=None).sort_by(
+        [("src", "ascending"), ("dst", "ascending")])
+    rows = list(zip(t["src"].to_pylist(), t["dst"].to_pylist(), t["w"].to_pylist()))
+    assert rows == [(0, 1, 1.0), (0, 2, 12.0), (1, 2, 23.0), (2, 0, 30.0)]
+    t = K.to_table(K.ewise_mult_matrix(ea, eb, "times"), sort_by=None)
+    rows = list(zip(t["src"].to_pylist(), t["dst"].to_pylist(), t["w"].to_pylist()))
+    assert rows == [(0, 2, 20.0), (1, 2, 60.0)]
+    t = K.to_table(K.ewise_union_matrix(ea, eb, "minus", 0.0, 0.0),
+                   sort_by=None).sort_by([("src", "ascending"), ("dst", "ascending")])
+    rows = list(zip(t["src"].to_pylist(), t["dst"].to_pylist(), t["w"].to_pylist()))
+    assert rows == [(0, 1, 1.0), (0, 2, -8.0), (1, 2, -17.0), (2, 0, -30.0)]
+    # int64 weights stay exact
+    big = 2**58
+    ia = pa.table({"src": np.array([0], np.uint64), "dst": np.array([1], np.uint64),
+                   "w": np.array([big + 1], np.int64)})
+    ib = pa.table({"src": np.array([0], np.uint64), "dst": np.array([1], np.uint64),
+                   "w": np.array([big + 2], np.int64)})
+    t = K.to_table(K.ewise_add_matrix(ia, ib, "plus"), sort_by=None)
+    assert t["w"].to_pylist() == [2 * big + 3]
