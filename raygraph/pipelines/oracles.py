@@ -361,3 +361,23 @@ SELECT COALESCE(a.src, b.src) AS src, COALESCE(a.dst, b.dst) AS dst,
                   ELSE COALESCE(a.w, b.w) END, 6) AS w
 FROM e a FULL OUTER JOIN t b ON a.src = b.src AND a.dst = b.dst
 ORDER BY src, dst"""
+
+
+ORACLES["agg_norms"] = f"""WITH {_SUPP}
+SELECT count(*) FILTER (val <> 0) AS l0,
+       round(sum(abs(val)), 6) AS l1,
+       round(sqrt(sum(val * val)), 6) AS l2,
+       round(max(abs(val)), 6) AS linf
+FROM sv"""
+
+ORACLES["agg_var_argmin"] = f"""WITH {_CUST}
+SELECT round(var_pop(val), 3) AS varp,
+       round(stddev_samp(val), 3) AS stds,
+       (SELECT v FROM cv ORDER BY val ASC, v ASC LIMIT 1) AS argmin,
+       (SELECT v FROM cv ORDER BY val DESC, v ASC LIMIT 1) AS argmax,
+       min(v) AS first_index,
+       max(v) AS last_index
+FROM cv"""
+
+ORACLES["select_rowle"] = f"""WITH {_E}
+SELECT src, dst, w FROM e WHERE src <= 100 AND dst > 50 ORDER BY src, dst"""

@@ -600,3 +600,47 @@ def q_graph_overlay(sf_dir):
 
 QUERIES["ewise_add_int64"] = q_ewise_add_int64
 QUERIES["graph_overlay"] = q_graph_overlay
+
+
+def q_agg_norms(sf_dir):
+    """Composite aggregators over the supplier vector: L0/L1/L2/Linf norms
+    (reference core/operator/agg.py:290-680)."""
+    agg = K.vector_agg(_supplier_vec(sf_dir),
+                       ["L0norm", "L1norm", "L2norm", "Linfnorm"])
+    return pa.table({
+        "l0": pa.array([agg["L0norm"]], pa.int64()),
+        "l1": pa.array([round(agg["L1norm"], 6)]),
+        "l2": pa.array([round(agg["L2norm"], 6)]),
+        "linf": pa.array([round(agg["Linfnorm"], 6)]),
+    })
+
+
+def q_agg_var_argmin(sf_dir):
+    """Composite aggregators over the customer vector: variance/stddev,
+    argmin/argmax (ties -> smallest index), first/last index."""
+    agg = K.vector_agg(_customer_vec(sf_dir),
+                       ["varp", "stds", "argmin", "argmax",
+                        "first_index", "last_index"])
+    return pa.table({
+        "varp": pa.array([round(agg["varp"], 3)]),
+        "stds": pa.array([round(agg["stds"], 3)]),
+        "argmin": pa.array([agg["argmin"]], pa.int64()),
+        "argmax": pa.array([agg["argmax"]], pa.int64()),
+        "first_index": pa.array([agg["first_index"]], pa.int64()),
+        "last_index": pa.array([agg["last_index"]], pa.int64()),
+    })
+
+
+def q_select_rowle(sf_dir):
+    """Thunk-comparison positional select: rows with src <= 100 and
+    dst > 50 (reference indexunary rowle/colgt)."""
+    e = _edges_dedup(sf_dir).materialize()
+    out = K.select_positional(K.select_positional(e, "rowle", 100), "colgt", 50)
+    t = K.to_table(out, sort_by=None).select(["src", "dst", "w"])
+    t = _int64_col(_int64_col(t, "src"), "dst")
+    return t.sort_by([("src", "ascending"), ("dst", "ascending")])
+
+
+QUERIES["agg_norms"] = q_agg_norms
+QUERIES["agg_var_argmin"] = q_agg_var_argmin
+QUERIES["select_rowle"] = q_select_rowle

@@ -350,3 +350,47 @@ def test_matrix_ewise_ops():
                    "w": np.array([big + 2], np.int64)})
     t = K.to_table(K.ewise_add_matrix(ia, ib, "plus"), sort_by=None)
     assert t["w"].to_pylist() == [2 * big + 3]
+
+
+def test_vector_agg_composites():
+    rng = np.random.default_rng(11)
+    v = np.arange(1, 301, dtype=np.uint64)
+    val = np.round(rng.uniform(-50, 50, 300), 2)
+    val[5] = 0.0
+    vec = pa.table({"v": v, "val": val})
+    agg = K.vector_agg(vec, ["count", "mean", "argmin", "argmax", "varp",
+                             "vars", "stdp", "stds", "L0norm", "L1norm",
+                             "L2norm", "Linfnorm", "first_index", "last_index"])
+    assert agg["count"] == 300
+    np.testing.assert_allclose(agg["mean"], val.mean(), rtol=1e-12)
+    assert agg["argmin"] == int(v[np.argmin(val)])
+    assert agg["argmax"] == int(v[np.argmax(val)])
+    np.testing.assert_allclose(agg["varp"], val.var(), rtol=1e-9)
+    np.testing.assert_allclose(agg["vars"], val.var(ddof=1), rtol=1e-9)
+    np.testing.assert_allclose(agg["stdp"], val.std(), rtol=1e-9)
+    np.testing.assert_allclose(agg["stds"], val.std(ddof=1), rtol=1e-9)
+    assert agg["L0norm"] == int((val != 0).sum())
+    np.testing.assert_allclose(agg["L1norm"], np.abs(val).sum(), rtol=1e-12)
+    np.testing.assert_allclose(agg["L2norm"], np.sqrt((val * val).sum()), rtol=1e-12)
+    assert agg["Linfnorm"] == np.abs(val).max()
+    assert agg["first_index"] == 1 and agg["last_index"] == 300
+
+
+def test_select_positional_thunk_and_index():
+    e = pa.table({"src": np.array([0, 5, 10, 20], np.uint64),
+                  "dst": np.array([9, 5, 2, 30], np.uint64),
+                  "w": np.ones(4)})
+    t = K.to_table(K.select_positional(e, "rowle", 5), sort_by=None)
+    assert t["src"].to_pylist() == [0, 5]
+    t = K.to_table(K.select_positional(e, "colgt", 5), sort_by=None)
+    assert sorted(t["dst"].to_pylist()) == [9, 30]
+    t = K.to_table(K.select_positional(e, "rowgt", 5), sort_by=None)
+    assert sorted(t["src"].to_pylist()) == [10, 20]
+    t = K.to_table(K.select_positional(e, "colle", 5), sort_by=None)
+    assert sorted(t["dst"].to_pylist()) == [2, 5]
+    # k-th diagonal select via thunk
+    t = K.to_table(K.select_positional(e, "diag", 10), sort_by=None)
+    assert t["src"].to_pylist() == [20] and t["dst"].to_pylist() == [30]
+    vec = pa.table({"v": np.array([1, 5, 9], np.uint64), "val": np.ones(3)})
+    t = K.to_table(K.select_index(vec, "<=", 5))
+    assert t["v"].to_pylist() == [1, 5]
