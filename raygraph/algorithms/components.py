@@ -31,7 +31,7 @@ def connected_components(
     itermax: int = 64,
     ckpt_dir: str | None = None,
     resume: bool = True,
-    mode: str = "dataset",  # "dataset" (engine primitives) | "fused" (raw-task BSP)
+    mode: str = "fused",  # "fused" (production: refs-only raw-task BSP) | "dataset" (cross-check)
 ) -> tuple[list[np.ndarray], dict]:
     """Returns (parent slices f with f[v]=component min id, info dict)."""
     if mode == "fused":

@@ -34,7 +34,7 @@ def pagerank(
     ckpt_dir: str | None = None,
     ckpt_every: int = 1,
     resume: bool = True,
-    mode: str = "dataset",  # "dataset" (engine.spmv groupby) | "fused" (raw-task BSP)
+    mode: str = "fused",  # "fused" (production: refs-only raw-task BSP) | "dataset" (cross-check)
     check_every: int = 1,
 ) -> tuple[list[np.ndarray], dict]:
     """Returns (score slices per partition, info dict with iteration metrics)."""

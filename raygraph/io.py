@@ -1,0 +1,124 @@
+"""IO bridges: Matrix Market, scipy.sparse, networkx (reference
+graphblas/io/_matrixmarket.py:6, _scipy.py:8, _networkx.py:5).
+
+These are interchange conveniences for driver-sized graphs — the scale
+path in and out of this engine is partitioned Parquet edge tables
+(graph.build_graph / Dataset.write_parquet). scipy/networkx are absent
+from this container, so those bridges import-gate and raise a clear
+error instead of failing at import time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def mmread(path: str) -> pa.Table:
+    """Read a Matrix Market coordinate file into an (src, dst, w) edge
+    table (0-based; MM files are 1-based). Supports ``general`` and
+    ``symmetric`` coordinate matrices, real/integer/pattern fields."""
+    with open(path, "r", encoding="utf-8") as f:
+        header = f.readline().strip().lower().split()
+        if len(header) < 4 or header[0] != "%%matrixmarket":
+            raise ValueError("not a MatrixMarket file")
+        fmt, field = header[2], header[3]
+        symmetry = header[4] if len(header) > 4 else "general"
+        if fmt != "coordinate":
+            raise ValueError("only coordinate (sparse) MatrixMarket supported")
+        line = f.readline()
+        while line.startswith("%"):
+            line = f.readline()
+        nrows, ncols, nnz = (int(x) for x in line.split())
+        data = np.loadtxt(f, ndmin=2) if nnz else np.zeros((0, 3))
+    if nnz and data.shape[0] != nnz:
+        raise ValueError(f"expected {nnz} entries, found {data.shape[0]}")
+    src = data[:, 0].astype(np.uint64) - 1 if nnz else np.empty(0, np.uint64)
+    dst = data[:, 1].astype(np.uint64) - 1 if nnz else np.empty(0, np.uint64)
+    if field == "pattern" or data.shape[1] < 3:
+        w = np.ones(len(src), np.float64)
+    else:
+        w = data[:, 2].astype(np.float64)
+    if symmetry == "symmetric" and len(src):
+        off = src != dst
+        src = np.concatenate([src, dst[off]])
+        dst = np.concatenate([dst, data[:, 0].astype(np.uint64)[off] - 1])
+        w = np.concatenate([w, w[off]])
+    tbl = pa.table({"src": src, "dst": dst, "w": w})
+    tbl = tbl.replace_schema_metadata({b"mm_shape": f"{nrows} {ncols}".encode()})
+    return tbl
+
+
+def mmwrite(path: str, edges: pa.Table, *, nrows: int | None = None,
+            ncols: int | None = None, comment: str = "") -> None:
+    """Write an (src, dst, w) edge table as a general real coordinate
+    MatrixMarket file (1-based)."""
+    src = np.asarray(edges["src"].to_numpy(zero_copy_only=False), np.uint64)
+    dst = np.asarray(edges["dst"].to_numpy(zero_copy_only=False), np.uint64)
+    w = (np.asarray(edges["w"].to_numpy(zero_copy_only=False), np.float64)
+         if "w" in edges.column_names else np.ones(len(src)))
+    if nrows is None:
+        nrows = int(src.max()) + 1 if len(src) else 0
+    if ncols is None:
+        ncols = int(dst.max()) + 1 if len(dst) else 0
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("%%MatrixMarket matrix coordinate real general\n")
+        if comment:
+            for line in comment.splitlines():
+                f.write(f"%{line}\n")
+        f.write(f"{nrows} {ncols} {len(src)}\n")
+        for s, d, x in zip(src, dst, w):
+            f.write(f"{int(s) + 1} {int(d) + 1} {x!r}\n")
+
+
+def to_scipy(edges: pa.Table, *, n: int | None = None):
+    """Edge table -> scipy.sparse.csr_matrix (driver-sized graphs only)."""
+    try:
+        from scipy.sparse import coo_matrix
+    except ImportError as e:  # pragma: no cover - scipy absent in container
+        raise ImportError("scipy is not installed in this environment; "
+                          "use parquet edge tables for interchange") from e
+    src = np.asarray(edges["src"].to_numpy(zero_copy_only=False), np.int64)
+    dst = np.asarray(edges["dst"].to_numpy(zero_copy_only=False), np.int64)
+    w = (np.asarray(edges["w"].to_numpy(zero_copy_only=False), np.float64)
+         if "w" in edges.column_names else np.ones(len(src)))
+    if n is None:
+        n = int(max(src.max(), dst.max())) + 1 if len(src) else 0
+    return coo_matrix((w, (src, dst)), shape=(n, n)).tocsr()
+
+
+def from_scipy(m) -> pa.Table:
+    """scipy sparse matrix -> (src, dst, w) edge table."""
+    coo = m.tocoo()
+    return pa.table({"src": coo.row.astype(np.uint64),
+                     "dst": coo.col.astype(np.uint64),
+                     "w": coo.data.astype(np.float64)})
+
+
+def to_networkx(edges: pa.Table, *, directed: bool = True):
+    """Edge table -> networkx (Di)Graph (driver-sized graphs only)."""
+    try:
+        import networkx as nx
+    except ImportError as e:  # pragma: no cover - networkx absent
+        raise ImportError("networkx is not installed in this environment") from e
+    g = nx.DiGraph() if directed else nx.Graph()
+    src = np.asarray(edges["src"].to_numpy(zero_copy_only=False), np.int64)
+    dst = np.asarray(edges["dst"].to_numpy(zero_copy_only=False), np.int64)
+    w = (np.asarray(edges["w"].to_numpy(zero_copy_only=False), np.float64)
+         if "w" in edges.column_names else np.ones(len(src)))
+    g.add_weighted_edges_from(zip(src.tolist(), dst.tolist(), w.tolist()))
+    return g
+
+
+def from_networkx(g) -> pa.Table:
+    """networkx graph -> (src, dst, w) edge table."""
+    rows = [(int(u), int(v), float(d.get("weight", 1.0)))
+            for u, v, d in g.edges(data=True)]
+    if not rows:
+        return pa.table({"src": pa.array([], pa.uint64()),
+                         "dst": pa.array([], pa.uint64()),
+                         "w": pa.array([], pa.float64())})
+    src, dst, w = zip(*rows)
+    return pa.table({"src": np.asarray(src, np.uint64),
+                     "dst": np.asarray(dst, np.uint64),
+                     "w": np.asarray(w, np.float64)})
