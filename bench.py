@@ -118,6 +118,12 @@ def run_bench() -> dict:
     # ---- connected components on the symmetric graph (triangle counting is
     # benchmarked on the g1 query below; on the full power-law web graph the
     # wedge count makes it a multi-minute job, out of per-round budget)
+    # memory-aware: the link/vertex tables and pagerank's routing cache are
+    # O(nnz) in the object store; release them before building the second
+    # (symmetric) graph or the store spills and every later stage pays
+    del extracted, links, verts
+    g.free_caches()
+
     t2 = time.perf_counter()
     from raygraph.graph import symmetrize_graph
 
@@ -128,6 +134,11 @@ def run_bench() -> dict:
     f, cci = connected_components(gs, mode="fused")
     q["cc"] = time.perf_counter() - t2
     pr_meta["cc_rounds"] = cci["iters"]
+
+    # release the symmetric graph before BFS runs on the directed one
+    gs.free_caches()
+    gs = None
+    f = None
 
     # ---- frontier BFS from the max-out-degree hub (masked-SpMV path:
     # work is the sum of frontier out-degrees, not D*nnz)

@@ -154,3 +154,83 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
         },
         schema=MEDIA_SCHEMA,
     )
+
+
+class ImageResizer:
+    """payload -> resized payload + updated meta (stub codec).
+
+    Real path would decode, resize with the actor-held codec, re-encode;
+    the fake path keeps the bytes and rescales the metadata so downstream
+    schema/flow (including object-store sizing) is exercised for real."""
+
+    def __init__(self, max_side: int = 64, fake: bool = True):
+        self.max_side = max_side
+        self.fake = fake
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError("image codec not available in this container")
+        w = np.asarray(t["meta_width"].to_numpy(zero_copy_only=False), np.float64)
+        h = np.asarray(t["meta_height"].to_numpy(zero_copy_only=False), np.float64)
+        scale = np.minimum(1.0, self.max_side / np.maximum(np.maximum(w, h), 1.0))
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "kind": t["kind"],
+                "payload": t["payload"],  # fake: bytes unchanged
+                "meta_width": pa.array((w * scale).astype(np.int32)),
+                "meta_height": pa.array((h * scale).astype(np.int32)),
+                "meta_duration_ms": t["meta_duration_ms"],
+            }
+        )
+
+
+class AudioFeaturizer:
+    """audio payload -> fixed-size feature vector (stub codec).
+
+    Real path: decode with the actor-held soundfile/ffmpeg handle, then
+    frame + FFT; fake path derives a deterministic feature from the bytes
+    and duration so batching/schema are real."""
+
+    def __init__(self, feature_dim: int = 12, fake: bool = True):
+        self.dim = feature_dim
+        self.fake = fake
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError("audio codec not available in this container")
+        payloads = t["payload"].to_pylist()
+        dur = np.asarray(t["meta_duration_ms"].to_numpy(zero_copy_only=False))
+        feats = [
+            _fake_feature((p or b"") + int(d).to_bytes(4, "little"), self.dim)
+            for p, d in zip(payloads, dur)
+        ]
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "feature": pa.array([list(f) for f in feats], pa.list_(pa.float64())),
+                "duration_ms": pa.array(dur.astype(np.int64)),
+            }
+        )
+
+
+def resize_images(media_ds, *, max_side: int = 64, concurrency=(1, 4),
+                  batch_size: int = 256):
+    return media_ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"max_side": max_side},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def audio_features(media_ds, *, feature_dim: int = 12, concurrency=(1, 4),
+                   batch_size: int = 256):
+    return media_ds.map_batches(
+        AudioFeaturizer,
+        fn_constructor_kwargs={"feature_dim": feature_dim},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

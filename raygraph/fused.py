@@ -33,11 +33,18 @@ def _prep_block(row: dict, num_parts: int) -> dict:
     indptr = np.asarray(row["indptr"], np.int64)
     dst_part = np.asarray(row["dst_part"], np.int32)
     dst_pos = np.asarray(row["dst_pos"], np.int64)
-    w = np.asarray(row["w"], np.float64)
+    nnz = int(len(dst_pos))
     counts = np.diff(indptr)
     perm = np.lexsort((dst_pos, dst_part))
     dp = dst_part[perm]
     dq = dst_pos[perm]
+    # compact index dtypes: a block's edge count and local positions fit
+    # int32 until a single partition holds > 2^31 edges/vertices — halves
+    # the cache's object-store footprint (weights are NOT cached: the
+    # pagerank/CC scatter bodies derive contributions from deg/state, so
+    # w_perm was dead weight at 8 bytes/edge)
+    idx_t = np.int32 if nnz < 2**31 else np.int64
+    pos_t = np.int32 if (len(dq) == 0 or int(dq.max(initial=0)) < 2**31) else np.int64
     segs = []
     if len(dp):
         q_starts = np.flatnonzero(np.r_[True, dp[1:] != dp[:-1]])
@@ -46,15 +53,15 @@ def _prep_block(row: dict, num_parts: int) -> dict:
             q = int(dp[s])
             seg_pos = dq[s:e]
             starts_rel = np.flatnonzero(np.r_[True, seg_pos[1:] != seg_pos[:-1]])
-            segs.append((q, int(s), int(e), starts_rel, seg_pos[starts_rel]))
+            segs.append((q, int(s), int(e), starts_rel.astype(idx_t),
+                         seg_pos[starts_rel].astype(pos_t)))
     return {
         "src_pos": src_pos,
-        "counts": counts,
-        "w_perm": w[perm],
-        "perm": perm,
+        "counts": counts.astype(idx_t),
+        "perm": perm.astype(idx_t),
         "deg": np.asarray(row["deg"], np.float64),
         "segs": segs,
-        "nnz": int(len(w)),
+        "nnz": nnz,
     }
 
 
@@ -72,7 +79,7 @@ def block_cache(graph) -> list:
         def _prep_tbl(tbl, P):
             row = {
                 c: np.asarray(tbl[c][0].values)
-                for c in ("src_pos", "indptr", "dst_part", "dst_pos", "w", "deg")
+                for c in ("src_pos", "indptr", "dst_part", "dst_pos", "deg")
             }
             return _prep_block(row, P)
 
@@ -83,7 +90,7 @@ def block_cache(graph) -> list:
     else:
         prep = ray.remote(_prep_block)
         for p, row in graph.iter_block_rows(
-            ["src_pos", "indptr", "dst_part", "dst_pos", "w", "deg"]
+            ["src_pos", "indptr", "dst_part", "dst_pos", "deg"]
         ):
             refs[p] = prep.remote(row, graph.num_parts)
     graph._fused_cache = refs

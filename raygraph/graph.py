@@ -125,6 +125,13 @@ class Graph:
         """Dense per-partition state vector initialized to ``fill``."""
         return [np.full(int(s), fill, dtype=dtype) for s in self.sizes]
 
+    def free_caches(self) -> None:
+        """Release the fused/frontier routing caches (O(nnz) object-store
+        bytes); algorithms rebuild them on demand. Call between pipeline
+        phases when several graphs coexist (memory-aware rule, SCALE.md)."""
+        self._fused_cache = None
+        self._frontier_cache = None
+
     def to_vertex_table(self, slices: list[np.ndarray], name: str = "val") -> pa.Table:
         """(v, val) Arrow table from per-partition state (driver-side)."""
         ids = self.ids_slices()

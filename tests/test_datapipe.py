@@ -181,3 +181,26 @@ def test_media_real_codec_gate_raises():
     dec = media.ImageDecoder(fake=False)
     with pytest.raises(NotImplementedError):
         dec.decode(b"xx", 4, 4)
+
+
+def test_media_resize_and_audio_plumbing():
+    import pytest
+
+    tbl = media.synth_media_table(48, seed=9)
+    ds = rd.from_arrow(tbl)
+    resized = media.resize_images(ds, max_side=32, concurrency=2).to_pandas()
+    assert len(resized) == 48
+    assert (resized["meta_width"] <= 32).all() and (resized["meta_height"] <= 32).all()
+    # aspect ratio preserved to rounding
+    orig = tbl.to_pandas()
+    big = orig["meta_width"] > orig["meta_height"]
+    assert (resized.loc[big.values, "meta_width"] >= 31).all()  # int truncation
+    au = media.audio_features(ds, feature_dim=12, concurrency=2).to_pandas()
+    assert len(au) == 48 and all(len(f) == 12 for f in au["feature"])
+    # deterministic across runs/partitionings
+    au2 = media.audio_features(rd.from_arrow(tbl).repartition(5)).to_pandas()
+    m1 = dict(zip(au["media_id"], au["feature"]))
+    m2 = dict(zip(au2["media_id"], au2["feature"]))
+    assert all(list(m1[k]) == list(m2[k]) for k in m1)
+    with pytest.raises(NotImplementedError):
+        media.ImageResizer(fake=False)(tbl)
