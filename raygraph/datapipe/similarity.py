@@ -120,72 +120,6 @@ class HyperplaneLSH:
                          self.emb_col: t[self.emb_col]})
 
 
-def knn_cosine_lsh(
-    emb_ds,
-    queries: np.ndarray,
-    *,
-    k: int = 10,
-    num_planes: int = 8,
-    seed: int = 42,
-    id_col: str = "vec_id",
-    emb_col: str = "embedding",
-):
-    """Approximate top-k: score only vectors whose LSH bucket matches a
-    query's bucket. Recall < 1 by construction; the scale path for when
-    the corpus no longer fits a per-batch matmul budget."""
-    import ray
-
-    Q = _normalize(np.asarray(queries, np.float64))
-    dim = Q.shape[1]
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_planes, dim))
-    qsigns = (Q @ planes.T) > 0
-    qbucket = (qsigns.astype(np.int64) << np.arange(num_planes)[None, :]).sum(axis=1)
-    qref = ray.put((Q, qbucket))
-
-    bucketed = emb_ds.map_batches(
-        HyperplaneLSH,
-        fn_constructor_kwargs={"dim": dim, "num_planes": num_planes, "seed": seed,
-                               "id_col": id_col, "emb_col": emb_col},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
-
-    def score(t: pa.Table) -> pa.Table:
-        q, qb = ray.get(qref)
-        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False))
-        bk = np.asarray(t["bucket"].to_numpy(zero_copy_only=False))
-        m = _normalize(_emb_matrix(t, emb_col)) if len(ids) else None
-        out_q, out_i, out_s = [], [], []
-        for qi in range(q.shape[0]):
-            sel = bk == qb[qi]
-            if not sel.any():
-                continue
-            s = m[sel] @ q[qi]
-            kk = min(k, sel.sum())
-            top = np.argpartition(-s, kk - 1)[:kk]
-            out_q.append(np.full(kk, qi, np.int64))
-            out_i.append(ids[sel][top].astype(np.int64))
-            out_s.append(s[top])
-        if not out_q:
-            return pa.table({"query_id": pa.array([], pa.int64()),
-                             id_col: pa.array([], pa.int64()),
-                             "sim": pa.array([], pa.float64())})
-        return pa.table({"query_id": np.concatenate(out_q),
-                         id_col: np.concatenate(out_i),
-                         "sim": np.concatenate(out_s)})
-
-    partial = bucketed.map_batches(score, batch_format="pyarrow")
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", id_col], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
-
-
 class BandedHyperplaneLSH:
     """Multi-band random-hyperplane signatures (actor: planes sampled once).
 
@@ -225,6 +159,98 @@ class BandedHyperplaneLSH:
             "bucket": buckets.ravel(),
             self.emb_col: pa.concat_arrays([emb] * self.bands),
         })
+
+
+def knn_cosine_lsh(
+    emb_ds,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    bands: int = 16,
+    planes_per_band: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Approximate top-k via BANDED hyperplane LSH: a vector is scored if
+    it shares ANY band's bucket with the query (multiprobe-by-banding).
+
+    Recall at cosine t per candidate: 1-(1-p^r)^bands with
+    p = 1 - acos(t)/pi — bands=16 x r=2 gives ~0.93 at t=0.5 and ~0.9998
+    at t=0.45-0.9 range top candidates vs ~0.03-0.3 for the r1
+    single-probe 8-plane bucketing. Work per batch is the matched-bucket
+    fraction only — the sublinear scale path when the corpus outgrows the
+    exact per-batch matmul. Ties break by ascending id (same rule as
+    knn_cosine).
+    """
+    import ray
+
+    Q = _normalize(np.asarray(queries, np.float64))
+    dim = Q.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bands * planes_per_band, dim))
+    qsigns = (Q @ planes.T) > 0
+    qb = np.empty((Q.shape[0], bands), np.int64)
+    for b in range(bands):
+        seg = qsigns[:, b * planes_per_band:(b + 1) * planes_per_band]
+        qb[:, b] = (seg.astype(np.int64) << np.arange(planes_per_band)[None, :]).sum(axis=1)
+    qref = ray.put((Q, qb))
+
+    bucketed = emb_ds.map_batches(
+        BandedHyperplaneLSH,
+        fn_constructor_kwargs={"dim": dim, "bands": bands,
+                               "planes_per_band": planes_per_band, "seed": seed,
+                               "id_col": id_col, "emb_col": emb_col},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        q, qbk = ray.get(qref)
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False))
+        band = np.asarray(t["band"].to_numpy(zero_copy_only=False))
+        bk = np.asarray(t["bucket"].to_numpy(zero_copy_only=False))
+        out_q, out_i, out_s = [], [], []
+        m = None
+        for qi in range(q.shape[0]):
+            sel = np.zeros(len(ids), bool)
+            for b in range(qbk.shape[1]):
+                sel |= (band == b) & (bk == qbk[qi, b])
+            if not sel.any():
+                continue
+            # rows repeat per band: dedup candidate ids before scoring
+            cand_ids, first_pos = np.unique(ids[sel], return_index=True)
+            if m is None:
+                m = _normalize(_emb_matrix(t, emb_col))
+            rows = np.flatnonzero(sel)[first_pos]
+            s = m[rows] @ q[qi]
+            kk = min(k, len(cand_ids))
+            part = np.argpartition(-s, kk - 1)[:kk]
+            kth = s[part].min()
+            cand = np.flatnonzero(s >= kth)
+            order = np.lexsort((cand_ids[cand], -s[cand]))[:kk]
+            top = cand[order]
+            out_q.append(np.full(len(top), qi, np.int64))
+            out_i.append(cand_ids[top].astype(np.int64))
+            out_s.append(s[top])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({"query_id": np.concatenate(out_q),
+                         id_col: np.concatenate(out_i),
+                         "sim": np.concatenate(out_s)})
+
+    partial = bucketed.map_batches(score, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col])
+        g = g.sort_values(["sim", id_col], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
 def embedding_near_dups(emb_ds, *, threshold: float = 0.95, id_col: str = "vec_id",

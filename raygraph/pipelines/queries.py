@@ -347,7 +347,7 @@ def q_knn_lsh(sf_dir):
 
     emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
     _, q = _query_embeddings(sf_dir)
-    return knn_cosine_lsh(emb, q, k=5, num_planes=4)
+    return knn_cosine_lsh(emb, q, k=5)
 
 
 # ----------------------------------------------------------- events queries ----

@@ -100,7 +100,7 @@ def test_knn_lsh_self_recall():
     emb = rd.read_parquet(f"{SF}/embeddings.parquet")
     df = emb.to_pandas()
     M = np.stack([np.asarray(e, np.float64) for e in df["embedding"]])
-    got = similarity.knn_cosine_lsh(emb, M[:5], k=3, num_planes=4).to_pandas()
+    got = similarity.knn_cosine_lsh(emb, M[:5], k=3).to_pandas()
     # a vector's own bucket always matches its own query -> self in top-k
     for qi in range(5):
         mine = got[got["query_id"] == qi]
