@@ -1122,3 +1122,70 @@ def vector_agg(x, names: list[str], col: str = "val") -> dict:
         else:
             raise KeyError(name)
     return out
+
+
+# --------------------------------------------------- kronecker / power ----
+
+
+def kronecker(a, b, op_name: str = "times", *, b_nrows: int | None = None,
+              b_ncols: int | None = None, num_buckets: int = _DEFAULT_BUCKETS):
+    """A.kron(B): C[i*rB + k, j*cB + l] = A[i,j] ⊗ B[k,l]
+    (reference core/matrix.py:2253).
+
+    B is the broadcast small side (``ray.put`` of its COO arrays once; a
+    kronecker product where BOTH factors are huge is quadratic output and
+    not a thing to compute): each batch of A emits the vectorized outer
+    product against all of B. ``b_nrows/b_ncols`` default to B's max
+    index + 1.
+    """
+    import ray
+
+    op = BINARY[op_name]
+    bt = b if isinstance(b, pa.Table) else to_table(_ds(b), sort_by=None)
+    bs = np.asarray(bt["src"].to_numpy(zero_copy_only=False), np.uint64)
+    bd = np.asarray(bt["dst"].to_numpy(zero_copy_only=False), np.uint64)
+    bw = (np.asarray(bt["w"].to_numpy(zero_copy_only=False))
+          if "w" in bt.column_names else np.ones(len(bs)))
+    rB = np.uint64(b_nrows if b_nrows is not None
+                   else (int(bs.max()) + 1 if len(bs) else 0))
+    cB = np.uint64(b_ncols if b_ncols is not None
+                   else (int(bd.max()) + 1 if len(bd) else 0))
+    bref = ray.put((bs, bd, bw))
+    out_dt = _op_result_dtype(op, np.result_type(
+        _val_dtype_of(a, "w") if not isinstance(a, pa.Table) or "w" in a.column_names
+        else np.float64, bw.dtype))
+
+    def kron(t: pa.Table) -> pa.Table:
+        s2, d2, w2 = ray.get(bref)
+        s1 = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        d1 = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        w1 = (np.asarray(t["w"].to_numpy(zero_copy_only=False))
+              if "w" in t.column_names else np.ones(len(s1)))
+        if len(s1) == 0 or len(s2) == 0:
+            return _empty_edges(out_dt)
+        with np.errstate(over="ignore"):
+            src = (np.repeat(s1, len(s2)) * rB + np.tile(s2, len(s1)))
+            dst = (np.repeat(d1, len(d2)) * cB + np.tile(d2, len(d1)))
+        w = np.asarray(op(np.repeat(w1, len(w2)), np.tile(w2, len(w1))), out_dt)
+        return pa.table({"src": src, "dst": dst, "w": w})
+
+    return _ds(a).map_batches(kron, batch_format="pyarrow")
+
+
+def power(edges, n: int, semiring: str = "plus_times",
+          num_buckets: int = _DEFAULT_BUCKETS):
+    """A.power(n) — n-th semiring matrix power by repeated squaring
+    (reference core/matrix.py:2754). n >= 1."""
+    if n < 1:
+        raise ValueError("power requires n >= 1")
+    base = _ds(edges).materialize()
+    result = None
+    sq = base
+    k = n
+    while k:
+        if k & 1:
+            result = sq if result is None else mxm(result, sq, semiring).materialize()
+        k >>= 1
+        if k:
+            sq = mxm(sq, sq, semiring).materialize()
+    return result

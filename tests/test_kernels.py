@@ -394,3 +394,27 @@ def test_select_positional_thunk_and_index():
     vec = pa.table({"v": np.array([1, 5, 9], np.uint64), "val": np.ones(3)})
     t = K.to_table(K.select_index(vec, "<=", 5))
     assert t["v"].to_pylist() == [1, 5]
+
+
+def test_kronecker_matches_numpy():
+    rng = np.random.default_rng(2)
+    A = (rng.random((3, 4)) < 0.5) * np.round(rng.random((3, 4)), 3)
+    B = (rng.random((2, 3)) < 0.6) * np.round(rng.random((2, 3)), 3)
+    ea = fx.dense_to_edge_table(A)
+    eb = fx.dense_to_edge_table(B)
+    t = K.to_table(K.kronecker(ea, eb, "times", b_nrows=2, b_ncols=3), sort_by=None)
+    got = np.zeros((6, 12))
+    got[np.asarray(t["src"]).astype(int), np.asarray(t["dst"]).astype(int)] = \
+        np.asarray(t["w"])
+    np.testing.assert_allclose(got, np.kron(A, B), atol=1e-12)
+
+
+def test_power_matches_numpy():
+    A = fx.random_graph(12, 0.3, seed=4) * 0.5
+    e = fx.dense_to_edge_table(A)
+    for n in (1, 2, 3, 4):
+        t = K.to_table(K.power(e, n), sort_by=None)
+        got = np.zeros((12, 12))
+        got[np.asarray(t["src"]).astype(int), np.asarray(t["dst"]).astype(int)] = \
+            np.asarray(t["w"])
+        np.testing.assert_allclose(got, np.linalg.matrix_power(A, n), atol=1e-9)
