@@ -381,3 +381,23 @@ FROM cv"""
 
 ORACLES["select_rowle"] = f"""WITH {_E}
 SELECT src, dst, w FROM e WHERE src <= 100 AND dst > 50 ORDER BY src, dst"""
+
+
+ORACLES["diag_vector"] = f"""WITH {_E}
+SELECT src AS v, round(w, 6) AS val FROM e WHERE src = dst ORDER BY v"""
+
+ORACLES["reposition_edges"] = f"""WITH {_SUPP}
+SELECT v + 1000 AS v, round(val, 6) AS val FROM sv ORDER BY v"""
+
+ORACLES["kron_small"] = """WITH a AS (
+  SELECT n_regionkey AS src, n_nationkey % 5 AS dst, max(n_nationkey + 1.0) AS w
+  FROM nation GROUP BY 1, 2
+),
+b AS (
+  SELECT r_regionkey AS src, (r_regionkey + 1) % 3 AS dst,
+         r_regionkey + 2.0 AS w
+  FROM region
+)
+SELECT a.src * 5 + b.src AS src, a.dst * 3 + b.dst AS dst,
+       round(a.w * b.w, 6) AS w
+FROM a CROSS JOIN b ORDER BY src, dst"""

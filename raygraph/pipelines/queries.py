@@ -644,3 +644,45 @@ def q_select_rowle(sf_dir):
 QUERIES["agg_norms"] = q_agg_norms
 QUERIES["agg_var_argmin"] = q_agg_var_argmin
 QUERIES["select_rowle"] = q_select_rowle
+
+
+def q_diag_vector(sf_dir):
+    """Matrix diagonal extraction (reference Vector.diag, vector.py:620)."""
+    t = K.to_table(K.diag_extract(_edges_dedup(sf_dir)))
+    return _round_col(_int64_col(t, "v"), "val")
+
+
+def q_reposition_edges(sf_dir):
+    """Vector reposition: shift supplier-vector indices by +1000
+    (reference vector.py:1695)."""
+    t = K.to_table(K.reposition(_supplier_vec(sf_dir), 1000))
+    return _round_col(_int64_col(t, "v"), "val")
+
+
+def q_kron_small(sf_dir):
+    """Kronecker product of two small derived matrices (reference
+    matrix.py:2253): A from nation (region->nation%5 cells), B from
+    region; C[i*5+k, j*3+l] = wa * wb."""
+    na = pq.read_table(f"{sf_dir}/nation.parquet",
+                       columns=["n_regionkey", "n_nationkey"])
+    a = pa.table({
+        "src": np.asarray(na["n_regionkey"].to_numpy(), np.uint64),
+        "dst": (np.asarray(na["n_nationkey"].to_numpy()) % 5).astype(np.uint64),
+        "w": np.asarray(na["n_nationkey"].to_numpy(), np.float64) + 1.0,
+    })
+    # dedup (region, nation%5) cells keeping max weight, driver-side tiny
+    import pandas as pd
+
+    adf = a.to_pandas().groupby(["src", "dst"], as_index=False)["w"].max()
+    a = pa.Table.from_pandas(adf, preserve_index=False)
+    re_t = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey"])
+    rk = np.asarray(re_t["r_regionkey"].to_numpy(), np.uint64)
+    b = pa.table({"src": rk, "dst": (rk + 1) % 3, "w": rk.astype(np.float64) + 2.0})
+    out = K.to_table(K.kronecker(a, b, "times", b_nrows=5, b_ncols=3), sort_by=None)
+    out = _round_col(_int64_col(_int64_col(out, "src"), "dst"), "w")
+    return out.sort_by([("src", "ascending"), ("dst", "ascending")])
+
+
+QUERIES["diag_vector"] = q_diag_vector
+QUERIES["reposition_edges"] = q_reposition_edges
+QUERIES["kron_small"] = q_kron_small
