@@ -78,14 +78,48 @@ def _iter_dir(ckpt_dir: str, it: int) -> str:
     return os.path.join(ckpt_dir, f"iter={it}")
 
 
+def _write_state_part(tmp: str, p: int, names: list[str], arrays) -> None:
+    """Write one partition's state slice as its own one-row parquet file."""
+    cols: dict[str, list] = {"part": [p]}
+    for n, a in zip(names, arrays):
+        cols[n] = [np.asarray(a)]
+    pq.write_table(
+        pa.table(cols), os.path.join(tmp, f"state_p{p:05d}.parquet"), compression="zstd"
+    )
+
+
+_write_task = None
+
+
+def _write_state_part_remote():
+    global _write_task
+    if _write_task is None:
+        import ray
+
+        @ray.remote(num_cpus=1)
+        def w(tmp, p, names, *arrays):
+            _write_state_part(tmp, p, names, arrays)
+
+        _write_task = w
+    return _write_task
+
+
 def write_iter(
     ckpt_dir: str,
     it: int,
     graph,
-    state: dict[str, list[np.ndarray]],
+    state: dict,
     lineage: dict,
 ) -> None:
-    """Checkpoint one iteration: state vectors + lineage, atomically."""
+    """Checkpoint one iteration: state vectors + lineage, atomically.
+
+    ``state`` maps name -> per-partition list whose items are numpy arrays
+    OR Ray ObjectRefs to them. Refs are written by per-partition Ray tasks
+    straight from the object store, so the driver never materializes O(n)
+    state (at cluster scale ``ckpt_dir`` is shared storage and each writer
+    streams only its own slice). One file per partition also makes the
+    checkpoint layout resumable/skippable per partition.
+    """
     d = _iter_dir(ckpt_dir, it)
     # tmp name must NOT start with 'iter=' — it may contain _SUCCESS before
     # the rename, and a crash in the commit window would otherwise make
@@ -93,10 +127,26 @@ def write_iter(
     tmp = os.path.join(ckpt_dir, f"_tmp_iter_{it}")
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
-    cols: dict[str, list] = {"part": list(range(graph.num_parts))}
-    for name, slices in state.items():
-        cols[name] = [np.asarray(s) for s in slices]
-    pq.write_table(pa.table(cols), os.path.join(tmp, "state.parquet"), compression="zstd")
+    names = sorted(state)
+    try:
+        import ray
+
+        use_ray = ray.is_initialized()
+    except ImportError:  # pragma: no cover - ray is always present in prod
+        use_ray = False
+    if use_ray:
+        import ray
+
+        task = _write_state_part_remote()
+        ray.get(
+            [
+                task.remote(tmp, p, names, *[state[n][p] for n in names])
+                for p in range(graph.num_parts)
+            ]
+        )
+    else:
+        for p in range(graph.num_parts):
+            _write_state_part(tmp, p, names, [state[n][p] for n in names])
     lineage = dict(lineage)
     lineage.setdefault("iter", it)
     lineage.setdefault("partitions", graph.num_parts)
@@ -129,7 +179,14 @@ def latest_iter(ckpt_dir: str) -> int | None:
 
 def read_iter(ckpt_dir: str, it: int, graph) -> tuple[dict[str, list[np.ndarray]], dict]:
     d = _iter_dir(ckpt_dir, it)
-    tbl = pq.read_table(os.path.join(d, "state.parquet"))
+    # one file per partition ("state_pNNNNN.parquet"); the legacy single
+    # "state.parquet" layout matches the same glob and concat of one
+    files = sorted(
+        f for f in os.listdir(d) if f.startswith("state") and f.endswith(".parquet")
+    )
+    tbl = pa.concat_tables(
+        [pq.read_table(os.path.join(d, f)) for f in files], promote_options="default"
+    )
     with open(os.path.join(d, "_lineage.json")) as f:
         lineage = json.load(f)
     if lineage.get("input_fingerprint") != graph_fingerprint(graph):

@@ -239,8 +239,9 @@ def pagerank_fused(
         if ckpt_dir is not None and (it % ckpt_every == 0 or done or it == itermax - 1):
             if pending:
                 done = _sync()  # checkpoint needs a consistent residual
-            slices = ray.get([r for r in t_refs])
-            ck.write_iter(ckpt_dir, it, graph, {"r": slices},
+            # refs go straight to per-partition writer tasks — the driver
+            # never holds the O(n) state vector
+            ck.write_iter(ckpt_dir, it, graph, {"r": list(t_refs)},
                           {"iter": it, "residual": residual,
                            "edges_traversed": graph.nnz,
                            "wall_s": time.perf_counter() - t_start,
@@ -456,9 +457,7 @@ def cc_fused(graph, *, itermax: int = 64, ckpt_dir: str | None = None,
         changed = any(ray.get(flags))
         f_refs, gp_refs = f_new, gp_new
         if ckpt_dir is not None:
-            f_slices = ray.get(list(f_refs))
-            gp_slices = ray.get(list(gp_refs))
-            ck.write_iter(ckpt_dir, it, graph, {"f": f_slices, "gp": gp_slices},
+            ck.write_iter(ckpt_dir, it, graph, {"f": list(f_refs), "gp": list(gp_refs)},
                           {"iter": it, "converged": not changed,
                            "edges_traversed": graph.nnz,
                            "wall_s": time.perf_counter() - t_start,

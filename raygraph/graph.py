@@ -125,6 +125,52 @@ class Graph:
         """Dense per-partition state vector initialized to ``fill``."""
         return [np.full(int(s), fill, dtype=dtype) for s in self.sizes]
 
+    def block_ref_list(self) -> list:
+        """Per-partition ObjectRefs to one-row CSR block tables (cached);
+        pinned from the blocks Dataset when the graph was rebuilt from a
+        checkpoint rather than built in-session."""
+        import ray
+
+        refs = getattr(self, "_block_refs", None)
+        if refs is None:
+            refs = [None] * self.num_parts
+            for tbl in self.blocks.iter_batches(batch_size=None, batch_format="pyarrow"):
+                parts = tbl["part"].to_numpy(zero_copy_only=False)
+                for i in range(tbl.num_rows):
+                    refs[int(parts[i])] = ray.put(tbl.slice(i, 1))
+            self._block_refs = refs
+        return refs
+
+    def write_vertex_parquet(self, slices, path: str, name: str = "val") -> None:
+        """Write the (v, <name>) result as partitioned parquet, one file
+        per graph partition, directly from tasks. ``slices`` items may be
+        numpy arrays or ObjectRefs; vertex ids come from each partition's
+        CSR block ref, so the driver never materializes the vertex table
+        and a failed write can be resumed per partition file."""
+        import ray
+
+        os.makedirs(path, exist_ok=True)
+        refs = self.block_ref_list()
+
+        @ray.remote(num_cpus=1)
+        def w(p, block, s):
+            import pyarrow.parquet as _pq
+
+            ids = np.asarray(block["ids"][0].values, np.uint64)
+            _pq.write_table(
+                pa.table({"v": ids, name: np.asarray(s)}),
+                os.path.join(path, f"part_p{p:05d}.parquet"),
+                compression="zstd",
+            )
+
+        ray.get(
+            [
+                w.remote(p, refs[p], slices[p])
+                for p in range(self.num_parts)
+                if refs[p] is not None and int(self.sizes[p])
+            ]
+        )
+
     def free_caches(self) -> None:
         """Release the fused/frontier routing caches (O(nnz) object-store
         bytes); algorithms rebuild them on demand. Call between pipeline
@@ -549,14 +595,7 @@ def symmetrize_graph(g: "Graph", *, dup_op: str = "first", binarize: bool = True
     import ray
 
     P = g.num_parts
-    block_refs = getattr(g, "_block_refs", None)
-    if block_refs is None:
-        # graphs rebuilt from checkpoint: pin per-partition rows as refs
-        block_refs = [None] * P
-        for tbl in g.blocks.iter_batches(batch_size=None, batch_format="pyarrow"):
-            parts = tbl["part"].to_numpy(zero_copy_only=False)
-            for i in range(tbl.num_rows):
-                block_refs[int(parts[i])] = ray.put(tbl.slice(i, 1))
+    block_refs = g.block_ref_list()
 
     def _cols(tbl, names):
         return {c: np.asarray(tbl[c][0].values) for c in names}

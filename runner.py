@@ -67,22 +67,23 @@ def cmd_run(args):
     t_build = time.perf_counter() - t0
 
     t1 = time.perf_counter()
+    slices = None
     if args.algo == "pagerank":
         from raygraph.algorithms.pagerank import pagerank
 
         slices, info = pagerank(g, tol=args.tol, itermax=args.itermax,
                                 ckpt_dir=args.ckpt, mode=args.mode)
-        result = g.to_vertex_table(slices, "score")
+        col = "score"
     elif args.algo == "cc":
         from raygraph.algorithms.components import connected_components
 
         slices, info = connected_components(g, ckpt_dir=args.ckpt)
-        result = g.to_vertex_table(slices, "label")
+        col = "label"
     elif args.algo == "lpa":
         from raygraph.algorithms.lpa import label_propagation
 
         slices, info = label_propagation(g, itermax=args.itermax, ckpt_dir=args.ckpt)
-        result = g.to_vertex_table(slices, "label")
+        col = "label"
     else:
         from raygraph.algorithms.triangles import triangle_count
 
@@ -93,7 +94,12 @@ def cmd_run(args):
     t_algo = time.perf_counter() - t1
 
     if args.out:
-        rd.from_arrow(result).repartition(max(1, g.num_parts // 4)).write_parquet(args.out)
+        if slices is not None:
+            # per-partition parquet written from tasks; the vertex table
+            # never materializes on the driver
+            g.write_vertex_parquet(slices, args.out, col)
+        else:
+            rd.from_arrow(result).write_parquet(args.out)
     print(json.dumps({
         "algo": args.algo,
         "n_vertices": g.n_vertices,

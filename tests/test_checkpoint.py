@@ -74,6 +74,37 @@ def test_cc_resume(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_write_iter_accepts_object_refs(tmp_path):
+    # fused algorithms hand write_iter per-partition ObjectRefs; the state
+    # must round-trip without the driver ever holding the arrays
+    import ray
+
+    g = _graph()
+    slices = [np.arange(int(s), dtype=np.float64) + p for p, s in enumerate(g.sizes)]
+    refs = [ray.put(s) for s in slices]
+    ck.write_iter(str(tmp_path), 2, g, {"r": refs}, {"residual": 0.5})
+    state, lineage = ck.read_iter(str(tmp_path), 2, g)
+    for a, b in zip(slices, state["r"]):
+        np.testing.assert_array_equal(a, b)
+    assert lineage["residual"] == 0.5
+    # layout is one file per partition (resumable / task-written)
+    files = [f for f in os.listdir(str(tmp_path / "iter=2")) if f.endswith(".parquet")]
+    assert len(files) == g.num_parts
+
+
+def test_write_vertex_parquet_matches_driver_decode(tmp_path):
+    import pyarrow.parquet as pq
+
+    g = _graph()
+    r, _ = pagerank(g, tol=1e-8, itermax=30)
+    out = str(tmp_path / "scores")
+    g.write_vertex_parquet(r, out, "score")
+    got = pq.read_table(out).sort_by("v")
+    want = g.to_vertex_table(r, "score")
+    np.testing.assert_array_equal(got["v"].to_numpy(), want["v"].to_numpy())
+    np.testing.assert_array_equal(got["score"].to_numpy(), want["score"].to_numpy())
+
+
 def test_latest_iter_survives_crash_in_commit_window(tmp_path):
     # a crash between writing _SUCCESS and the rename used to leave a dir
     # whose name parsed as int('K.tmp') and broke every later resume
