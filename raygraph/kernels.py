@@ -56,7 +56,11 @@ def to_table(x, sort_by: str | None = "v") -> pa.Table:
             try:  # preserve the dataset schema for empty results
                 tbl = x.schema().base_schema.empty_table()
             except Exception:
-                tbl = pa.table({"v": pa.array([], pa.uint64())})
+                # schema unrecoverable (e.g. every cogroup bucket empty):
+                # default to the canonical empty vector table
+                tbl = pa.table(
+                    {"v": pa.array([], pa.uint64()), "val": pa.array([], pa.float64())}
+                )
     if sort_by and sort_by in tbl.column_names:
         return tbl.sort_by(sort_by)
     return tbl

@@ -1,0 +1,185 @@
+"""Property-based tests (hypothesis) for the Dataset-level kernels.
+
+Mirrors the reference's randomized-coverage intent (graphblas/tests
+exercise dense/sparse combinations per op) with dict-based pure-python
+oracles over tiny random sparse collections. Example counts are kept
+small because every kernel call executes a Ray Data pipeline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from raygraph import kernels as K
+
+_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+
+
+@st.composite
+def sparse_vec(draw, max_id=30, max_size=12):
+    ids = draw(st.lists(st.integers(0, max_id), unique=True, max_size=max_size))
+    return {i: draw(st.integers(-40, 40)) for i in ids}
+
+
+@st.composite
+def sparse_mat(draw, n=8, max_nnz=20):
+    cells = draw(
+        st.lists(
+            st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+            unique=True,
+            max_size=max_nnz,
+        )
+    )
+    return {c: draw(st.integers(1, 9)) for c in cells}
+
+
+def _vec_tbl(d: dict) -> pa.Table:
+    ks = sorted(d)
+    return pa.table(
+        {
+            "v": np.array(ks, np.uint64),
+            "val": np.array([float(d[k]) for k in ks], np.float64),
+        }
+    )
+
+
+def _mat_tbl(m: dict) -> pa.Table:
+    cells = sorted(m)
+    return pa.table(
+        {
+            "src": np.array([c[0] for c in cells], np.uint64),
+            "dst": np.array([c[1] for c in cells], np.uint64),
+            "w": np.array([float(m[c]) for c in cells], np.float64),
+        }
+    )
+
+
+def _as_dict(tbl: pa.Table, key="v", val="val") -> dict:
+    return dict(
+        zip(
+            tbl[key].to_numpy(zero_copy_only=False).tolist(),
+            tbl[val].to_numpy(zero_copy_only=False).tolist(),
+        )
+    )
+
+
+_BIN = {
+    "plus": lambda a, b: a + b,
+    "times": lambda a, b: a * b,
+    "min": min,
+    "max": max,
+    "minus": lambda a, b: a - b,
+}
+
+
+@_SETTINGS
+@given(a=sparse_vec(), b=sparse_vec(), op=st.sampled_from(["plus", "min", "max", "times"]))
+def test_ewise_add_matches_dict_oracle(a, b, op):
+    f = _BIN[op]
+    want = {k: f(a[k], b[k]) if k in a and k in b else (a.get(k, b.get(k)))
+            for k in set(a) | set(b)}
+    got = _as_dict(K.to_table(K.ewise_add(_vec_tbl(a), _vec_tbl(b), op)))
+    assert got == {k: float(v) for k, v in want.items()}
+
+
+@_SETTINGS
+@given(a=sparse_vec(), b=sparse_vec(), op=st.sampled_from(["plus", "times", "min", "minus"]))
+def test_ewise_mult_matches_dict_oracle(a, b, op):
+    f = _BIN[op]
+    want = {k: f(a[k], b[k]) for k in set(a) & set(b)}
+    got = _as_dict(K.to_table(K.ewise_mult(_vec_tbl(a), _vec_tbl(b), op)))
+    assert got == {k: float(v) for k, v in want.items()}
+
+
+@_SETTINGS
+@given(a=sparse_vec(), b=sparse_vec(), ld=st.integers(-5, 5), rd=st.integers(-5, 5))
+def test_ewise_union_matches_dict_oracle(a, b, ld, rd):
+    want = {k: _BIN["minus"](a.get(k, ld), b.get(k, rd)) for k in set(a) | set(b)}
+    got = _as_dict(
+        K.to_table(K.ewise_union(_vec_tbl(a), _vec_tbl(b), "minus", float(ld), float(rd)))
+    )
+    assert got == {k: float(v) for k, v in want.items()}
+
+
+_SR = {
+    "plus_times": (lambda a, b: a + b, lambda a, b: a * b),
+    "min_plus": (min, lambda a, b: a + b),
+    "max_times": (max, lambda a, b: a * b),
+}
+
+
+@_SETTINGS
+@given(m=sparse_mat(), v=sparse_vec(max_id=7), sr=st.sampled_from(sorted(_SR)))
+def test_mxv_matches_dict_oracle(m, v, sr):
+    add, mul = _SR[sr]
+    want: dict = {}
+    for (i, j), a in m.items():
+        if j in v:
+            x = mul(a, v[j])
+            want[i] = x if i not in want else add(want[i], x)
+    got = _as_dict(K.to_table(K.mxv(_mat_tbl(m), _vec_tbl(v), sr)))
+    assert got == {k: float(x) for k, x in want.items()}
+
+
+@_SETTINGS
+@given(m=sparse_mat(), v=sparse_vec(max_id=7), sr=st.sampled_from(sorted(_SR)))
+def test_vxm_is_mxv_of_transpose(m, v, sr):
+    add, mul = _SR[sr]
+    want: dict = {}
+    for (i, j), a in m.items():
+        if i in v:
+            x = mul(v[i], a)
+            want[j] = x if j not in want else add(want[j], x)
+    got = _as_dict(K.to_table(K.vxm(_vec_tbl(v), _mat_tbl(m), sr)))
+    assert got == {k: float(x) for k, x in want.items()}
+
+
+@_SETTINGS
+@given(m=sparse_mat(), mon=st.sampled_from(["plus", "min", "max"]))
+def test_reduce_rowwise_matches_dict_oracle(m, mon):
+    f = _BIN[mon]
+    want: dict = {}
+    for (i, _j), a in m.items():
+        want[i] = a if i not in want else f(want[i], a)
+    got = _as_dict(K.to_table(K.reduce_rowwise(_mat_tbl(m), mon)))
+    assert got == {k: float(x) for k, x in want.items()}
+
+
+@_SETTINGS
+@given(v=sparse_vec(), thunk=st.integers(-20, 20),
+       cmp=st.sampled_from(["<", "<=", ">", ">=", "==", "!="]))
+def test_select_value_matches_filter_oracle(v, thunk, cmp):
+    import operator as _op
+
+    f = {"<": _op.lt, "<=": _op.le, ">": _op.gt, ">=": _op.ge,
+         "==": _op.eq, "!=": _op.ne}[cmp]
+    want = {k: float(x) for k, x in v.items() if f(x, thunk)}
+    got = _as_dict(K.to_table(K.select_value(_vec_tbl(v), cmp, float(thunk))))
+    assert got == want
+
+
+@_SETTINGS
+@given(v=sparse_vec(), data=st.data())
+def test_extract_dup_gather_matches_oracle(v, data):
+    ids = sorted(v)
+    idx = data.draw(
+        st.lists(st.sampled_from(ids), min_size=1, max_size=8) if ids else st.just([])
+    )
+    idx_arr = np.array(idx, np.uint64)
+    out = K.to_table(K.extract(_vec_tbl(v), idx_arr), sort_by=None)
+    # remapped: output position k holds v[idx[k]]
+    got = dict(
+        zip(
+            out["v"].to_numpy(zero_copy_only=False).tolist(),
+            out["val"].to_numpy(zero_copy_only=False).tolist(),
+        )
+    )
+    want = {k: float(v[i]) for k, i in enumerate(idx)}
+    assert got == want
