@@ -401,3 +401,9 @@ b AS (
 SELECT a.src * 5 + b.src AS src, a.dst * 3 + b.dst AS dst,
        round(a.w * b.w, 6) AS w
 FROM a CROSS JOIN b ORDER BY src, dst"""
+
+ORACLES["power3"] = f"""WITH {_E},
+c AS (SELECT src, dst, CAST(n AS DOUBLE) AS w FROM e)
+SELECT a.src AS src, t.dst AS dst, CAST(sum(a.w * b.w * t.w) AS BIGINT) AS w
+FROM c a JOIN c b ON a.dst = b.src JOIN c t ON b.dst = t.src
+GROUP BY 1, 2 ORDER BY 1, 2"""

@@ -683,6 +683,23 @@ def q_kron_small(sf_dir):
     return out.sort_by([("src", "ascending"), ("dst", "ascending")])
 
 
+def q_power3(sf_dir):
+    """Third semiring matrix power A.power(3) by repeated squaring
+    (reference matrix.py:2754). Weights are the integer duplicate counts
+    so every partial sum is exact in FP64 regardless of reduction order."""
+    def to_cnt(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t["src"], "dst": t["dst"],
+            "w": np.asarray(t["n"].to_numpy(zero_copy_only=False), np.float64),
+        })
+
+    e = _edges_dedup(sf_dir).map_batches(to_cnt, batch_format="pyarrow").materialize()
+    t = K.to_table(K.power(e, 3, "plus_times"), sort_by=None).select(["src", "dst", "w"])
+    t = _int64_col(_int64_col(_int64_col(t, "src"), "dst"), "w")
+    return t.sort_by([("src", "ascending"), ("dst", "ascending")])
+
+
 QUERIES["diag_vector"] = q_diag_vector
 QUERIES["reposition_edges"] = q_reposition_edges
 QUERIES["kron_small"] = q_kron_small
+QUERIES["power3"] = q_power3
