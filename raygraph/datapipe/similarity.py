@@ -20,6 +20,30 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(n, 1e-12)
 
 
+_QUANT = 1048576.0  # 2^20: float32 components quantized to int64 for exact sign
+
+
+def _md5_sign_planes(num_planes: int, dim: int) -> np.ndarray:
+    """Deterministic ±1 (Rademacher) hyperplanes from md5 — the low bit of
+    md5("<plane>:<dim>") picks the sign, so a SQL oracle (DuckDB ``md5``)
+    can rebuild the exact same planes. Sign-LSH with ±1 entries keeps the
+    p = 1 - acos(cos)/pi collision law (Achlioptas-style projections)."""
+    import hashlib
+
+    s = np.empty((num_planes, dim), np.int64)
+    for j in range(num_planes):
+        for d in range(dim):
+            h = int(hashlib.md5(f"{j}:{d}".encode()).hexdigest()[:16], 16)
+            s[j, d] = 1 if h & 1 else -1
+    return s
+
+
+def _quantize(m: np.ndarray) -> np.ndarray:
+    """floor(x * 2^20) as int64: order-independent integer dot products so
+    numpy and the SQL oracle agree on every bucket sign bit-for-bit."""
+    return np.floor(m * _QUANT).astype(np.int64)
+
+
 def _emb_matrix(t: pa.Table, col: str) -> np.ndarray:
     arr = t[col]
     if isinstance(arr, pa.ChunkedArray):
@@ -130,9 +154,14 @@ class BandedHyperplaneLSH:
     ~0.9998 at cos 0.45 (single-probe 8-plane bucketing was ~0.03)."""
 
     def __init__(self, dim: int, bands: int = 16, planes_per_band: int = 2,
-                 seed: int = 42, id_col: str = "vec_id", emb_col: str = "embedding"):
-        rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((bands * planes_per_band, dim))
+                 seed: int = 42, id_col: str = "vec_id", emb_col: str = "embedding",
+                 plane_mode: str = "gaussian"):
+        self.plane_mode = plane_mode
+        if plane_mode == "md5":
+            self.planes = _md5_sign_planes(bands * planes_per_band, dim)
+        else:
+            rng = np.random.default_rng(seed)
+            self.planes = rng.standard_normal((bands * planes_per_band, dim))
         self.bands, self.r = bands, planes_per_band
         self.id_col, self.emb_col = id_col, emb_col
 
@@ -143,7 +172,10 @@ class BandedHyperplaneLSH:
                              "band": pa.array([], pa.int32()),
                              "bucket": pa.array([], pa.int64()),
                              self.emb_col: t[self.emb_col]})
-        signs = (m @ self.planes.T) > 0  # (n, bands*r)
+        if self.plane_mode == "md5":
+            signs = (_quantize(m) @ self.planes.T) > 0  # exact int64 dots
+        else:
+            signs = (m @ self.planes.T) > 0  # (n, bands*r)
         n = m.shape[0]
         ids = np.asarray(t[self.id_col].to_numpy(zero_copy_only=False), np.int64)
         emb = t[self.emb_col]
@@ -171,6 +203,8 @@ def knn_cosine_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    plane_mode: str = "gaussian",
+    query_ids: np.ndarray | None = None,
 ):
     """Approximate top-k via BANDED hyperplane LSH: a vector is scored if
     it shares ANY band's bucket with the query (multiprobe-by-banding).
@@ -185,28 +219,37 @@ def knn_cosine_lsh(
     """
     import ray
 
-    Q = _normalize(np.asarray(queries, np.float64))
+    raw = np.asarray(queries, np.float64)
+    Q = _normalize(raw)
     dim = Q.shape[1]
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((bands * planes_per_band, dim))
-    qsigns = (Q @ planes.T) > 0
+    qid = (np.arange(Q.shape[0], dtype=np.int64) if query_ids is None
+           else np.asarray(query_ids, np.int64))
+    if plane_mode == "md5":
+        planes = _md5_sign_planes(bands * planes_per_band, dim)
+        qsigns = (_quantize(raw) @ planes.T) > 0  # raw, pre-normalization:
+        # must match the corpus side, which buckets the stored components
+    else:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((bands * planes_per_band, dim))
+        qsigns = (Q @ planes.T) > 0
     qb = np.empty((Q.shape[0], bands), np.int64)
     for b in range(bands):
         seg = qsigns[:, b * planes_per_band:(b + 1) * planes_per_band]
         qb[:, b] = (seg.astype(np.int64) << np.arange(planes_per_band)[None, :]).sum(axis=1)
-    qref = ray.put((Q, qb))
+    qref = ray.put((Q, qb, qid))
 
     bucketed = emb_ds.map_batches(
         BandedHyperplaneLSH,
         fn_constructor_kwargs={"dim": dim, "bands": bands,
                                "planes_per_band": planes_per_band, "seed": seed,
-                               "id_col": id_col, "emb_col": emb_col},
+                               "id_col": id_col, "emb_col": emb_col,
+                               "plane_mode": plane_mode},
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
 
     def score(t: pa.Table) -> pa.Table:
-        q, qbk = ray.get(qref)
+        q, qbk, qids_arr = ray.get(qref)
         ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False))
         band = np.asarray(t["band"].to_numpy(zero_copy_only=False))
         bk = np.asarray(t["bucket"].to_numpy(zero_copy_only=False))
@@ -230,7 +273,7 @@ def knn_cosine_lsh(
             cand = np.flatnonzero(s >= kth)
             order = np.lexsort((cand_ids[cand], -s[cand]))[:kk]
             top = cand[order]
-            out_q.append(np.full(len(top), qi, np.int64))
+            out_q.append(np.full(len(top), qids_arr[qi], np.int64))
             out_i.append(cand_ids[top].astype(np.int64))
             out_s.append(s[top])
         if not out_q:

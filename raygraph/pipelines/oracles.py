@@ -407,3 +407,48 @@ c AS (SELECT src, dst, CAST(n AS DOUBLE) AS w FROM e)
 SELECT a.src AS src, t.dst AS dst, CAST(sum(a.w * b.w * t.w) AS BIGINT) AS w
 FROM c a JOIN c b ON a.dst = b.src JOIN c t ON b.dst = t.src
 GROUP BY 1, 2 ORDER BY 1, 2"""
+
+# knn_lsh: rebuild the md5-derived ±1 hyperplanes and the 2^20-quantized
+# integer dot products bit-for-bit (similarity._md5_sign_planes/_quantize),
+# reproduce the banded buckets, take the union-of-bands candidate set per
+# query, then exact-cosine rank (same tie rule as knn_topk).
+ORACLES["knn_lsh"] = """WITH planes AS (
+  SELECT j, d,
+         CASE WHEN ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+                                       CAST(d AS VARCHAR)), 1, 16))::UBIGINT & 1 = 1
+              THEN 1 ELSE -1 END AS s
+  FROM range(32) t(j) CROSS JOIN range(64) r(d)
+),
+ev AS MATERIALIZED (
+  SELECT vec_id, CAST(floor(x * 1048576.0) AS BIGINT) AS xq, ord - 1 AS d
+  FROM (SELECT vec_id, embedding AS l FROM embeddings),
+       LATERAL (SELECT unnest(l) AS x, generate_subscripts(l, 1) AS ord) AS u
+),
+signs AS (
+  SELECT ev.vec_id, p.j, sum(ev.xq * p.s) > 0 AS pos
+  FROM ev JOIN planes p ON p.d = ev.d GROUP BY 1, 2
+),
+buckets AS MATERIALIZED (
+  SELECT vec_id, CAST(j // 2 AS INT) AS band,
+         sum(CASE WHEN pos THEN (1::BIGINT << CAST(j % 2 AS INT)) ELSE 0 END) AS bucket
+  FROM signs GROUP BY 1
+  , 2
+),
+qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, v.vec_id
+  FROM buckets qb JOIN qids ON qids.vec_id = qb.vec_id
+  JOIN buckets v ON v.band = qb.band AND v.bucket = qb.bucket
+),
+s AS (
+  SELECT c.query_id, c.vec_id,
+         list_cosine_similarity(qe.embedding, e.embedding) AS sim
+  FROM cand c JOIN embeddings qe ON qe.vec_id = c.query_id
+              JOIN embeddings e ON e.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM s
+) WHERE rank <= 5 ORDER BY query_id, rank"""

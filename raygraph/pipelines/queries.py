@@ -342,12 +342,17 @@ def q_simhash_pairs(sf_dir):
 
 
 def q_knn_lsh(sf_dir):
-    """LSH-bucketed approximate ANN: rows-only check (approximate by design)."""
+    """LSH-bucketed approximate ANN, hash-checked end-to-end: md5-derived
+    ±1 hyperplanes over 2^20-quantized components make every bucket sign
+    exactly reproducible in DuckDB, so the oracle rebuilds the SAME
+    candidate sets and ranks them with list_cosine_similarity."""
     from raygraph.datapipe.similarity import knn_cosine_lsh
 
     emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
-    _, q = _query_embeddings(sf_dir)
-    return knn_cosine_lsh(emb, q, k=5)
+    ids, q = _query_embeddings(sf_dir)
+    out = knn_cosine_lsh(emb, q, k=5, plane_mode="md5", query_ids=ids)
+    t = K.to_table(out, sort_by=None).select(["query_id", "vec_id", "rank"])
+    return t.sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
 # ----------------------------------------------------------- events queries ----
