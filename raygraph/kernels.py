@@ -731,6 +731,44 @@ def selectk_rowwise(edges, k: int, *, largest: bool = True):
     return _ds(edges).groupby("src").map_groups(topk, batch_format="pandas")
 
 
+def sort_rowwise(edges, *, ascending: bool = True,
+                 num_buckets: int = _DEFAULT_BUCKETS):
+    """Per-row value sort with the permutation — the SuiteSparse
+    ``Matrix.ss.sort`` analog (reference core/ss/matrix.py:3991;
+    SURVEY.md §2.5). Output (src, rank, dst, w): within each src row,
+    w sorted (ties by ascending dst), rank = 0-based position, and the
+    dst column at rank r is the permutation vector P[src, r].
+
+    Shape: ONE shuffle keyed by mix64(src) bucket, then a single
+    vectorized lexsort + segmented rank per bucket — no per-row groups,
+    so a power-law row-degree distribution costs the same as a uniform
+    one (the whole bucket sorts as one array)."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        b = (mix64(s) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table({
+            "bucket": b, "src": s,
+            "dst": np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64),
+            "w": np.asarray(t["w"].to_numpy(zero_copy_only=False), np.float64),
+        })
+
+    def srt(g: pd.DataFrame) -> pa.Table:
+        src = g["src"].to_numpy(np.uint64)
+        dst = g["dst"].to_numpy(np.uint64)
+        w = g["w"].to_numpy(np.float64)
+        order = np.lexsort((dst, w if ascending else -w, src))
+        src, dst, w = src[order], dst[order], w[order]
+        new = np.r_[True, src[1:] != src[:-1]] if len(src) else np.zeros(0, bool)
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.r_[starts, len(src)])
+        rank = np.arange(len(src), dtype=np.int64) - np.repeat(starts, counts)
+        return pa.table({"src": src, "rank": rank, "dst": dst, "w": w})
+
+    tagged = _ds(edges).map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby("bucket").map_groups(srt, batch_format="pandas")
+
+
 # ------------------------------------------------------- remaining surface ----
 
 

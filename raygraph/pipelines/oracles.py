@@ -242,6 +242,12 @@ SELECT src, dst, w FROM (
          row_number() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) AS rn
   FROM e
 ) WHERE rn <= 2 ORDER BY src, dst""",
+        "sort_rowwise": f"""WITH {_E}
+SELECT src,
+       row_number() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) - 1
+         AS "rank",
+       dst, w
+FROM e ORDER BY src, "rank\"""",
     }
 )
 

@@ -530,6 +530,15 @@ def q_inner_product(sf_dir):
                                     pa.float64())})
 
 
+def q_sort_rowwise(sf_dir):
+    """Per-row descending value sort with permutation output
+    (reference core/ss/matrix.py:3991 Matrix.ss.sort)."""
+    out = K.sort_rowwise(_edges_dedup(sf_dir), ascending=False)
+    t = K.to_table(out, sort_by=None).select(["src", "rank", "dst", "w"])
+    t = _int64_col(_int64_col(t, "src"), "dst")
+    return t.sort_by([("src", "ascending"), ("rank", "ascending")])
+
+
 def q_selectk_rowwise(sf_dir):
     out = K.selectk_rowwise(_edges_dedup(sf_dir), 2, largest=True)
     t = K.to_table(out, sort_by=None).select(["src", "dst", "w"])
@@ -542,6 +551,7 @@ QUERIES.update(
         "mxm_plus_times": q_mxm_plus_times,
         "inner_product": q_inner_product,
         "selectk_rowwise": q_selectk_rowwise,
+        "sort_rowwise": q_sort_rowwise,
     }
 )
 

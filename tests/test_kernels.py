@@ -189,6 +189,21 @@ def test_selectk_rowwise():
         assert sorted(g["w"], reverse=True) == want
 
 
+def test_sort_rowwise():
+    out = K.to_table(K.sort_rowwise(EDGES7, ascending=True), sort_by=None).to_pandas()
+    A = fx.a7_dense()
+    for src, g in out.groupby("src"):
+        g = g.sort_values("rank")
+        row = A[int(src)]
+        assert list(g["rank"]) == list(range(len(g)))          # dense 0-based ranks
+        assert list(g["w"]) == sorted(row[row != 0])           # values sorted
+        # permutation column: dst at rank r reproduces the row's entries
+        assert sorted(g["dst"]) == sorted(np.flatnonzero(row))
+        got = {(d, w) for d, w in zip(g["dst"], g["w"])}
+        want = {(d, row[d]) for d in np.flatnonzero(row)}
+        assert got == want
+
+
 def test_mxm_matches_dense():
     got = K.to_table(K.mxm(EDGES7, EDGES7, "plus_times"), sort_by=None).to_pandas()
     A = fx.a7_dense()
