@@ -769,6 +769,197 @@ def sort_rowwise(edges, *, ascending: bool = True,
     return tagged.groupby("bucket").map_groups(srt, batch_format="pandas")
 
 
+# ------------------------------------------------------------ prefix scan ----
+
+
+def _segmented_accumulate(ufunc: np.ufunc, vals: np.ndarray,
+                          seg: np.ndarray) -> np.ndarray:
+    """Running ⊕ within each segment of a segment-sorted array.
+
+    pandas groupby cum* covers the common monoids in one Cython pass;
+    anything else falls back to a Hillis-Steele doubling scan
+    (log2(max-segment-length) vectorized passes) so every registered
+    Monoid works.
+    """
+    cum = {np.add: "cumsum", np.multiply: "cumprod",
+           np.minimum: "cummin", np.maximum: "cummax"}
+    name = cum.get(ufunc)
+    if name is None and ufunc in (np.logical_and, np.logical_or):
+        b = pd.Series(vals.astype(bool)).groupby(seg, sort=False)
+        out = (b.cummin() if ufunc is np.logical_and else b.cummax()).to_numpy()
+        return out.astype(vals.dtype)
+    if name is not None:
+        out = getattr(pd.Series(vals).groupby(seg, sort=False), name)().to_numpy()
+        return out.astype(vals.dtype, copy=False)
+    # doubling scan: out[i] = op(out[i], out[i - shift]) while same segment
+    out = vals.copy()
+    n = len(out)
+    shift = 1
+    idx = np.arange(n)
+    while shift < n:
+        prev = idx - shift
+        ok = (prev >= 0) & (seg[np.maximum(prev, 0)] == seg)
+        if not ok.any():
+            break
+        nxt = out.copy()
+        nxt[ok] = ufunc(out[ok], out[prev[ok]])
+        out = nxt
+        shift *= 2
+    return out
+
+
+def scan_vector(vec, monoid_name: str = "plus",
+                num_buckets: int = _DEFAULT_BUCKETS):
+    """Prefix scan by monoid over stored elements in ascending index order
+    — the SuiteSparse ``Vector.ss.scan`` analog (reference
+    core/ss/prefix_scan.py:12, ss/vector.py:1365; SURVEY.md §2.5).
+    Result keeps the input's structure; values become the running ⊕.
+
+    Shape (the classic distributed scan): range-bucket by index using cut
+    points from per-batch quantile samples (driver state: B-1 values), ONE
+    groupby(bucket) shuffle with a local accumulate per bucket, plus a
+    per-batch partial reduce whose per-bucket totals (tiny, B rows on the
+    driver) give each bucket its exclusive carry. No stage holds more
+    than one bucket; nothing O(n) touches the driver.
+    """
+    m = MONOID[monoid_name]
+    ds = _ds(vec).materialize()
+
+    # --- cut points from per-batch quantiles (small, deterministic) ---
+    def sample(t: pa.Table) -> pa.Table:
+        v = np.sort(np.asarray(t["v"].to_numpy(zero_copy_only=False), np.uint64))
+        if len(v) == 0:
+            return pa.table({"q": pa.array([], pa.uint64())})
+        qs = v[np.linspace(0, len(v) - 1, 32).astype(np.int64)]
+        return pa.table({"q": qs})
+
+    qt = to_table(ds.map_batches(sample, batch_format="pyarrow"), sort_by=None)
+    cand = np.sort(np.asarray(qt["q"].to_numpy(zero_copy_only=False), np.uint64))
+    if len(cand) == 0:
+        return ds
+    cuts = cand[np.linspace(0, len(cand) - 1, num_buckets + 1).astype(np.int64)][1:-1]
+    cuts = np.unique(cuts)
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.uint64)
+        b = np.searchsorted(cuts, v, side="right").astype(np.int32)
+        return pa.table({"bucket": b, "v": v, "val": t["val"]})
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
+
+    # --- per-bucket totals -> exclusive carries (tiny driver state) ---
+    def partial(t: pa.Table) -> pa.Table:
+        b = np.asarray(t["bucket"].to_numpy(zero_copy_only=False))
+        x = np.asarray(t["val"].to_numpy(zero_copy_only=False))
+        if len(b) == 0:
+            return pa.table({"bucket": b, "p": x})
+        order = np.argsort(b, kind="stable")
+        bs, xs = b[order], x[order]
+        starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+        return pa.table({"bucket": bs[starts], "p": m.ufunc.reduceat(xs, starts)})
+
+    pt = to_table(tagged.map_batches(partial, batch_format="pyarrow"), sort_by=None)
+    pb = np.asarray(pt["bucket"].to_numpy(zero_copy_only=False))
+    pp = np.asarray(pt["p"].to_numpy(zero_copy_only=False))
+    order = np.argsort(pb, kind="stable")
+    pb, pp = pb[order], pp[order]
+    starts = np.flatnonzero(np.r_[True, pb[1:] != pb[:-1]]) if len(pb) else np.array([], np.int64)
+    totals_b = pb[starts]
+    totals = m.ufunc.reduceat(pp, starts) if len(pb) else pp
+    # exclusive scan over bucket totals, in bucket order
+    carries: dict[int, object] = {}
+    acc = None
+    for bk, tot in zip(totals_b, totals):
+        carries[int(bk)] = acc
+        acc = tot if acc is None else m.ufunc(acc, tot)
+
+    def scan_bucket(g: pd.DataFrame) -> pa.Table:
+        v = g["v"].to_numpy(np.uint64)
+        x = g["val"].to_numpy()
+        order = np.argsort(v, kind="stable")
+        v, x = v[order], x[order]
+        out = m.ufunc.accumulate(x)
+        carry = carries.get(int(g["bucket"].iloc[0]))
+        if carry is not None:
+            out = m.ufunc(carry, out).astype(out.dtype, copy=False)
+        return pa.table({"v": v, "val": out})
+
+    return tagged.groupby("bucket").map_groups(scan_bucket, batch_format="pandas")
+
+
+def scan_rowwise(edges, monoid_name: str = "plus",
+                 num_buckets: int = _DEFAULT_BUCKETS):
+    """Per-row prefix scan along ascending dst — the SuiteSparse
+    ``Matrix.ss.scan`` analog (reference core/ss/prefix_scan.py:12,
+    ss/matrix.py:3701). Output (src, dst, w) where w = running ⊕ of the
+    row's stored values up to dst.
+
+    Shape: ONE shuffle keyed by mix64(src) bucket (rows never split), then
+    a single vectorized lexsort + segmented accumulate per bucket — same
+    skew-proof layout as :func:`sort_rowwise`.
+    """
+    m = MONOID[monoid_name]
+
+    def tag(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        b = (mix64(s) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table({"bucket": b, "src": s, "dst": t["dst"], "w": t["w"]})
+
+    def scan_bucket(g: pd.DataFrame) -> pa.Table:
+        src = g["src"].to_numpy(np.uint64)
+        dst = g["dst"].to_numpy(np.uint64)
+        w = g["w"].to_numpy()
+        order = np.lexsort((dst, src))
+        src, dst, w = src[order], dst[order], w[order]
+        out = _segmented_accumulate(m.ufunc, w, src)
+        return pa.table({"src": src, "dst": dst, "w": out})
+
+    tagged = _ds(edges).map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby("bucket").map_groups(scan_bucket, batch_format="pandas")
+
+
+# -------------------------------------------------------- reshape/flatten ----
+
+
+def flatten_matrix(edges, ncols: int):
+    """Matrix -> vector of linear indices v = src*ncols + dst (reference
+    ``Matrix.ss.flatten``, core/ss/matrix.py:3717; row-wise order)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        return pa.table({"v": s * np.uint64(ncols) + d, "val": t["w"]})
+
+    return _ds(edges).map_batches(fn, batch_format="pyarrow")
+
+
+def reshape_vector(vec, ncols: int):
+    """Vector of linear indices -> matrix src = v // ncols, dst = v % ncols
+    (reference ``Vector.ss.reshape``/``Matrix.ss.reshape``,
+    core/ss/matrix.py:3742; row-wise order)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.uint64)
+        return pa.table({"src": v // np.uint64(ncols),
+                         "dst": v % np.uint64(ncols), "w": t["val"]})
+
+    return _ds(vec).map_batches(fn, batch_format="pyarrow")
+
+
+def reshape_matrix(edges, ncols_old: int, ncols_new: int):
+    """Reshape (nrows, ncols_old) -> (*, ncols_new) keeping row-wise linear
+    order — flatten + re-split as pure key arithmetic in one map."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        lin = s * np.uint64(ncols_old) + d
+        return pa.table({"src": lin // np.uint64(ncols_new),
+                         "dst": lin % np.uint64(ncols_new), "w": t["w"]})
+
+    return _ds(edges).map_batches(fn, batch_format="pyarrow")
+
+
 # ------------------------------------------------------- remaining surface ----
 
 

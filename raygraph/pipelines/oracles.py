@@ -458,3 +458,18 @@ SELECT query_id, vec_id, rank FROM (
                             ORDER BY sim DESC, vec_id ASC) AS rank
   FROM s
 ) WHERE rank <= 5 ORDER BY query_id, rank"""
+
+ORACLES["scan_vector_plus"] = f"""WITH {_SUPP}
+SELECT v, round(sum(val) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS val
+FROM sv ORDER BY v"""
+
+ORACLES["scan_rowwise_min"] = f"""WITH {_E}
+SELECT src, dst, round(min(w) OVER (PARTITION BY src ORDER BY dst
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS w
+FROM e ORDER BY src, dst"""
+
+ORACLES["reshape_flat"] = f"""WITH {_E}
+SELECT (src * 211 + dst) // 64 AS src, (src * 211 + dst) % 64 AS dst,
+       round(w, 6) AS w
+FROM e ORDER BY src, dst"""

@@ -718,3 +718,34 @@ QUERIES["diag_vector"] = q_diag_vector
 QUERIES["reposition_edges"] = q_reposition_edges
 QUERIES["kron_small"] = q_kron_small
 QUERIES["power3"] = q_power3
+
+def q_scan_vector_plus(sf_dir):
+    """Prefix sum over the supplier vector in ascending index order
+    (reference Vector.ss.scan, core/ss/prefix_scan.py:12). Rounded to 4dp:
+    the distributed scan folds within range-buckets then applies a carry,
+    so the FP64 sum order differs from the oracle's left fold by ~1e-10."""
+    t = K.to_table(K.scan_vector(_supplier_vec(sf_dir), "plus"))
+    return _round_col(_int64_col(t, "v"), "val", 4)
+
+
+def q_scan_rowwise_min(sf_dir):
+    """Per-row running min along ascending dst (reference Matrix.ss.scan,
+    core/ss/matrix.py:3701) — min is fold-order-exact."""
+    out = K.scan_rowwise(_edges_dedup(sf_dir), "min")
+    t = K.to_table(out, sort_by=None).select(["src", "dst", "w"])
+    t = _round_col(_int64_col(_int64_col(t, "src"), "dst"), "w")
+    return t.sort_by([("src", "ascending"), ("dst", "ascending")])
+
+
+def q_reshape_flat(sf_dir):
+    """flatten (211-col row-wise linear index) then reshape to 64 columns
+    (reference Matrix.ss.flatten/reshape, core/ss/matrix.py:3717,3742)."""
+    flat = K.flatten_matrix(_edges_dedup(sf_dir), MOD)
+    t = K.to_table(K.reshape_vector(flat, 64), sort_by=None).select(["src", "dst", "w"])
+    t = _round_col(_int64_col(_int64_col(t, "src"), "dst"), "w")
+    return t.sort_by([("src", "ascending"), ("dst", "ascending")])
+
+
+QUERIES["scan_vector_plus"] = q_scan_vector_plus
+QUERIES["scan_rowwise_min"] = q_scan_rowwise_min
+QUERIES["reshape_flat"] = q_reshape_flat

@@ -433,3 +433,84 @@ def test_power_matches_numpy():
         got[np.asarray(t["src"]).astype(int), np.asarray(t["dst"]).astype(int)] = \
             np.asarray(t["w"])
         np.testing.assert_allclose(got, np.linalg.matrix_power(A, n), atol=1e-9)
+
+
+# ------------------------------------------------------------ prefix scan ----
+
+
+def test_scan_vector_monoids():
+    # running ⊕ over stored elements in ascending index order
+    # (reference Vector.ss.scan, core/ss/prefix_scan.py:12)
+    rng = np.random.default_rng(7)
+    idx = np.sort(rng.choice(10_000, size=500, replace=False)).astype(np.uint64)
+    vals = rng.uniform(-5, 5, size=500)
+    for mon, acc in [("plus", np.add), ("min", np.minimum), ("max", np.maximum)]:
+        got = K.to_table(K.scan_vector(_vec(idx, vals), mon), sort_by="v")
+        np.testing.assert_array_equal(
+            np.asarray(got["v"]).astype(np.uint64), idx)
+        np.testing.assert_allclose(
+            np.asarray(got["val"]), acc.accumulate(vals), rtol=1e-12)
+
+
+def test_scan_vector_times_int():
+    idx = np.arange(20, dtype=np.uint64) * 3
+    vals = (np.arange(20) % 3 + 1).astype(np.int64)
+    got = K.to_table(K.scan_vector(pa.table({"v": idx, "val": vals}), "times"),
+                     sort_by="v")
+    np.testing.assert_array_equal(np.asarray(got["val"]),
+                                  np.multiply.accumulate(vals))
+
+
+def test_scan_rowwise_vs_pandas():
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 12, size=300).astype(np.uint64)
+    dst = rng.integers(0, 40, size=300).astype(np.uint64)
+    # dedup (src,dst)
+    key = src * 100 + dst
+    _, first = np.unique(key, return_index=True)
+    src, dst = src[first], dst[first]
+    w = rng.uniform(0.5, 2.0, size=len(src))
+    e = pa.table({"src": src, "dst": dst, "w": w})
+    df = pd.DataFrame({"src": src, "dst": dst, "w": w}).sort_values(["src", "dst"])
+    for mon, col in [("plus", df.groupby("src")["w"].cumsum()),
+                     ("min", df.groupby("src")["w"].cummin()),
+                     ("times", df.groupby("src")["w"].cumprod())]:
+        got = K.to_table(K.scan_rowwise(e, mon), sort_by=None).to_pandas()
+        got = got.sort_values(["src", "dst"]).reset_index(drop=True)
+        np.testing.assert_allclose(got["w"].to_numpy(), col.to_numpy(), rtol=1e-12)
+
+
+def test_segmented_accumulate_doubling_matches_loop():
+    # exercise the generic doubling path with a ufunc pandas can't cum
+    from raygraph.kernels import _segmented_accumulate
+
+    rng = np.random.default_rng(3)
+    seg = np.sort(rng.integers(0, 8, size=200))
+    vals = rng.integers(0, 2**20, size=200).astype(np.uint64)
+    got = _segmented_accumulate(np.bitwise_or, vals, seg)
+    want = vals.copy()
+    for s in np.unique(seg):
+        m = seg == s
+        want[m] = np.bitwise_or.accumulate(vals[m])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_flatten_reshape_round_trip():
+    src = np.array([0, 0, 2, 5], np.uint64)
+    dst = np.array([1, 3, 2, 6], np.uint64)
+    w = np.array([1.0, 2.0, 3.0, 4.0])
+    e = pa.table({"src": src, "dst": dst, "w": w})
+    flat = K.to_table(K.flatten_matrix(e, 7), sort_by="v")
+    np.testing.assert_array_equal(
+        np.asarray(flat["v"]).astype(np.uint64), src * 7 + dst)
+    back = K.to_table(K.reshape_vector(flat, 7), sort_by=None).sort_by(
+        [("src", "ascending"), ("dst", "ascending")])
+    np.testing.assert_array_equal(np.asarray(back["src"]).astype(np.uint64), src)
+    np.testing.assert_array_equal(np.asarray(back["dst"]).astype(np.uint64), dst)
+    np.testing.assert_allclose(np.asarray(back["w"]), w)
+    # reshape 7-col -> 4-col keeps row-wise linear order
+    r = K.to_table(K.reshape_matrix(e, 7, 4), sort_by=None)
+    lin = np.asarray(r["src"]).astype(np.uint64) * 4 + np.asarray(r["dst"]).astype(np.uint64)
+    np.testing.assert_array_equal(np.sort(lin), np.sort(src * 7 + dst))
