@@ -296,6 +296,131 @@ def knn_cosine_lsh(
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+def _ivf_centroids(emb_ds, nlist: int, id_col: str, emb_col: str):
+    """Deterministic coarse-quantizer centroids: the ``nlist`` corpus vectors
+    with the lexicographically smallest ``md5(str(vec_id))`` digest. A cheap
+    uniform sample both numpy and a SQL oracle (``ORDER BY md5(...)``) can
+    reproduce exactly — no k-means iterations, no RNG state to ship.
+
+    One distributed pass: each batch keeps its own nlist smallest rows
+    (combiner), the driver reduces nlist x num_batches rows (tiny).
+    """
+    import hashlib
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), np.int64)
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "h": pa.array([], pa.string()),
+                             emb_col: t[emb_col]})
+        hx = np.array([hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids])
+        keep = np.lexsort((ids, hx))[:nlist]
+        return pa.table({id_col: ids[keep],
+                         "h": hx[keep],
+                         emb_col: t[emb_col].take(keep)})
+
+    rows = emb_ds.map_batches(partial, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (r["h"], int(r[id_col])))
+    rows = rows[:nlist]
+    cids = np.array([int(r[id_col]) for r in rows], np.int64)
+    C = np.stack([np.asarray(r[emb_col], np.float64) for r in rows])
+    return cids, C
+
+
+def knn_cosine_ivf(
+    emb_ds,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    nlist: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_ids: np.ndarray | None = None,
+):
+    """Approximate top-k via an IVF (inverted-file) index — the classic
+    ANN scale path alongside LSH: every vector is assigned to its nearest
+    of ``nlist`` coarse centroids (inner product over 2^20-quantized int64
+    components: exact, order-independent, SQL-reproducible); a query scores
+    only vectors in its ``nprobe`` best lists, so per-query work is
+    ~nprobe/nlist of the corpus instead of all of it.
+
+    Determinism contract (what the DuckDB oracle rebuilds bit-for-bit):
+    centroids = nlist smallest md5(str(vec_id)); assignment / probe order =
+    quantized int dot DESC, centroid vec_id ASC; final rank = cosine DESC,
+    vec_id ASC. Assignment is one matmul per batch against the broadcast
+    centroid matrix; nothing materializes driver-side but the centroids.
+    """
+    import ray
+
+    cids, C = _ivf_centroids(emb_ds, nlist, id_col, emb_col)
+    # sort centroid columns by ascending vec_id so a vectorized argmax
+    # (first max wins) breaks assignment ties toward the smallest cid
+    corder = np.argsort(cids)
+    cids, C = cids[corder], C[corder]
+    Cq = _quantize(C)  # (nlist, dim) int64; dots fit: 2^40 x dim << 2^63
+
+    raw = np.asarray(queries, np.float64)
+    Q = _normalize(raw)
+    qids = (np.arange(Q.shape[0], dtype=np.int64) if query_ids is None
+            else np.asarray(query_ids, np.int64))
+    qdots = _quantize(raw) @ Cq.T  # (nq, nlist) exact int64
+    probes = np.empty((Q.shape[0], min(nprobe, len(cids))), np.int64)
+    for qi in range(Q.shape[0]):
+        order = np.lexsort((cids, -qdots[qi]))
+        probes[qi] = order[: probes.shape[1]]  # positions into cids
+    qref = ray.put((Q, qids, probes, Cq))
+
+    def assign_score(t: pa.Table) -> pa.Table:
+        q, qids_arr, prb, cq = ray.get(qref)
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), np.int64)
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        m = _emb_matrix(t, emb_col)
+        # coarse assignment: argmax over centroids (columns pre-sorted by
+        # ascending cid, so ties go to the smallest centroid id — same rule
+        # as the SQL oracle's row_number ORDER BY dot DESC, cid ASC)
+        assign = np.argmax(_quantize(m) @ cq.T, axis=1)
+        mn = None
+        out_q, out_i, out_s = [], [], []
+        for qi in range(q.shape[0]):
+            sel = np.isin(assign, prb[qi])
+            if not sel.any():
+                continue
+            if mn is None:
+                mn = _normalize(m)
+            rows = np.flatnonzero(sel)
+            s = mn[rows] @ q[qi]
+            kk = min(k, len(rows))
+            part = np.argpartition(-s, kk - 1)[:kk]
+            kth = s[part].min()
+            cand = np.flatnonzero(s >= kth)
+            order = np.lexsort((ids[rows][cand], -s[cand]))[:kk]
+            top = cand[order]
+            out_q.append(np.full(len(top), qids_arr[qi], np.int64))
+            out_i.append(ids[rows][top])
+            out_s.append(s[top])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({"query_id": np.concatenate(out_q),
+                         id_col: np.concatenate(out_i),
+                         "sim": np.concatenate(out_s)})
+
+    partial = emb_ds.map_batches(assign_score, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", id_col], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
 def embedding_near_dups(emb_ds, *, threshold: float = 0.95, id_col: str = "vec_id",
                         emb_col: str = "embedding", bands: int = 16,
                         planes_per_band: int = 2, seed: int = 42):

@@ -459,6 +459,60 @@ SELECT query_id, vec_id, rank FROM (
   FROM s
 ) WHERE rank <= 5 ORDER BY query_id, rank"""
 
+# knn_ivf: rebuild the IVF coarse quantizer exactly — centroids are the 8
+# corpus vectors with smallest md5(vec_id) digests, assignment/probe order
+# is exact int64 dot (2^20-quantized components) DESC then cid ASC — then
+# exact-cosine rank within the probed inverted lists (tie rule = knn_topk).
+ORACLES["knn_ivf"] = """WITH ev AS MATERIALIZED (
+  SELECT vec_id, CAST(floor(x * 1048576.0) AS BIGINT) AS xq, ord - 1 AS d
+  FROM (SELECT vec_id, embedding AS l FROM embeddings),
+       LATERAL (SELECT unnest(l) AS x, generate_subscripts(l, 1) AS ord) AS u
+),
+cent AS (
+  SELECT vec_id AS cid FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+),
+cv AS MATERIALIZED (
+  SELECT c.cid, ev.d, ev.xq FROM cent c JOIN ev ON ev.vec_id = c.cid
+),
+dots AS MATERIALIZED (
+  SELECT ev.vec_id, cv.cid, sum(ev.xq * cv.xq) AS dot
+  FROM ev JOIN cv ON cv.d = ev.d GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, cid ASC) AS rn
+    FROM dots
+  ) WHERE rn = 1
+),
+qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5),
+qprobe AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT d.vec_id, d.cid,
+           row_number() OVER (PARTITION BY d.vec_id
+                              ORDER BY dot DESC, cid ASC) AS rn
+    FROM dots d JOIN qids USING (vec_id)
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT DISTINCT qp.query_id, a.vec_id
+  FROM qprobe qp JOIN assign a ON a.cid = qp.cid
+),
+s AS (
+  SELECT c.query_id, c.vec_id,
+         list_cosine_similarity(qe.embedding, e.embedding) AS sim
+  FROM cand c JOIN embeddings qe ON qe.vec_id = c.query_id
+              JOIN embeddings e ON e.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM s
+) WHERE rank <= 5 ORDER BY query_id, rank"""
+
 ORACLES["scan_vector_plus"] = f"""WITH {_SUPP}
 SELECT v, round(sum(val) OVER (ORDER BY v
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS val

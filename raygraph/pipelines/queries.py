@@ -341,6 +341,21 @@ def q_simhash_pairs(sf_dir):
     return t.sort_by([("a", "ascending"), ("b", "ascending")])
 
 
+def q_knn_ivf(sf_dir):
+    """IVF (inverted-file) approximate ANN, hash-checked end-to-end: the
+    coarse quantizer is the 8 corpus vectors with smallest md5(vec_id)
+    digests and assignment/probing use exact int64 dots over 2^20-quantized
+    components, so DuckDB rebuilds the SAME inverted lists and candidate
+    sets, then ranks by exact cosine (same tie rule as knn_topk)."""
+    from raygraph.datapipe.similarity import knn_cosine_ivf
+
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    ids, q = _query_embeddings(sf_dir)
+    out = knn_cosine_ivf(emb, q, k=5, nlist=8, nprobe=2, query_ids=ids)
+    t = K.to_table(out, sort_by=None).select(["query_id", "vec_id", "rank"])
+    return t.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def q_knn_lsh(sf_dir):
     """LSH-bucketed approximate ANN, hash-checked end-to-end: md5-derived
     ±1 hyperplanes over 2^20-quantized components make every bucket sign
@@ -500,6 +515,7 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
     # stream-shaped
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,

@@ -107,6 +107,23 @@ def test_knn_lsh_self_recall():
         assert int(df["vec_id"][qi]) in set(mine["vec_id"])
 
 
+def test_knn_ivf_self_recall_and_full_probe_exactness():
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    df = emb.to_pandas()
+    M = np.stack([np.asarray(e, np.float64) for e in df["embedding"]])
+    # self-recall: a query vector's own inverted list is always probed first
+    got = similarity.knn_cosine_ivf(emb, M[:5], k=3, nlist=8, nprobe=2).to_pandas()
+    for qi in range(5):
+        assert int(df["vec_id"][qi]) in set(got[got["query_id"] == qi]["vec_id"])
+    # probing ALL lists degenerates to exact knn (same tie rule)
+    ivf_all = similarity.knn_cosine_ivf(emb, M[:3], k=5, nlist=4, nprobe=4).to_pandas()
+    exact = similarity.knn_cosine(emb, M[:3], k=5).to_pandas()
+    for qi in range(3):
+        a = ivf_all[ivf_all["query_id"] == qi].sort_values("rank")["vec_id"].tolist()
+        b = exact[exact["query_id"] == qi].sort_values("rank")["vec_id"].tolist()
+        assert a == b
+
+
 def test_embedding_near_dups_finds_clones():
     df = rd.read_parquet(f"{SF}/embeddings.parquet").to_pandas().head(50)
     clone = df.head(2).copy()
