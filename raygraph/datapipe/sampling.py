@@ -1,0 +1,114 @@
+"""Deterministic sampling / statistics stages for training-data curation.
+
+A 100-TB corpus pipeline constantly needs (a) a reproducible stratified
+sample ("n docs per language/source for eval") and (b) exact column
+quantiles ("p99 doc length for the truncation budget"). Both are built
+combiner-first so the shuffle carries only bounded partials, and both
+are deterministic functions of the input — md5-ranked sampling and
+integer histograms — so a DuckDB oracle reproduces them bit-for-bit.
+
+Reference parity note: python-graphblas has no sampling surface; these
+are the §"beyond the reference" training-data operators (SURVEY §2.7).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _md5_hex(ids: np.ndarray) -> np.ndarray:
+    return np.array([hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids])
+
+
+def sample_per_group(
+    ds,
+    *,
+    group_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+):
+    """Deterministic stratified sample: the ``n`` rows per group with the
+    lexicographically smallest ``md5(str(id))`` digests (ties by id).
+
+    md5 ranking is a uniform pseudo-random draw that needs no RNG state,
+    is stable under repartitioning/restarts, and is exactly reproducible
+    by a SQL oracle (``row_number() OVER (PARTITION BY g ORDER BY
+    md5(CAST(id AS VARCHAR)), id) <= n``).
+
+    Scale shape: each batch keeps at most n rows per group it sees
+    (combiner), so the groupby shuffle carries <= n x groups x batches
+    rows — never the corpus. Returns (group_col, id_col, *keep_cols).
+    """
+    cols = [group_col, id_col, *keep_cols]
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), np.int64)
+        if len(ids) == 0:
+            return t.select(cols).append_column("h", pa.array([], pa.string()))
+        grp = t[group_col].to_pandas().to_numpy()
+        hx = _md5_hex(ids)
+        # rank within group: sort by (group, h, id), keep first n per group
+        order = np.lexsort((ids, hx, grp))
+        g_sorted = grp[order]
+        change = np.r_[True, g_sorted[1:] != g_sorted[:-1]]
+        # position within the run of equal groups
+        idx = np.arange(len(order))
+        run_start = np.maximum.accumulate(np.where(change, idx, 0))
+        keep = order[(idx - run_start) < n]
+        out = t.select(cols).take(keep)
+        return out.append_column("h", pa.array(hx[keep]))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", id_col]).head(n)
+        return g.drop(columns=["h"]).reset_index(drop=True)
+
+    return partials.groupby(group_col).map_groups(final, batch_format="pandas")
+
+
+def column_quantiles(ds, *, col: str, pcts: tuple[int, ...] = (25, 50, 75, 90, 99)):
+    """Exact percentiles of an integer column, distributed.
+
+    Per-batch value-count partials (combiner) -> groupby(value).sum —
+    the shuffle carries one row per distinct value per batch, bounded by
+    the column's cardinality, never the row count. The tiny merged
+    histogram is reduced on the driver: pct p selects the smallest v
+    whose cumulative count reaches ``ceil(p*N/100)`` — pure integer
+    arithmetic, so the SQL oracle ((p*N + 99) // 100 over a windowed
+    cumsum) agrees exactly.
+
+    Returns a pyarrow.Table (pct:int64, v:int64), one row per pct.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[col].to_numpy(zero_copy_only=False), np.int64)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"v": u, "cnt": c.astype(np.int64)})
+
+    hist = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .sum("cnt")
+    )
+    rows = hist.take_all()  # one row per distinct value: bounded, tiny
+    if not rows:
+        return pa.table({"pct": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    vals = np.array([r["v"] for r in rows], np.int64)
+    cnts = np.array([r["sum(cnt)"] for r in rows], np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    total = int(cum[-1])
+    out_p, out_v = [], []
+    for p in pcts:
+        thresh = (int(p) * total + 99) // 100
+        out_p.append(int(p))
+        out_v.append(int(vals[np.searchsorted(cum, thresh, side="left")]))
+    return pa.table({"pct": pa.array(out_p, pa.int64()), "v": pa.array(out_v, pa.int64())})

@@ -513,6 +513,24 @@ SELECT query_id, vec_id, rank FROM (
   FROM s
 ) WHERE rank <= 5 ORDER BY query_id, rank"""
 
+ORACLES["doc_sample_per_lang"] = """SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 5 ORDER BY lang, doc_id"""
+
+ORACLES["doc_len_quantiles"] = """WITH c AS (
+  SELECT n_chars AS v, count(*) AS cnt FROM documents GROUP BY 1
+),
+t AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM c),
+tot AS (SELECT sum(cnt) AS n FROM c),
+p AS (SELECT CAST(unnest([25, 50, 75, 90, 99]) AS BIGINT) AS pct)
+SELECT p.pct AS pct, min(t.v) AS v
+FROM p, tot, t
+WHERE t.cum >= (p.pct * tot.n + 99) // 100
+GROUP BY p.pct ORDER BY pct"""
+
 ORACLES["scan_vector_plus"] = f"""WITH {_SUPP}
 SELECT v, round(sum(val) OVER (ORDER BY v
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS val

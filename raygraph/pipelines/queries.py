@@ -289,6 +289,30 @@ def q_doc_profile(sf_dir):
     )
 
 
+def q_doc_sample_per_lang(sf_dir):
+    """Deterministic stratified sample: 5 docs per language, picked by
+    smallest md5(doc_id) digests — reproducible under repartitioning and
+    by the SQL oracle's row_number-over-md5 (hash-checked)."""
+    from raygraph.datapipe.sampling import sample_per_group
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "lang"])
+    out = sample_per_group(docs, group_col="lang", n=5)
+    t = K.to_table(out, sort_by=None).select(["lang", "doc_id"])
+    return t.sort_by([("lang", "ascending"), ("doc_id", "ascending")])
+
+
+def q_doc_len_quantiles(sf_dir):
+    """Exact doc-length percentiles via a distributed value-count
+    histogram (combiner-first: the shuffle carries distinct values, not
+    rows); integer threshold rule (p*N+99)//100 matches the SQL oracle
+    bit-for-bit (hash-checked)."""
+    from raygraph.datapipe.sampling import column_quantiles
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    return column_quantiles(docs, col="n_chars")
+
+
 def _query_embeddings(sf_dir, n=5):
     t = pq.read_table(f"{sf_dir}/embeddings.parquet").sort_by("vec_id")
     ids = np.asarray(t["vec_id"].to_numpy()[:n], np.int64)
@@ -516,6 +540,8 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
+    "doc_sample_per_lang": q_doc_sample_per_lang,
+    "doc_len_quantiles": q_doc_len_quantiles,
     # stream-shaped
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,

@@ -221,3 +221,37 @@ def test_media_resize_and_audio_plumbing():
     assert all(list(m1[k]) == list(m2[k]) for k in m1)
     with pytest.raises(NotImplementedError):
         media.ImageResizer(fake=False)(tbl)
+
+
+# --------------------------------------------------------------- sampling ----
+
+from raygraph.datapipe import sampling
+
+
+def test_sample_per_group_deterministic_and_partition_invariant():
+    import hashlib
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    out = sampling.sample_per_group(docs, group_col="lang", n=3).to_pandas()
+    # oracle: rank by (md5, id) within each lang over the full table
+    df = docs.to_pandas()
+    df["h"] = [hashlib.md5(str(int(i)).encode()).hexdigest() for i in df["doc_id"]]
+    want = (df.sort_values(["h", "doc_id"]).groupby("lang").head(3))
+    w = set(zip(want["lang"], want["doc_id"]))
+    g = set(zip(out["lang"], out["doc_id"]))
+    assert g == w
+    # repartitioning must not change the sample
+    out2 = sampling.sample_per_group(
+        docs.repartition(7), group_col="lang", n=3).to_pandas()
+    assert set(zip(out2["lang"], out2["doc_id"])) == w
+
+
+def test_column_quantiles_exact():
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["n_chars"])
+    t = sampling.column_quantiles(docs, col="n_chars", pcts=(25, 50, 75, 100))
+    got = dict(zip(t["pct"].to_pylist(), t["v"].to_pylist()))
+    v = np.sort(rd.read_parquet(f"{SF}/documents.parquet").to_pandas()["n_chars"].to_numpy())
+    n = len(v)
+    for p in (25, 50, 75, 100):
+        thresh = (p * n + 99) // 100
+        assert got[p] == int(v[thresh - 1])  # smallest value with cum >= thresh
