@@ -19,6 +19,15 @@ Skew note: hub destinations are bounded by the per-batch local combine
 the reduce key space is at most P rows per destination — the salting
 happens structurally here; the generic Dataset kernel (kernels.py) also
 exposes explicit salt-key reduction for raw COO inputs.
+
+Role note (round 2): this dataset-mode engine is the CROSS-CHECK path —
+its supersteps assemble per-partition result slices on the driver
+(``take_all`` of the reduced rows below), which is fine at test scale and
+for one-shot queries but not for 10^10-vertex iteration. Production
+iteration (PageRank/CC/LPA/BFS defaults) runs on ``raygraph.fused``,
+whose supersteps keep state as per-partition object refs end-to-end and
+touch the driver only for scalar convergence checks; test_fused.py pins
+bit-parity between the two modes.
 """
 
 from __future__ import annotations
