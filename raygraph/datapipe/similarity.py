@@ -327,6 +327,53 @@ def _ivf_centroids(emb_ds, nlist: int, id_col: str, emb_col: str):
     return cids, C
 
 
+def _ivf_refine(emb_ds, Cq: np.ndarray, *, id_col: str, emb_col: str) -> np.ndarray:
+    """One exact integer Lloyd step: assign every vector to its best
+    centroid (int dot, tie -> smallest cid), then move each centroid to
+    the FLOOR-divided per-dimension mean of its members' quantized
+    components. All arithmetic is int64, so the SQL oracle reproduces the
+    refined centroids bit-for-bit (floor division spelled as
+    ``(s - ((s % cnt) + cnt) % cnt) // cnt`` to match numpy's semantics
+    for negative sums). Empty clusters keep their previous centroid.
+
+    One distributed pass; each batch ships at most nlist sum-vectors
+    (combiner), the driver reduces nlist x num_batches tiny rows.
+    """
+    import ray
+
+    cref = ray.put(Cq)
+
+    def assign_sum(t: pa.Table) -> pa.Table:
+        cq = ray.get(cref)
+        m = _quantize(_emb_matrix(t, emb_col))
+        if m.shape[0] == 0:
+            return pa.table({"c": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.list_(pa.int64()))})
+        a = np.argmax(m @ cq.T, axis=1)
+        uniq = np.unique(a)
+        sums = np.zeros((len(uniq), m.shape[1]), np.int64)
+        cnts = np.zeros(len(uniq), np.int64)
+        for j, c in enumerate(uniq):
+            sel = a == c
+            sums[j] = m[sel].sum(axis=0)
+            cnts[j] = int(sel.sum())
+        return pa.table({"c": uniq.astype(np.int64), "cnt": cnts,
+                         "s": pa.array(list(sums), pa.list_(pa.int64()))})
+
+    rows = emb_ds.map_batches(assign_sum, batch_format="pyarrow").take_all()
+    tot_s = np.zeros_like(Cq)
+    tot_n = np.zeros(Cq.shape[0], np.int64)
+    for r in rows:
+        c = int(r["c"])
+        tot_s[c] += np.asarray(r["s"], np.int64)
+        tot_n[c] += int(r["cnt"])
+    out = Cq.copy()
+    nz = tot_n > 0
+    out[nz] = tot_s[nz] // tot_n[nz, None]  # numpy floor division
+    return out
+
+
 def knn_cosine_ivf(
     emb_ds,
     queries: np.ndarray,
@@ -334,6 +381,7 @@ def knn_cosine_ivf(
     k: int = 10,
     nlist: int = 8,
     nprobe: int = 2,
+    refine: int = 0,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     query_ids: np.ndarray | None = None,
@@ -359,6 +407,8 @@ def knn_cosine_ivf(
     corder = np.argsort(cids)
     cids, C = cids[corder], C[corder]
     Cq = _quantize(C)  # (nlist, dim) int64; dots fit: 2^40 x dim << 2^63
+    for _ in range(refine):  # integer Lloyd steps (see _ivf_refine)
+        Cq = _ivf_refine(emb_ds, Cq, id_col=id_col, emb_col=emb_col)
 
     raw = np.asarray(queries, np.float64)
     Q = _normalize(raw)

@@ -255,3 +255,46 @@ def test_column_quantiles_exact():
     for p in (25, 50, 75, 100):
         thresh = (p * n + 99) // 100
         assert got[p] == int(v[thresh - 1])  # smallest value with cum >= thresh
+
+
+def test_ivf_refine_matches_duckdb_integer_lloyd():
+    # the integer Lloyd step must be bit-reproducible in SQL: same
+    # assignment (int dot DESC, cid ASC) and same floor-divided means
+    import duckdb
+
+    from raygraph.datapipe.similarity import _ivf_centroids, _ivf_refine, _quantize
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    cids, C = _ivf_centroids(emb, 4, "vec_id", "embedding")
+    order = np.argsort(cids)
+    cids, Cq = cids[order], _quantize(C[order])
+    got = _ivf_refine(emb, Cq, id_col="vec_id", emb_col="embedding")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    df = con.execute("""
+    WITH ev AS (SELECT vec_id, CAST(floor(x*1048576.0) AS BIGINT) AS xq, ord-1 AS d
+                FROM (SELECT vec_id, embedding AS l FROM embeddings),
+                LATERAL (SELECT unnest(l) AS x, generate_subscripts(l,1) AS ord) u),
+    cent AS (SELECT vec_id AS cid FROM embeddings
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+    cq0 AS (SELECT c.cid, ev.d, ev.xq FROM cent c JOIN ev ON ev.vec_id = c.cid),
+    dots AS (SELECT ev.vec_id, cq0.cid, sum(ev.xq * cq0.xq) AS dot
+             FROM ev JOIN cq0 ON cq0.d = ev.d GROUP BY 1, 2),
+    assign AS (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dot DESC, cid ASC) AS rn FROM dots) WHERE rn = 1),
+    sums AS (SELECT a.cid, ev.d, sum(ev.xq) AS s, count(*) AS cnt
+             FROM assign a JOIN ev ON ev.vec_id = a.vec_id GROUP BY 1, 2)
+    SELECT cid, d, (s - ((s % cnt) + cnt) % cnt) // cnt AS xq
+    FROM sums ORDER BY cid, d
+    """).df()
+    want = Cq.copy()
+    touched = np.zeros(len(cids), bool)
+    cpos = {int(c): i for i, c in enumerate(cids)}
+    for cid, d, xq in zip(df["cid"], df["d"], df["xq"]):
+        want[cpos[int(cid)], int(d)] = int(xq)
+        touched[cpos[int(cid)]] = True
+    np.testing.assert_array_equal(got, want)
+    assert touched.any()
