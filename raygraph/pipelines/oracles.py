@@ -131,6 +131,11 @@ SELECT src, dst, w FROM e WHERE dst >= src AND w >= 25.0 ORDER BY src, dst""",
     "reduce_rowwise_max": f"""WITH {_E}
 SELECT src AS v, round(max(w), 6) AS val FROM e GROUP BY 1 ORDER BY v""",
     "reduce_scalar_plus": f"WITH {_E} SELECT round(sum(w), 4) AS total FROM e",
+    "outer_product": f"""WITH {_CUST}, {_SUPP}
+SELECT cv.v AS src, sv.v AS dst, round(cv.val * sv.val, 4) AS w
+FROM cv CROSS JOIN sv ORDER BY src, dst""",
+    "reduce_colwise_plus": f"""WITH {_E}
+SELECT dst AS v, round(sum(w), 4) AS val FROM e GROUP BY 1 ORDER BY v""",
     "extract_remap": f"""WITH {_SUPP},
 idx(pos, tgt) AS (VALUES (0, 3), (1, 5), (2, 10), (3, 5), (4, 200))
 SELECT idx.pos AS v, sv.val AS val

@@ -572,6 +572,22 @@ def q_inner_product(sf_dir):
                                     pa.float64())})
 
 
+def q_outer_product(sf_dir):
+    """v.outer(w, times) cross product (reference vector.py:1653) —
+    broadcast small side, per-batch vectorized repeat/tile."""
+    out = K.outer(_customer_vec(sf_dir), _supplier_vec(sf_dir), "times")
+    t = K.to_table(out, sort_by=None).select(["src", "dst", "w"])
+    t = _int64_col(_int64_col(t, "src"), "dst")
+    t = _round_col(t, "w", 4)
+    return t.sort_by([("src", "ascending"), ("dst", "ascending")])
+
+
+def q_reduce_colwise_plus(sf_dir):
+    """Columnwise monoid reduction (reference matrix.py:2600) — salted
+    grouped aggregate keyed on dst."""
+    return _vv_out(K.reduce_columnwise(_edges_dedup(sf_dir), "plus"), nd=4)
+
+
 def q_sort_rowwise(sf_dir):
     """Per-row descending value sort with permutation output
     (reference core/ss/matrix.py:3991 Matrix.ss.sort)."""
@@ -592,6 +608,8 @@ QUERIES.update(
     {
         "mxm_plus_times": q_mxm_plus_times,
         "inner_product": q_inner_product,
+        "outer_product": q_outer_product,
+        "reduce_colwise_plus": q_reduce_colwise_plus,
         "selectk_rowwise": q_selectk_rowwise,
         "sort_rowwise": q_sort_rowwise,
     }
