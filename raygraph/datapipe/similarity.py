@@ -155,7 +155,7 @@ class BandedHyperplaneLSH:
 
     def __init__(self, dim: int, bands: int = 16, planes_per_band: int = 2,
                  seed: int = 42, id_col: str = "vec_id", emb_col: str = "embedding",
-                 plane_mode: str = "gaussian"):
+                 plane_mode: str = "gaussian", layout: str = "exploded"):
         self.plane_mode = plane_mode
         if plane_mode == "md5":
             self.planes = _md5_sign_planes(bands * planes_per_band, dim)
@@ -164,10 +164,20 @@ class BandedHyperplaneLSH:
             self.planes = rng.standard_normal((bands * planes_per_band, dim))
         self.bands, self.r = bands, planes_per_band
         self.id_col, self.emb_col = id_col, emb_col
+        # 'exploded': one row per (vector, band) — the layout the near-dup
+        # (band,bucket) shuffle needs. 'wide': one row per vector with a
+        # fixed-size-list bucket column — no 16x duplication of the
+        # embedding payload through the object store (knn scoring path).
+        self.layout = layout
 
     def __call__(self, t: pa.Table) -> pa.Table:
         m = _emb_matrix(t, self.emb_col)
         if m.shape[0] == 0:
+            if self.layout == "wide":
+                return pa.table({
+                    self.id_col: pa.array([], pa.int64()),
+                    "buckets": pa.array([], pa.list_(pa.int64(), self.bands)),
+                    self.emb_col: t[self.emb_col]})
             return pa.table({self.id_col: pa.array([], pa.int64()),
                              "band": pa.array([], pa.int32()),
                              "bucket": pa.array([], pa.int64()),
@@ -185,6 +195,11 @@ class BandedHyperplaneLSH:
         for b in range(self.bands):
             seg = signs[:, b * self.r: (b + 1) * self.r]
             buckets[b] = (seg.astype(np.int64) << np.arange(self.r)[None, :]).sum(axis=1)
+        if self.layout == "wide":
+            fsl = pa.FixedSizeListArray.from_arrays(
+                pa.array(buckets.T.ravel()), self.bands)
+            return pa.table({self.id_col: ids, "buckets": fsl,
+                             self.emb_col: emb})
         return pa.table({
             self.id_col: np.tile(ids, self.bands),
             "band": np.repeat(np.arange(self.bands, dtype=np.int32), n),
@@ -243,38 +258,43 @@ def knn_cosine_lsh(
         fn_constructor_kwargs={"dim": dim, "bands": bands,
                                "planes_per_band": planes_per_band, "seed": seed,
                                "id_col": id_col, "emb_col": emb_col,
-                               "plane_mode": plane_mode},
+                               "plane_mode": plane_mode, "layout": "wide"},
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
 
     def score(t: pa.Table) -> pa.Table:
+        # wide layout: one row per vector with a (bands,) bucket list —
+        # the embedding payload travels ONCE, not once per band
         q, qbk, qids_arr = ray.get(qref)
-        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False))
-        band = np.asarray(t["band"].to_numpy(zero_copy_only=False))
-        bk = np.asarray(t["bucket"].to_numpy(zero_copy_only=False))
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), np.int64)
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        bcol = t["buckets"]
+        if isinstance(bcol, pa.ChunkedArray):
+            bcol = bcol.combine_chunks()
+        B = np.asarray(bcol.flatten()).reshape(len(ids), -1)  # (n, bands)
         out_q, out_i, out_s = [], [], []
         m = None
         for qi in range(q.shape[0]):
-            sel = np.zeros(len(ids), bool)
-            for b in range(qbk.shape[1]):
-                sel |= (band == b) & (bk == qbk[qi, b])
+            # candidate iff ANY band's bucket matches the query's
+            sel = (B == qbk[qi][None, :]).any(axis=1)
             if not sel.any():
                 continue
-            # rows repeat per band: dedup candidate ids before scoring
-            cand_ids, first_pos = np.unique(ids[sel], return_index=True)
             if m is None:
                 m = _normalize(_emb_matrix(t, emb_col))
-            rows = np.flatnonzero(sel)[first_pos]
+            rows = np.flatnonzero(sel)
             s = m[rows] @ q[qi]
-            kk = min(k, len(cand_ids))
+            kk = min(k, len(rows))
             part = np.argpartition(-s, kk - 1)[:kk]
             kth = s[part].min()
             cand = np.flatnonzero(s >= kth)
-            order = np.lexsort((cand_ids[cand], -s[cand]))[:kk]
+            order = np.lexsort((ids[rows][cand], -s[cand]))[:kk]
             top = cand[order]
             out_q.append(np.full(len(top), qids_arr[qi], np.int64))
-            out_i.append(cand_ids[top].astype(np.int64))
+            out_i.append(ids[rows][top])
             out_s.append(s[top])
         if not out_q:
             return pa.table({"query_id": pa.array([], pa.int64()),
@@ -287,7 +307,6 @@ def knn_cosine_lsh(
     partial = bucketed.map_batches(score, batch_format="pyarrow")
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=[id_col])
         g = g.sort_values(["sim", id_col], ascending=[False, True]).head(k)
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)

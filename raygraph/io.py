@@ -26,6 +26,11 @@ def mmread(path: str) -> pa.Table:
         symmetry = header[4] if len(header) > 4 else "general"
         if fmt != "coordinate":
             raise ValueError("only coordinate (sparse) MatrixMarket supported")
+        if symmetry not in ("general", "symmetric"):
+            # skew-symmetric/hermitian would need negated/conjugated
+            # mirror entries; parsing them as stored would silently drop
+            # half the matrix
+            raise ValueError(f"unsupported MatrixMarket symmetry: {symmetry}")
         line = f.readline()
         while line.startswith("%"):
             line = f.readline()
@@ -68,7 +73,9 @@ def mmwrite(path: str, edges: pa.Table, *, nrows: int | None = None,
                 f.write(f"%{line}\n")
         f.write(f"{nrows} {ncols} {len(src)}\n")
         for s, d, x in zip(src, dst, w):
-            f.write(f"{int(s) + 1} {int(d) + 1} {x!r}\n")
+            # repr(float(x)) round-trips exactly and stays a plain literal
+            # (numpy>=2 scalar repr would emit 'np.float64(...)')
+            f.write(f"{int(s) + 1} {int(d) + 1} {float(x)!r}\n")
 
 
 def to_scipy(edges: pa.Table, *, n: int | None = None):

@@ -217,29 +217,59 @@ def select_value(x, cmp: str, thunk, *, col: str = "val"):
     return _ds(x).map_batches(flt, batch_format="pyarrow")
 
 
+def _le_shift(d: np.ndarray, s: np.ndarray, thunk: int) -> np.ndarray:
+    """Exact ``d <= s + thunk`` on uint64 arrays — no int64 casts (ids span
+    the full uint64 range: splitmix64 url hashes) and no overflow (the
+    difference form is wrap-safe: when d <= s the first clause already
+    decides, so a wrapped d-s never matters)."""
+    if thunk >= 0:
+        return (d <= s) | (d - s <= np.uint64(thunk))
+    return (s > d) & (s - d >= np.uint64(-thunk))
+
+
+def _ge_shift(d: np.ndarray, s: np.ndarray, thunk: int) -> np.ndarray:
+    """Exact ``d >= s + thunk`` on uint64 arrays (see _le_shift)."""
+    if thunk > 0:
+        return (d > s) & (d - s >= np.uint64(thunk))
+    if thunk == 0:
+        return d >= s
+    return (d >= s) | (s - d <= np.uint64(-thunk))
+
+
+def _eq_shift(d: np.ndarray, s: np.ndarray, thunk: int) -> np.ndarray:
+    """Exact ``d == s + thunk`` on uint64 arrays (see _le_shift)."""
+    if thunk >= 0:
+        return (d >= s) & (d - s == np.uint64(thunk))
+    return (s > d) & (s - d == np.uint64(-thunk))
+
+
 def select_positional(edges, which: str, thunk: int = 0):
     """Positional select on the edge table: tril/triu/diag/offdiag plus the
     thunk-comparison index predicates rowle/rowgt/colle/colgt
     (reference indexunary family, core/operator/indexunary.py:102-110 —
-    VERDICT r1 'What's missing' #5)."""
-    k = np.uint64(thunk) if thunk >= 0 else np.int64(thunk)
-    preds = {
-        "tril": lambda s, d: d.astype(np.int64) <= s.astype(np.int64) + np.int64(thunk),
-        "triu": lambda s, d: d.astype(np.int64) >= s.astype(np.int64) + np.int64(thunk),
-        "diag": lambda s, d: d.astype(np.int64) == s.astype(np.int64) + np.int64(thunk),
-        "offdiag": lambda s, d: d.astype(np.int64) != s.astype(np.int64) + np.int64(thunk),
-        "rowle": lambda s, d: s <= k,
-        "rowgt": lambda s, d: s > k,
-        "colle": lambda s, d: d <= k,
-        "colgt": lambda s, d: d > k,
-    }
+    VERDICT r1 'What's missing' #5). All comparisons are exact over the
+    full uint64 id range (no int64/float promotion)."""
     # strict variants = thunk-shifted tril/triu (reference semantics)
     if which == "tril_strict":
         which, thunk = "tril", -1
-        preds["tril"] = lambda s, d: d.astype(np.int64) <= s.astype(np.int64) - 1
-    if which == "triu_strict":
-        preds["triu"] = lambda s, d: d.astype(np.int64) >= s.astype(np.int64) + 1
-        which = "triu"
+    elif which == "triu_strict":
+        which, thunk = "triu", 1
+
+    def _idx_le(a: np.ndarray) -> np.ndarray:
+        if thunk < 0:
+            return np.zeros(len(a), bool)
+        return a <= np.uint64(thunk)
+
+    preds = {
+        "tril": lambda s, d: _le_shift(d, s, thunk),
+        "triu": lambda s, d: _ge_shift(d, s, thunk),
+        "diag": lambda s, d: _eq_shift(d, s, thunk),
+        "offdiag": lambda s, d: ~_eq_shift(d, s, thunk),
+        "rowle": lambda s, d: _idx_le(s),
+        "rowgt": lambda s, d: ~_idx_le(s),
+        "colle": lambda s, d: _idx_le(d),
+        "colgt": lambda s, d: ~_idx_le(d),
+    }
     p = preds[which]
 
     def flt(t: pa.Table) -> pa.Table:
@@ -253,12 +283,18 @@ def select_positional(edges, which: str, thunk: int = 0):
 def select_index(vec, cmp: str, thunk: int):
     """Vector positional select: keep elements whose INDEX passes the
     predicate — the reference's indexle/indexgt family on Vectors
-    (core/operator/indexunary.py:102)."""
+    (core/operator/indexunary.py:102). Negative thunks compare correctly
+    against the unsigned index (no uint64 wraparound)."""
     fn = _CMP[cmp]
 
     def flt(t: pa.Table) -> pa.Table:
         v = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.uint64)
-        return t.filter(pa.array(fn(v, np.uint64(thunk))))
+        if thunk < 0:
+            # every uint64 index exceeds a negative thunk
+            m = np.full(len(v), cmp in (">", ">=", "!="), bool)
+        else:
+            m = fn(v, np.uint64(thunk))
+        return t.filter(pa.array(m))
 
     return _ds(vec).map_batches(flt, batch_format="pyarrow")
 

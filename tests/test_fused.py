@@ -206,3 +206,35 @@ def test_lpa_fused_single_partition():
     l_ds, _ = label_propagation(g, itermax=5, mode="dataset")
     for a, b in zip(l_fu, l_ds):
         np.testing.assert_array_equal(a, b)
+
+
+def test_lpa_fused_directed_source_and_sink_partitions():
+    # regression: (a) a partition with out-edges but NO in-packets must
+    # still re-scatter its (unchanged) labels every round — receivers
+    # recount in-neighbor labels from scratch, so a skipped scatter
+    # silently drops those edges from the argmax; (b) a vertex-holding
+    # partition with ZERO out-edges has an empty block whose scatter
+    # previously raised IndexError. A directed bipartite graph keyed by
+    # the real partitioner exercises both.
+    import pyarrow as pa
+
+    from raygraph.algorithms.lpa import label_propagation
+    from raygraph.util import part_of
+
+    P = 4
+    ids = np.arange(1, 400, dtype=np.uint64)
+    parts = part_of(ids, P)
+    src_ids = ids[parts == 0][:12]
+    dst_ids = ids[parts == 1][:12]
+    assert len(src_ids) >= 5 and len(dst_ids) >= 5
+    src = np.repeat(src_ids, len(dst_ids))
+    dst = np.tile(dst_ids, len(src_ids))
+    edges = pa.table({"src": src, "dst": dst,
+                      "w": np.ones(len(src), np.float64)})
+    verts = pa.table({"v": np.concatenate([src_ids, dst_ids])})
+    g = build_graph(rd.from_arrow(edges), vertices_ds=rd.from_arrow(verts),
+                    num_parts=P, binarize=True)
+    l_fu, _ = label_propagation(g, itermax=5, mode="fused")
+    l_ds, _ = label_propagation(g, itermax=5, mode="dataset")
+    for a, b in zip(l_fu, l_ds):
+        np.testing.assert_array_equal(a, b)

@@ -514,3 +514,33 @@ def test_flatten_reshape_round_trip():
     r = K.to_table(K.reshape_matrix(e, 7, 4), sort_by=None)
     lin = np.asarray(r["src"]).astype(np.uint64) * 4 + np.asarray(r["dst"]).astype(np.uint64)
     np.testing.assert_array_equal(np.sort(lin), np.sort(src * 7 + dst))
+
+
+def test_select_positional_exact_above_2_63():
+    # regression: tril/triu must compare in uint64 — an int64 cast wraps
+    # ids >= 2^63 (splitmix64 url hashes span the full range)
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygraph import kernels as K
+
+    src = np.array([1, 2**63, 2**63 + 5, 7], np.uint64)
+    dst = np.array([2**63, 1, 2**63 + 9, 2**53 + 1], np.uint64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst,
+                                    "w": np.ones(4, np.float64)}))
+    tril = K.to_table(K.select_positional(edges, "tril"), sort_by=None)
+    got = {(int(s), int(d)) for s, d in zip(tril["src"].to_pylist(),
+                                            tril["dst"].to_pylist())}
+    want = {(int(s), int(d)) for s, d in zip(src, dst) if int(d) <= int(s)}
+    assert got == want
+    # rowle with a giant thunk must not round through float64
+    rowle = K.to_table(K.select_positional(edges, "rowle", thunk=2**63),
+                       sort_by=None)
+    got2 = {int(s) for s in rowle["src"].to_pylist()}
+    assert got2 == {1, 2**63, 7}
+    # negative thunk on an index select: no uint64 wraparound
+    vec = rd.from_arrow(pa.table({"v": src, "val": np.ones(4, np.float64)}))
+    lt = K.to_table(K.select_index(vec, "<", -1), sort_by=None)
+    assert lt.num_rows == 0
+    gt = K.to_table(K.select_index(vec, ">", -1), sort_by=None)
+    assert gt.num_rows == 4
