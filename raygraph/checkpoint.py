@@ -28,15 +28,68 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
+def _content_checksum(graph) -> int:
+    """Order-independent uint64 checksum over every (src, dst, part, w)
+    edge and every vertex id — one distributed pass over the CSR blocks
+    (wrapping sums commute, so block/batch order doesn't matter)."""
+    C1 = np.uint64(0x9E3779B97F4A7C15)
+    C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    C3 = np.uint64(0x165667B19E3779F9)
+
+    def chk(t: pa.Table) -> pa.Table:
+        from raygraph.util import mix64
+
+        parts = t["part"].to_numpy(zero_copy_only=False)
+        acc = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for i in range(t.num_rows):
+                p64 = np.uint64(int(parts[i]))
+                ids = np.asarray(t["ids"][i].values, np.uint64)
+                sp = np.asarray(t["src_pos"][i].values, np.int64)
+                indptr = np.asarray(t["indptr"][i].values, np.int64)
+                dq = np.asarray(t["dst_pos"][i].values, np.int64).astype(np.uint64)
+                dp = np.asarray(t["dst_part"][i].values, np.int32).astype(np.uint64)
+                w = np.asarray(t["w"][i].values, np.float64)
+                acc += np.add.reduce(mix64(ids ^ (p64 * C3 + C1)), dtype=np.uint64)
+                if len(w):
+                    sv = np.repeat(sp.astype(np.uint64), np.diff(indptr))
+                    eh = mix64(sv * C1 ^ dq * C2 ^ (dp + np.uint64(1))
+                               ^ w.view(np.uint64) ^ p64)
+                    acc += np.add.reduce(eh, dtype=np.uint64)
+        return pa.table({"h": pa.array([int(acc)], pa.uint64())})
+
+    rows = graph.blocks.map_batches(chk, batch_format="pyarrow").take_all()
+    total = np.uint64(0)
+    with np.errstate(over="ignore"):
+        for r in rows:
+            total += np.uint64(int(r["h"]))
+    return int(total)
+
+
 def graph_fingerprint(graph) -> str:
-    return f"P{graph.num_parts}-n{graph.n_vertices}-nnz{graph.nnz}"
+    """Counts PLUS an edge-content checksum (cached on the graph): counts
+    alone (P/n/nnz) let a rebuilt same-shape-different-edges graph resume
+    silently against stale iteration state."""
+    fp = getattr(graph, "_fingerprint_cache", None)
+    if fp is None:
+        fp = (f"P{graph.num_parts}-n{graph.n_vertices}-nnz{graph.nnz}"
+              f"-c{_content_checksum(graph):016x}")
+        graph._fingerprint_cache = fp
+    return fp
 
 
 def save_graph(graph, ckpt_dir: str) -> None:
     """Write the CSR blocks once (build-time checkpoint)."""
     gdir = os.path.join(ckpt_dir, "graph")
-    if os.path.exists(os.path.join(gdir, "meta.json")):
-        return
+    meta_path = os.path.join(gdir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            old = json.load(f)
+        if old.get("fingerprint") == graph_fingerprint(graph):
+            return
+        # same ckpt_dir, different graph content: rewrite the graph dir
+        # (stale iter=K dirs keep the OLD fingerprint and read_iter will
+        # refuse them — never a silent resume against the wrong graph)
     tmp = gdir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     graph.blocks.write_parquet(tmp)

@@ -46,14 +46,17 @@ def identity_for(monoid: Monoid, dtype) -> object:
     if dt.kind in "ui":
         if monoid.name == "min":
             return np.iinfo(dt).max
-        if monoid.name in ("max", "any", "bor"):
+        if monoid.name in ("max", "any"):
             return np.iinfo(dt).min if dt.kind == "i" else 0
         if monoid.name == "plus":
             return 0
         if monoid.name == "times":
             return 1
+        if monoid.name == "bor":
+            return 0  # OR-identity: no bits set (signed included)
         if monoid.name == "band":
-            return np.iinfo(dt).max
+            # AND-identity: ALL bits set — -1 on signed, max on unsigned
+            return -1 if dt.kind == "i" else np.iinfo(dt).max
         return 0
     if dt.kind == "b":
         return monoid.name in ("land", "min", "times", "band")
@@ -220,6 +223,7 @@ def lpa_step(graph, labels: list[np.ndarray]) -> list[np.ndarray]:
     """
     import ray
 
+    lab_dt = np.dtype(labels[0].dtype) if labels else np.dtype(np.uint64)
     lab_refs = [ray.put(s) for s in labels]
 
     def scatter(tbl: pa.Table) -> pa.Table:
@@ -245,11 +249,13 @@ def lpa_step(graph, labels: list[np.ndarray]) -> list[np.ndarray]:
             olab.append(ll[starts])
             ocnt.append(cnt.astype(np.int64))
         if not op:
+            # match the non-empty batches' label dtype or block schemas
+            # diverge and the groupby fails to unify
             return pa.table(
                 {
                     "part": pa.array([], pa.int32()),
                     "pos": pa.array([], pa.int64()),
-                    "lab": pa.array([], pa.uint64()),
+                    "lab": pa.array(np.empty(0, lab_dt)),
                     "cnt": pa.array([], pa.int64()),
                 }
             )
@@ -267,7 +273,7 @@ def lpa_step(graph, labels: list[np.ndarray]) -> list[np.ndarray]:
     def reduce_part(g: pa.Table) -> pa.Table:
         p = int(g["part"][0].as_py())
         pos = np.asarray(g["pos"].to_numpy(zero_copy_only=False), np.int64)
-        lab = np.asarray(g["lab"].to_numpy(zero_copy_only=False), np.uint64)
+        lab = np.asarray(g["lab"].to_numpy(zero_copy_only=False), lab_dt)
         cnt = np.asarray(g["cnt"].to_numpy(zero_copy_only=False), np.int64)
         # total count per (pos, label)
         order = np.lexsort((lab, pos))
@@ -290,7 +296,7 @@ def lpa_step(graph, labels: list[np.ndarray]) -> list[np.ndarray]:
     out = [s.copy() for s in labels]
     for row in rows:
         p = int(row["part"])
-        out[p][np.asarray(row["pos"], np.int64)] = np.asarray(row["lab"], np.uint64)
+        out[p][np.asarray(row["pos"], np.int64)] = np.asarray(row["lab"], lab_dt)
     return out
 
 
@@ -353,7 +359,7 @@ def scatter_min_by_id(graph, target_ids: list[np.ndarray], values: list[np.ndarr
     if src is None:
         return graph.state(ident, dtype=dt), graph.state(False, dtype=bool)
     routed = src.map_batches(route, batch_format="pyarrow")
-    ids_refs = [ray.put(a) for a in graph.ids_slices()]
+    ids_refs = graph.ids_ref_list()  # cached: one put per run, not per round
 
     def reduce_part(g: pa.Table) -> pa.Table:
         p = int(g["part"][0].as_py())
@@ -392,7 +398,7 @@ def gather_by_id(graph, state: list[np.ndarray], query_ids: list[np.ndarray]):
 
     dt = state[0].dtype if state else np.uint64
     state_refs = [ray.put(a) for a in state]
-    ids_refs = [ray.put(a) for a in graph.ids_slices()]
+    ids_refs = graph.ids_ref_list()  # cached: one put per run, not per round
 
     # request rows: (owner part, qid, home part, home pos)
     home = {

@@ -125,6 +125,19 @@ class Graph:
         """Dense per-partition state vector initialized to ``fill``."""
         return [np.full(int(s), fill, dtype=dtype) for s in self.sizes]
 
+    def ids_ref_list(self) -> list:
+        """Per-partition ObjectRefs to the sorted vertex-id arrays
+        (cached): the id set is immutable, so iterative dataset-mode
+        callers (scatter_min_by_id / gather_by_id, once per FastSV round)
+        must not re-``ray.put`` O(n_vertices) bytes every call."""
+        import ray
+
+        refs = getattr(self, "_ids_refs", None)
+        if refs is None:
+            refs = [ray.put(a) for a in self.ids_slices()]
+            self._ids_refs = refs
+        return refs
+
     def block_ref_list(self) -> list:
         """Per-partition ObjectRefs to one-row CSR block tables (cached);
         pinned from the blocks Dataset when the graph was rebuilt from a
@@ -177,6 +190,7 @@ class Graph:
         phases when several graphs coexist (memory-aware rule, SCALE.md)."""
         self._fused_cache = None
         self._frontier_cache = None
+        self._ids_refs = None
 
     def to_vertex_table(self, slices: list[np.ndarray], name: str = "val") -> pa.Table:
         """(v, val) Arrow table from per-partition state (driver-side)."""
@@ -317,6 +331,31 @@ def _graph_from_block_refs(block_refs, P, timings) -> "Graph":
     from raygraph.shuffle import refs_to_dataset
 
     blocks = refs_to_dataset(block_refs)
+    if blocks is None:
+        # zero-vertex input: materialize ONE structurally-valid empty block
+        # so every downstream method (ids_slices/spmv/save_graph) sees a
+        # real Dataset instead of crashing on blocks=None
+        import ray.data as rd
+
+        def _l(arr, typ):
+            a = np.asarray(arr, typ)
+            off = np.array([0, len(a)], np.int64)
+            return pa.LargeListArray.from_arrays(off, pa.array(a))
+
+        empty = pa.table({
+            "part": pa.array([0], pa.int32()),
+            "ids": _l([], np.uint64),
+            "deg": _l([], np.float64),
+            "src_pos": _l([], np.int64),
+            "indptr": _l([0], np.int64),
+            "dst_part": _l([], np.int32),
+            "dst_pos": _l([], np.int64),
+            "w": _l([], np.float64),
+            "nnz": pa.array([0], pa.int64()),
+        })
+        blocks = rd.from_arrow(empty)
+        # block_refs stays all-None: ref-based (fused) paths correctly see
+        # no live blocks, Dataset paths read the one empty row
 
     @ray.remote
     def meta(tbl: pa.Table):
@@ -465,6 +504,11 @@ def build_graph(
 
     timings: dict[str, float] = {}
     _t0 = _time.perf_counter()
+
+    if verts.count() == 0:
+        # zero-vertex input: short-circuit to a structurally valid empty
+        # graph (the exchange stages would otherwise emit part-less tables)
+        return _graph_from_block_refs([None] * P, P, timings)
 
     # ---- fast path: when the vertex id set is small enough to broadcast
     # (default 256 MB ~ 32M vertices), the whole build is ONE exchange keyed

@@ -219,11 +219,13 @@ def register_numpy_ops() -> tuple[int, int]:
         if not isinstance(f, np.ufunc):
             continue
         if f.nin == 1 and f.nout == 1:
-            UNARY.setdefault(f"np_{name}", f)
-            n_u += 1
+            if f"np_{name}" not in UNARY:
+                UNARY[f"np_{name}"] = f
+                n_u += 1
         elif f.nin == 2 and f.nout == 1:
-            BINARY.setdefault(f"np_{name}", f)
-            n_b += 1
+            if f"np_{name}" not in BINARY:
+                BINARY[f"np_{name}"] = f
+                n_b += 1
     return n_u, n_b
 
 

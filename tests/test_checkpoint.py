@@ -126,3 +126,61 @@ def test_latest_iter_survives_crash_in_commit_window(tmp_path):
     open(os.path.join(stale, "_SUCCESS"), "w").close()
     assert ck2.latest_iter(d) == 3
     assert not os.path.exists(stale)  # garbage-collected on resume
+
+
+def test_fingerprint_detects_same_shape_different_edges(tmp_path):
+    # counts-only fingerprints let a rebuilt graph with identical
+    # (P, n, nnz) but different edges resume silently; the content
+    # checksum must tell them apart and save_graph must rewrite
+    import pyarrow as pa
+
+    n = 24
+    A = fx.random_graph(n, 0.15, seed=5)
+    B = A.copy()
+    # swap one edge: same nnz, same vertices, different content
+    r, c = np.nonzero(B)
+    B[r[0], c[0]] = 0.0
+    free = np.argwhere(B == 0)
+    for i, j in free:
+        if i != j and (i, j) != (r[0], c[0]):
+            B[i, j] = 1.0
+            break
+    verts = rd.from_arrow(fx.vertex_table(n))
+    ga = build_graph(rd.from_arrow(fx.dense_to_edge_table(A)),
+                     vertices_ds=verts, num_parts=4, binarize=True)
+    gb = build_graph(rd.from_arrow(fx.dense_to_edge_table(B)),
+                     vertices_ds=verts, num_parts=4, binarize=True)
+    assert (ga.num_parts, ga.n_vertices, ga.nnz) == (gb.num_parts, gb.n_vertices, gb.nnz)
+    fa, fb = ck.graph_fingerprint(ga), ck.graph_fingerprint(gb)
+    assert fa != fb
+    # fingerprint is stable for the same graph (cached and recomputed)
+    ga._fingerprint_cache = None
+    assert ck.graph_fingerprint(ga) == fa
+    # save A's graph, then save B's into the same dir: must rewrite, and
+    # A's stale iter dirs must be refused on resume, not silently reused
+    d = str(tmp_path / "ck")
+    ck.save_graph(ga, d)
+    ck.write_iter(d, 0, ga, {"x": [np.zeros(int(s)) for s in ga.sizes]},
+                  {"residual": 1.0})
+    ck.save_graph(gb, d)
+    import json
+    with open(os.path.join(d, "graph", "meta.json")) as f:
+        assert json.load(f)["fingerprint"] == fb
+    import pytest
+    with pytest.raises(ValueError, match="fingerprint"):
+        ck.read_iter(d, 0, gb)
+
+
+def test_build_graph_empty_input_is_valid():
+    import pyarrow as pa
+
+    edges = pa.table({"src": np.empty(0, np.uint64),
+                      "dst": np.empty(0, np.uint64),
+                      "w": np.empty(0, np.float64)})
+    g = build_graph(rd.from_arrow(edges), num_parts=4)
+    assert g.n_vertices == 0 and g.nnz == 0
+    assert g.blocks is not None
+    assert all(len(s) == 0 for s in g.ids_slices())
+    from raygraph.engine import spmv
+    out = spmv(g, g.state(0.0), "plus_times")
+    assert sum(len(s) for s in out) == 0

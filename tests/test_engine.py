@@ -81,3 +81,20 @@ def test_lpa_tie_breaks_to_min():
     out = g.to_vertex_table(lpa_step(g, st))
     vals = dict(zip(out["v"].to_pylist(), out["val"].to_pylist()))
     assert vals[0] == 4
+
+
+def test_identity_for_bitwise_on_signed_ints():
+    # bor identity = 0 (no bits); band identity = all bits set (-1 signed)
+    from raygraph.engine import identity_for
+    from raygraph.ops import MONOID
+
+    assert identity_for(MONOID["bor"], np.int64) == 0
+    assert identity_for(MONOID["bor"], np.uint64) == 0
+    assert identity_for(MONOID["band"], np.int64) == -1
+    assert identity_for(MONOID["band"], np.uint64) == np.iinfo(np.uint64).max
+    # folding any value against the identity must be a no-op
+    for mname, dt in [("bor", np.int64), ("band", np.int64)]:
+        ident = identity_for(MONOID[mname], dt)
+        for v in (-5, 0, 7, -(2**62)):
+            assert MONOID[mname].ufunc(np.array([v], dt),
+                                       np.array([ident], dt))[0] == v
