@@ -21,21 +21,11 @@ from raygraph.util import part_of
 
 
 def _pairs_by_size(values: np.ndarray, seg_starts: np.ndarray, seg_sizes: np.ndarray):
-    """All intra-segment ordered pairs (i<j), vectorized per distinct size."""
-    a_out, b_out = [], []
-    for s in np.unique(seg_sizes):
-        if s < 2:
-            continue
-        segs = np.flatnonzero(seg_sizes == s)
-        # matrix (n_segs, s) of the segment members
-        idx = seg_starts[segs][:, None] + np.arange(s)[None, :]
-        mem = values[idx]
-        iu, ju = np.triu_indices(int(s), 1)
-        a_out.append(mem[:, iu].ravel())
-        b_out.append(mem[:, ju].ravel())
-    if not a_out:
-        return np.empty(0, values.dtype), np.empty(0, values.dtype)
-    return np.concatenate(a_out), np.concatenate(b_out)
+    """All intra-segment ordered pairs (i<j) — shared impl, NO cap: exact
+    triangle counting must enumerate every wedge."""
+    from raygraph.util import pairs_in_segments
+
+    return pairs_in_segments(values, seg_starts, seg_sizes, cap=None)
 
 
 def triangle_count(graph) -> int:
@@ -43,8 +33,14 @@ def triangle_count(graph) -> int:
     import ray
 
     P = graph.num_parts
+    # orient needs deg/ids of DESTINATION partitions: each orient task
+    # fetches the slices its block's dst set touches. On one node the
+    # plasma gets are zero-copy mmaps; on a cluster this costs at most one
+    # copy of the deg+id vectors per NODE (a broadcast-join-sized cost,
+    # ~16B/vertex), not per task — acceptable for the one-shot orient
+    # stage; a routed degree exchange would trade a full extra shuffle.
     deg_refs = [ray.put(d) for d in graph.deg_slices()]
-    ids_refs = [ray.put(i) for i in graph.ids_slices()]
+    ids_refs = graph.ids_ref_list()
 
     def orient(tbl: pa.Table) -> pa.Table:
         """Per block: oriented edges + wedge pairs, keyed by part_of(a)."""

@@ -84,6 +84,9 @@ class MinHasher:
             return mix64(sh[:, None] ^ self.seeds[None, :]).min(axis=0)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:  # np.stack([]) raises on zero-row blocks
+            batch["minhash"] = []
+            return batch
         sigs = np.stack([self.signature(s) for s in batch["text"].fillna("")])
         batch["minhash"] = list(sigs.astype(np.uint64))
         return batch
@@ -91,21 +94,11 @@ class MinHasher:
 
 def _pairs_in_segments(values: np.ndarray, seg_starts: np.ndarray,
                        seg_sizes: np.ndarray, cap: int = 200):
-    """All intra-segment ordered pairs (i<j), vectorized per distinct size;
-    segments larger than ``cap`` are skipped (degenerate-bucket guard)."""
-    a_out, b_out = [], []
-    for s in np.unique(seg_sizes):
-        if s < 2 or s > cap:
-            continue
-        segs = np.flatnonzero(seg_sizes == s)
-        idx = seg_starts[segs][:, None] + np.arange(s)[None, :]
-        mem = values[idx]
-        iu, ju = np.triu_indices(int(s), 1)
-        a_out.append(mem[:, iu].ravel())
-        b_out.append(mem[:, ju].ravel())
-    if not a_out:
-        return np.empty(0, values.dtype), np.empty(0, values.dtype)
-    return np.concatenate(a_out), np.concatenate(b_out)
+    """All intra-segment ordered pairs (i<j) with the degenerate-bucket
+    guard (shared impl: raygraph.util.pairs_in_segments)."""
+    from raygraph.util import pairs_in_segments
+
+    return pairs_in_segments(values, seg_starts, seg_sizes, cap=cap)
 
 
 def _segments_of(cols: list[np.ndarray], tiebreak: np.ndarray):
@@ -169,6 +162,10 @@ def distinct_pairs(pairs_ds, *, val_col: str | None = None, val_reduce: str = "m
 def _band_rows(t: pa.Table, id_col: str, bands: int, rows: int) -> pa.Table:
     """Explode signatures into (band, band_hash, id) rows for LSH bucketing."""
     ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False))
+    if len(ids) == 0:  # np.stack([]) raises on zero-row blocks
+        return pa.table({"band": pa.array([], pa.int32()),
+                         "band_hash": pa.array([], pa.uint64()),
+                         id_col: t[id_col]})
     sig = np.stack([np.asarray(x) for x in t["minhash"].to_pylist()]).astype(np.uint64)
     out_band, out_hash, out_id = [], [], []
     with np.errstate(over="ignore"):
@@ -281,6 +278,11 @@ def minhash_lsh_pairs(
     banding surfaces (banding params chosen so recall is 1.0 at the
     tested thresholds; the driver oracle computes the exact set in SQL).
     """
+    if bands <= 0 or num_hashes % bands != 0:
+        # rows=0 degenerates every band to the same hash (capped
+        # all-pairs); a non-divisible split silently drops signatures
+        raise ValueError(f"num_hashes ({num_hashes}) must be a positive "
+                         f"multiple of bands ({bands})")
     rows = num_hashes // bands
     docs_ds = docs_ds.materialize()  # consumed twice: signatures + grams
     signed = docs_ds.map_batches(
@@ -444,6 +446,11 @@ def simhash_pairs(docs_ds, *, id_col: str = "doc_id", max_hamming: int = 3):
     agree exactly on at least one chunk) -> groupby chunk bucket ->
     verify Hamming within bucket.
     """
+    if not 0 <= max_hamming <= 3:
+        # 4x16-bit chunk blocking is exhaustive ONLY for distance <= 3
+        # (pigeonhole); larger radii would silently miss pairs
+        raise ValueError("simhash_pairs chunk blocking supports "
+                         f"max_hamming <= 3, got {max_hamming}")
     signed = docs_ds.map_batches(SimHasher, batch_format="pandas",
                                  concurrency=(1, 8), batch_size=2048)
 
@@ -467,7 +474,10 @@ def simhash_pairs(docs_ds, *, id_col: str = "doc_id", max_hamming: int = 3):
         pos = np.arange(len(ids_s))
         ia, ib = _pairs_in_segments(pos, starts, sizes, cap=500)
         if len(ia) == 0:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+            # typed empty frame: an untyped one forks block schemas
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "hamming": pd.Series([], dtype=np.int64)})
         x = sh_s[ia] ^ sh_s[ib]
         ham = np.unpackbits(x[:, None].view(np.uint8), axis=1).sum(axis=1)
         keep = ham <= max_hamming

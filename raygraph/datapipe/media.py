@@ -61,12 +61,14 @@ class ImageDecoder:
             self._pil = False
 
     def decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        if self.fake:
+            # deterministic fake: pretend-decode to a mean-intensity
+            # statistic — the default regardless of whether PIL happens
+            # to be importable (fake=True must never hit a codec)
+            return _fake_feature(payload, self.dim)
         if self._pil:
             raise NotImplementedError("real PIL decode path not exercised in sandbox")
-        if not self.fake:
-            raise NotImplementedError("image codec not available in this container")
-        # deterministic fake: pretend-decode to a mean-intensity statistic
-        return _fake_feature(payload, self.dim)
+        raise NotImplementedError("image codec not available in this container")
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t["payload"].to_pylist()

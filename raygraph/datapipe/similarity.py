@@ -123,27 +123,6 @@ def knn_cosine(
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
-class HyperplaneLSH:
-    """Random-hyperplane signature stage (actor: planes sampled once)."""
-
-    def __init__(self, dim: int, num_planes: int = 16, seed: int = 42,
-                 id_col: str = "vec_id", emb_col: str = "embedding"):
-        rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((num_planes, dim))
-        self.id_col, self.emb_col = id_col, emb_col
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        m = _emb_matrix(t, self.emb_col)
-        if m.shape[0] == 0:
-            return pa.table({self.id_col: pa.array([], pa.int64()),
-                             "bucket": pa.array([], pa.int64()),
-                             self.emb_col: t[self.emb_col]})
-        signs = (m @ self.planes.T) > 0
-        bucket = (signs.astype(np.int64) << np.arange(signs.shape[1])[None, :]).sum(axis=1)
-        return pa.table({self.id_col: t[self.id_col], "bucket": bucket,
-                         self.emb_col: t[self.emb_col]})
-
-
 class BandedHyperplaneLSH:
     """Multi-band random-hyperplane signatures (actor: planes sampled once).
 

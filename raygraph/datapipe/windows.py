@@ -98,15 +98,27 @@ def asof_join(left_ds, right_ds, *, key: str, ts_col: str = "ts",
     lt = left_ds.map_batches(tag(0), batch_format="pyarrow")
     rt = right_ds.map_batches(tag(1), batch_format="pyarrow")
 
-    l_cols = list(left_ds.schema().names)
-    r_cols = list(right_ds.schema().names)
+    l_schema = left_ds.schema()
+    r_schema = right_ds.schema()
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
 
-    # align schemas for the union: give each side the other's columns as null
+    # real arrow type per output column (left wins on shared names): a
+    # float64-nulls pad would fork the block schemas for string/int
+    # columns and corrupt int64 ids via float promotion
+    col_types = dict(zip(r_schema.names, r_schema.types))
+    col_types = {(n if n in (key, ts_col) else n + suffix): t_
+                 for n, t_ in col_types.items()}
+    col_types.update(dict(zip(l_schema.names, l_schema.types)))
+
+    # align schemas for the union: give each side the other's columns as
+    # typed nulls
     def pad(cols_have, cols_all):
         def fn(t: pa.Table) -> pa.Table:
             for c in cols_all:
                 if c not in t.column_names:
-                    t = t.append_column(c, pa.nulls(t.num_rows, pa.float64()))
+                    t = t.append_column(
+                        c, pa.nulls(t.num_rows, col_types.get(c, pa.float64())))
             return t.select(sorted(t.column_names))
 
         return fn
@@ -130,7 +142,12 @@ def asof_join(left_ds, right_ds, *, key: str, ts_col: str = "ts",
         lf = lf.drop(columns=r_val_cols).sort_values(ts_col)
         rf = rf[[key, ts_col] + r_val_cols].dropna(subset=[ts_col]).sort_values(ts_col)
         if len(lf) == 0:
-            return lf
+            # right-only bucket: emit the SAME columns/dtypes as non-empty
+            # groups (lf's cols + typed-empty right value cols, no _bucket)
+            out = lf
+            for c in r_val_cols:
+                out[c] = pd.Series([], dtype=rf[c].dtype)
+            return out.drop(columns=["_bucket"], errors="ignore")
         out = pd.merge_asof(lf, rf, on=ts_col, by=key, direction=direction,
                             suffixes=("", suffix))
         return out.drop(columns=["_bucket"], errors="ignore")

@@ -52,3 +52,25 @@ def default_num_parts(target: int | None = None) -> int:
     except Exception:
         cpus = 4
     return max(8, min(256, 2 * cpus))
+
+
+def pairs_in_segments(values, seg_starts, seg_sizes, cap=None):
+    """All intra-segment ordered pairs (i<j), vectorized per distinct
+    segment size. ``cap`` (if set) skips segments larger than cap — the
+    degenerate-bucket guard for LSH candidate generation; exact consumers
+    (triangle counting) pass cap=None to enumerate everything."""
+    import numpy as np
+
+    a_out, b_out = [], []
+    for s in np.unique(seg_sizes):
+        if s < 2 or (cap is not None and s > cap):
+            continue
+        segs = np.flatnonzero(seg_sizes == s)
+        idx = seg_starts[segs][:, None] + np.arange(s)[None, :]
+        mem = values[idx]
+        iu, ju = np.triu_indices(int(s), 1)
+        a_out.append(mem[:, iu].ravel())
+        b_out.append(mem[:, ju].ravel())
+    if not a_out:
+        return np.empty(0, values.dtype), np.empty(0, values.dtype)
+    return np.concatenate(a_out), np.concatenate(b_out)
