@@ -26,6 +26,9 @@ def mmread(path: str) -> pa.Table:
         symmetry = header[4] if len(header) > 4 else "general"
         if fmt != "coordinate":
             raise ValueError("only coordinate (sparse) MatrixMarket supported")
+        if field not in ("real", "integer", "pattern"):
+            # complex/other fields would silently drop numeric content
+            raise ValueError(f"unsupported MatrixMarket field: {field}")
         if symmetry not in ("general", "symmetric"):
             # skew-symmetric/hermitian would need negated/conjugated
             # mirror entries; parsing them as stored would silently drop
@@ -85,8 +88,14 @@ def to_scipy(edges: pa.Table, *, n: int | None = None):
     except ImportError as e:  # pragma: no cover - scipy absent in container
         raise ImportError("scipy is not installed in this environment; "
                           "use parquet edge tables for interchange") from e
-    src = np.asarray(edges["src"].to_numpy(zero_copy_only=False), np.int64)
-    dst = np.asarray(edges["dst"].to_numpy(zero_copy_only=False), np.int64)
+    src = np.asarray(edges["src"].to_numpy(zero_copy_only=False), np.uint64)
+    dst = np.asarray(edges["dst"].to_numpy(zero_copy_only=False), np.uint64)
+    if len(src) and max(int(src.max()), int(dst.max())) >= 2**63:
+        # scipy indices are signed: a full-range splitmix64 id would wrap
+        # negative — require densely re-encoded ids for this bridge
+        raise ValueError("to_scipy requires vertex ids < 2^63; "
+                         "re-encode hashed ids to dense indices first")
+    src, dst = src.astype(np.int64), dst.astype(np.int64)
     w = (np.asarray(edges["w"].to_numpy(zero_copy_only=False), np.float64)
          if "w" in edges.column_names else np.ones(len(src)))
     if n is None:
@@ -109,8 +118,9 @@ def to_networkx(edges: pa.Table, *, directed: bool = True):
     except ImportError as e:  # pragma: no cover - networkx absent
         raise ImportError("networkx is not installed in this environment") from e
     g = nx.DiGraph() if directed else nx.Graph()
-    src = np.asarray(edges["src"].to_numpy(zero_copy_only=False), np.int64)
-    dst = np.asarray(edges["dst"].to_numpy(zero_copy_only=False), np.int64)
+    # uint64 -> python int: ids >= 2^63 must stay positive, not wrap
+    src = np.asarray(edges["src"].to_numpy(zero_copy_only=False), np.uint64)
+    dst = np.asarray(edges["dst"].to_numpy(zero_copy_only=False), np.uint64)
     w = (np.asarray(edges["w"].to_numpy(zero_copy_only=False), np.float64)
          if "w" in edges.column_names else np.ones(len(src)))
     g.add_weighted_edges_from(zip(src.tolist(), dst.tolist(), w.tolist()))

@@ -85,7 +85,10 @@ def salted_aggregate(ds, key: str, val: str, monoid_name: str, *, salt: int = 0,
     if monoid_name not in aggs:
         # fallback for monoids without a Ray builtin aggregate (times, band,
         # bor, bxor, ...): segmented ufunc.reduceat inside map_groups —
-        # covers every registered Monoid (ADVICE r1)
+        # covers every registered Monoid (ADVICE r1). ``salt`` is moot on
+        # this path: the per-block partial combine below already bounds a
+        # hub key's final-reduce rows to one per input block, which is at
+        # least as tight as the builtin path's hash%salt sub-keying.
         m = MONOID[monoid_name]
 
         def seg_reduce(t: pa.Table, vcol: str) -> pa.Table:
@@ -157,16 +160,22 @@ def reduce_scalar(x, monoid_name: str = "plus", col: str | None = None):
     ds = _ds(x)
     col = col or ("val" if "val" in ds.schema().names else "w")
 
+    sch = ds.schema()
+    atype = dict(zip(sch.names, sch.types)).get(col)
+    np_dt = np.dtype(atype.to_pandas_dtype()) if atype is not None else np.float64
+
     def partial(t: pa.Table) -> pa.Table:
         a = np.asarray(t[col].to_numpy(zero_copy_only=False))
         if len(a) == 0:
-            return pa.table({"p": pa.array([], pa.float64())})
-        return pa.table({"p": [float(m.ufunc.reduce(a))]})
+            return pa.table({"p": pa.array(np.empty(0, np_dt))})
+        # keep the native dtype: a float() round-trip corrupts int64
+        # payloads above 2^53 and destroys bitwise-monoid bit patterns
+        return pa.table({"p": pa.array(np.asarray([m.ufunc.reduce(a)], np_dt))})
 
     parts = [r["p"] for r in ds.map_batches(partial, batch_format="pyarrow").take_all()]
     if not parts:
         return None  # empty collection: allow_empty -> no value
-    return float(m.ufunc.reduce(np.asarray(parts)))
+    return m.ufunc.reduce(np.asarray(parts, np_dt)).item()
 
 
 # ----------------------------------------------------------- apply/select ----
@@ -193,8 +202,6 @@ def apply(x, op_name: str, *, col: str = "val", right=None, left=None, alias: st
         else:
             raise KeyError(op_name)
         out = np.asarray(out)
-        if out.dtype == np.bool_:
-            out = out.astype(np.bool_)
         idx = t.schema.get_field_index(col)
         return t.set_column(idx, alias, pa.array(out))
 
@@ -614,6 +621,16 @@ def merge(old, new, *, mask=None, complement=False, value_mask=False,
     elements outside the mask.
     """
     op = BINARY[accum] if accum else None
+    if mask is not None and value_mask:
+        # binarize mask values BEFORE the cogroup coerces every side to
+        # the data dtype — a fractional mask value (0.5) would truncate
+        # to 0 under an integer dt and silently flip truthiness
+        def _bin(t: pa.Table) -> pa.Table:
+            a = np.asarray(t["val"].to_numpy(zero_copy_only=False))
+            i = t.schema.get_field_index("val")
+            return t.set_column(i, "val", pa.array((a != 0).astype(np.float64)))
+
+        mask = _ds(mask).map_batches(_bin, batch_format="pyarrow")
     sides = [(old, 0), (new, 1)]
     if mask is not None:
         sides.append((mask, 2))
@@ -635,6 +652,13 @@ def merge(old, new, *, mask=None, complement=False, value_mask=False,
             if complement:
                 allowed = ~allowed
             in_n &= allowed
+            if op is None:
+                # no accum: within the mask C takes T's pattern EXACTLY
+                # (GraphBLAS C(M) << T, spec §3.5.3 / SuiteSparse masked
+                # assign): an in-mask old element with no new counterpart
+                # is deleted, not kept. With accum, Z = C ⊙ T has the
+                # union pattern, so in-mask old elements survive via Z.
+                in_o &= ~allowed | in_n
             if replace:
                 in_o &= allowed
         keep = in_o | in_n
@@ -715,7 +739,7 @@ def assign_reduce(vec, targets: "pa.Table", dup_monoid: str = "min",
     (the FastSV reduce-assign, SURVEY.md §2.1 'assign' row): a salted
     groupby(target) reduction of the updates followed by an accum merge."""
     updates = salted_aggregate(_ds(targets), "v", "val", dup_monoid, salt=0, alias="val")
-    return merge(vec, updates, accum=accum)
+    return merge(vec, updates, accum=accum, num_buckets=num_buckets)
 
 
 def isequal(a, b, num_buckets: int = _DEFAULT_BUCKETS) -> bool:
@@ -1397,7 +1421,7 @@ def vector_agg(x, names: list[str], col: str = "val") -> dict:
 
 
 def kronecker(a, b, op_name: str = "times", *, b_nrows: int | None = None,
-              b_ncols: int | None = None, num_buckets: int = _DEFAULT_BUCKETS):
+              b_ncols: int | None = None):
     """A.kron(B): C[i*rB + k, j*cB + l] = A[i,j] ⊗ B[k,l]
     (reference core/matrix.py:2253).
 

@@ -142,8 +142,10 @@ def test_merge_structural_mask_and_complement():
     mask = _vec([1, 3], [1.0, 0.0])
     # structural: only targets 1,3 writable
     assert _as_dict(K.merge(old, new, mask=mask)) == {0: 1.0, 1: 10.0, 3: 30.0}
-    # complemented: only targets outside mask writable
-    assert _as_dict(K.merge(old, new, mask=mask, complement=True)) == {0: 1.0, 1: 2.0, 2: 20.0}
+    # complemented: only targets outside mask writable; GrB masked write
+    # with no accum DELETES in-mask(=outside-M here) old elements absent
+    # from new — old key 0 is writable but new has nothing there
+    assert _as_dict(K.merge(old, new, mask=mask, complement=True)) == {1: 2.0, 2: 20.0}
     # value mask: mask value must be truthy -> 3 is masked out
     assert _as_dict(K.merge(old, new, mask=mask, value_mask=True)) == {0: 1.0, 1: 10.0}
     # replace: old elements outside the mask dropped
@@ -544,3 +546,23 @@ def test_select_positional_exact_above_2_63():
     assert lt.num_rows == 0
     gt = K.to_table(K.select_index(vec, ">", -1), sort_by=None)
     assert gt.num_rows == 4
+
+
+def test_merge_mask_no_accum_deletes_inmask_old():
+    # GraphBLAS C(M) << T (no accum): within the mask C takes T's pattern
+    # EXACTLY — old element 1 is in-mask with no new counterpart: deleted.
+    # With accum the union pattern keeps it.
+    old = _vec([0, 1], [1.0, 2.0])
+    new = _vec([3], [30.0])
+    mask = _vec([1, 3], [1.0, 1.0])
+    assert _as_dict(K.merge(old, new, mask=mask)) == {0: 1.0, 3: 30.0}
+    assert _as_dict(K.merge(old, new, mask=mask, accum="plus")) == {
+        0: 1.0, 1: 2.0, 3: 30.0}
+    # fractional value mask on integer data must stay truthy
+    oldi = pa.table({"v": np.array([1, 2], np.uint64),
+                     "val": np.array([5, 6], np.int64)})
+    newi = pa.table({"v": np.array([1, 2], np.uint64),
+                     "val": np.array([7, 8], np.int64)})
+    m = _vec([1, 2], [0.5, 0.0])
+    got = _as_dict(K.merge(oldi, newi, mask=m, value_mask=True, accum="plus"))
+    assert got == {1: 12, 2: 6}
