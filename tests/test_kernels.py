@@ -566,3 +566,16 @@ def test_merge_mask_no_accum_deletes_inmask_old():
     m = _vec([1, 2], [0.5, 0.0])
     got = _as_dict(K.merge(oldi, newi, mask=m, value_mask=True, accum="plus"))
     assert got == {1: 12, 2: 6}
+
+
+def test_reduce_scalar_int64_exact_above_2_53():
+    # regression: float() partials lost low bits of int64 payloads and
+    # destroyed bitwise-monoid bit patterns
+    big = np.array([(1 << 53) + 1, (1 << 53) + 3], np.int64)
+    vec = pa.table({"v": np.array([0, 1], np.uint64), "val": big})
+    assert K.reduce_scalar(rd.from_arrow(vec), "max") == (1 << 53) + 3
+    assert K.reduce_scalar(rd.from_arrow(vec), "plus") == (1 << 54) + 4
+    bits = pa.table({"v": np.array([0, 1], np.uint64),
+                     "val": np.array([0b1010, 0b0110], np.int64)})
+    assert K.reduce_scalar(rd.from_arrow(bits), "bor") == 0b1110
+    assert K.reduce_scalar(rd.from_arrow(bits), "band") == 0b0010
