@@ -183,3 +183,47 @@ def test_extract_dup_gather_matches_oracle(v, data):
     )
     want = {k: float(v[i]) for k, i in enumerate(idx)}
     assert got == want
+
+
+@_SETTINGS
+@given(old=sparse_vec(max_id=15), new=sparse_vec(max_id=15),
+       mask_ids=st.lists(st.integers(0, 15), unique=True, max_size=10),
+       complement=st.booleans(), replace=st.booleans(),
+       accum=st.sampled_from([None, "plus", "min"]))
+def test_merge_matches_grb_masked_write_oracle(old, new, mask_ids,
+                                               complement, replace, accum):
+    """merge == the GraphBLAS masked-write rule (spec §3.5.3):
+    Z = T (no accum) or C⊙T (accum); where M: C := Z's pattern/value;
+    where ~M: C kept (replace=False) or deleted (replace=True)."""
+    mask = {i: 1 for i in mask_ids}
+    allowed = set(mask)
+    universe = set(old) | set(new) | allowed
+    if complement:
+        allowed = universe - allowed
+
+    z = dict(old)
+    if accum is None:
+        z = dict(new)
+    else:
+        fn = _BIN[accum]
+        for k2, v2 in new.items():
+            z[k2] = fn(old[k2], v2) if k2 in old else v2
+    want = {}
+    for k2 in universe:
+        if k2 in allowed:
+            if k2 in z and (accum is not None or k2 in new or k2 not in old):
+                # no-accum Z = T exactly; with accum Z has the union pattern
+                want[k2] = z[k2] if (accum is not None or k2 in new) else None
+        else:
+            if k2 in old and not replace:
+                want[k2] = old[k2]
+    want = {k2: v2 for k2, v2 in want.items() if v2 is not None}
+
+    got = _as_dict(
+        K.to_table(
+            K.merge(_vec_tbl(old), _vec_tbl(new),
+                    mask=_vec_tbl(mask) if mask else _vec_tbl({}),
+                    complement=complement, replace=replace, accum=accum)
+        )
+    )
+    assert got == {k2: float(v2) for k2, v2 in want.items()}
