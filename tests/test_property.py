@@ -227,3 +227,23 @@ def test_merge_matches_grb_masked_write_oracle(old, new, mask_ids,
         )
     )
     assert got == {k2: float(v2) for k2, v2 in want.items()}
+
+
+@_SETTINGS
+@given(s=st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=20),
+       d=st.data(),
+       k=st.integers(-(2**63), 2**63 - 1))
+def test_uint64_shift_predicates_match_bigint(s, d, k):
+    """_le/_ge/_eq_shift == exact Python big-int arithmetic over the full
+    uint64 range (the int64-cast regression territory)."""
+    from raygraph.kernels import _eq_shift, _ge_shift, _le_shift
+
+    sa = np.array(s, np.uint64)
+    da = np.array(d.draw(st.lists(st.integers(0, 2**64 - 1),
+                                  min_size=len(s), max_size=len(s))), np.uint64)
+    want_le = np.array([int(x) <= int(y) + k for y, x in zip(sa, da)])
+    want_ge = np.array([int(x) >= int(y) + k for y, x in zip(sa, da)])
+    want_eq = np.array([int(x) == int(y) + k for y, x in zip(sa, da)])
+    assert (_le_shift(da, sa, k) == want_le).all()
+    assert (_ge_shift(da, sa, k) == want_ge).all()
+    assert (_eq_shift(da, sa, k) == want_eq).all()
