@@ -518,6 +518,53 @@ SELECT query_id, vec_id, rank FROM (
   FROM s
 ) WHERE rank <= 5 ORDER BY query_id, rank"""
 
+# doc_quality: the stopword-profile lang-ID argmax (dict-order strict->
+# tie rule: en beats de beats fr; all-zero -> 'und') and the quality
+# formula with the SAME IEEE expression order as text.QualityScore.
+ORACLES["doc_quality"] = """WITH w AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(coalesce(text, ''), '[a-zA-ZÀ-ɏ]+'),
+                        x -> lower(x)) AS words,
+         CAST(length(coalesce(text, '')) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_extract_all(coalesce(text, ''),
+                                     '[^\\p{L}\\p{N}_\\s]')) AS DOUBLE) AS n_punct
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_chars, n_punct,
+         CAST(len(words) AS DOUBLE) AS n_words,
+         CAST(len(list_filter(words, x -> x IN
+           ('the','and','of','to','a','in','is','that','it','for','was','with')))
+           AS DOUBLE) AS en_sc,
+         len(list_filter(words, x -> x IN
+           ('der','die','das','und','ist','nicht','ein','eine','mit','von','zu')))
+           AS de_sc,
+         len(list_filter(words, x -> x IN
+           ('le','la','les','et','est','une','un','des','que','pour','dans')))
+           AS fr_sc
+  FROM w
+),
+r AS (
+  SELECT doc_id,
+         CASE WHEN n_words = 0 OR (en_sc = 0 AND de_sc = 0 AND fr_sc = 0)
+                   THEN 'und'
+              WHEN en_sc >= de_sc AND en_sc >= fr_sc THEN 'en'
+              WHEN de_sc >= fr_sc THEN 'de'
+              ELSE 'fr' END AS pred_lang,
+         n_punct / greatest(n_chars, 1.0) AS punct_ratio,
+         en_sc / greatest(n_words, 1.0) AS stopword_ratio,
+         n_words
+  FROM s
+)
+SELECT doc_id, pred_lang, round(punct_ratio, 6) AS punct_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(least(greatest(
+         0.4 * least(greatest(n_words / 50.0, 0.0), 1.0)
+         + 0.3 * (1.0 - punct_ratio)
+         + 0.3 * least(greatest(stopword_ratio * 4.0, 0.0), 1.0),
+       0.0), 1.0), 6) AS quality
+FROM r ORDER BY doc_id"""
+
 ORACLES["doc_sample_per_lang"] = """SELECT lang, doc_id FROM (
   SELECT lang, doc_id,
          row_number() OVER (PARTITION BY lang
