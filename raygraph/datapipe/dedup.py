@@ -47,6 +47,57 @@ def exact_dedup(docs_ds, *, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def repeated_ngrams(docs_ds, *, n: int = 8, min_docs: int = 2,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Cross-document repeated n-gram spans — substring-level dedup in the
+    style of "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al. 2022): any whitespace-token n-gram occurring in >=
+    ``min_docs`` distinct documents is a candidate memorized/boilerplate
+    span. Returns (gram, n_occ, n_docs, min_doc) per repeated n-gram.
+
+    Scale shape: per-batch the (gram, doc) pairs are locally uniqued with
+    occurrence counts (combiner), then ONE groupby(gram) counts documents
+    — text itself never reshuffles, only md5 digests. The md5-of-joined-
+    tokens gram key makes the result exactly reproducible in SQL.
+    """
+    import hashlib
+
+    def grams(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), np.int64)
+        texts = t[text_col].to_pylist()
+        g_out, d_out, c_out = [], [], []
+        for did, s in zip(ids, texts):
+            toks = (s or "").split()
+            if len(toks) < n:
+                continue
+            seen: dict[str, int] = {}
+            for i in range(len(toks) - n + 1):
+                g = hashlib.md5(" ".join(toks[i:i + n]).encode("utf-8")).hexdigest()
+                seen[g] = seen.get(g, 0) + 1
+            g_out.extend(seen.keys())
+            d_out.extend([int(did)] * len(seen))
+            c_out.extend(seen.values())
+        return pa.table({"gram": pa.array(g_out, pa.string()),
+                         id_col: pa.array(d_out, pa.int64()),
+                         "cnt": pa.array(c_out, pa.int64())})
+
+    pairs = docs_ds.map_batches(grams, batch_format="pyarrow")
+
+    def per_gram(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g[id_col].nunique()
+        if nd < min_docs:
+            return pd.DataFrame({"gram": pd.Series([], dtype=object),
+                                 "n_occ": pd.Series([], dtype=np.int64),
+                                 "n_docs": pd.Series([], dtype=np.int64),
+                                 "min_doc": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"gram": [g["gram"].iloc[0]],
+                             "n_occ": [np.int64(g["cnt"].sum())],
+                             "n_docs": [np.int64(nd)],
+                             "min_doc": [np.int64(g[id_col].min())]})
+
+    return pairs.groupby("gram").map_groups(per_gram, batch_format="pandas")
+
+
 # ---------------------------------------------------------------- minhash ----
 
 

@@ -518,6 +518,20 @@ SELECT query_id, vec_id, rank FROM (
   FROM s
 ) WHERE rank <= 5 ORDER BY query_id, rank"""
 
+ORACLES["repeated_ngrams"] = """WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+),
+grams AS (
+  SELECT doc_id, md5(array_to_string(ts[i:i + 7], ' ')) AS gram
+  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 8 + 2)) AS i) u
+  WHERE len(ts) >= 8
+)
+SELECT gram, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs,
+       min(doc_id) AS min_doc
+FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+ORDER BY gram"""
+
 # doc_quality: the stopword-profile lang-ID argmax (dict-order strict->
 # tie rule: en beats de beats fr; all-zero -> 'und') and the quality
 # formula with the SAME IEEE expression order as text.QualityScore.

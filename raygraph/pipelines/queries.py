@@ -313,6 +313,19 @@ def q_doc_len_quantiles(sf_dir):
     return column_quantiles(docs, col="n_chars")
 
 
+def q_repeated_ngrams(sf_dir):
+    """Cross-document repeated 8-gram spans (substring-level dedup, Lee
+    et al. 2022 style), hash-checked: md5-of-joined-tokens gram keys are
+    reproduced exactly by the SQL oracle's list slicing."""
+    from raygraph.datapipe.dedup import repeated_ngrams
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    out = repeated_ngrams(docs, n=8, min_docs=2)
+    t = K.to_table(out, sort_by=None).select(["gram", "n_occ", "n_docs", "min_doc"])
+    return t.sort_by([("gram", "ascending")])
+
+
 def q_doc_quality(sf_dir):
     """Lang-ID + quality heuristics, HASH-CHECKED: the stopword-profile
     argmax and the punct/stopword-ratio arithmetic are reproduced exactly
@@ -561,6 +574,7 @@ QUERIES = {
     "knn_ivf": q_knn_ivf,
     "doc_sample_per_lang": q_doc_sample_per_lang,
     "doc_quality": q_doc_quality,
+    "repeated_ngrams": q_repeated_ngrams,
     "doc_len_quantiles": q_doc_len_quantiles,
     # stream-shaped
     "events_tumbling": q_events_tumbling,

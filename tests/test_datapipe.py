@@ -298,3 +298,23 @@ def test_ivf_refine_matches_duckdb_integer_lloyd():
         touched[cpos[int(cid)]] = True
     np.testing.assert_array_equal(got, want)
     assert touched.any()
+
+
+def test_repeated_ngrams_finds_planted_span():
+    import hashlib
+
+    base = _docs().to_pandas().head(30)
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    d1 = base.iloc[0].copy()
+    d2 = base.iloc[1].copy()
+    d1["text"] = d1["text"] + " " + span
+    d2["text"] = span + " " + d2["text"]
+    base.iloc[0], base.iloc[1] = d1, d2
+    docs = rd.from_pandas(base)
+    out = dedup.repeated_ngrams(docs, n=8, min_docs=2).to_pandas()
+    want = hashlib.md5(span.encode()).hexdigest()
+    row = out[out["gram"] == want]
+    assert len(row) == 1 and int(row["n_docs"].iloc[0]) >= 2
+    # partition-invariant
+    out2 = dedup.repeated_ngrams(docs.repartition(5), n=8, min_docs=2).to_pandas()
+    assert set(out["gram"]) == set(out2["gram"])
