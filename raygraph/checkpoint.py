@@ -87,9 +87,15 @@ def save_graph(graph, ckpt_dir: str) -> None:
             old = json.load(f)
         if old.get("fingerprint") == graph_fingerprint(graph):
             return
-        # same ckpt_dir, different graph content: rewrite the graph dir
-        # (stale iter=K dirs keep the OLD fingerprint and read_iter will
-        # refuse them — never a silent resume against the wrong graph)
+        # same ckpt_dir, different graph content: rewrite the graph dir AND
+        # drop stale iter=K dirs (they carry the OLD fingerprint; read_iter
+        # would refuse them, leaving resume=True hard-failed until a human
+        # deleted them by hand — remove them here so the next run restarts
+        # cleanly from iteration 0 instead)
+        import re as _re
+        for name in os.listdir(ckpt_dir):
+            if _re.fullmatch(r"iter=\d+", name):
+                shutil.rmtree(os.path.join(ckpt_dir, name), ignore_errors=True)
     tmp = gdir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     graph.blocks.write_parquet(tmp)

@@ -86,6 +86,15 @@ def column_quantiles(ds, *, col: str, pcts: tuple[int, ...] = (25, 50, 75, 90, 9
     Returns a pyarrow.Table (pct:int64, v:int64), one row per pct.
     """
 
+    sch = ds.schema()
+    col_type = dict(zip(sch.names, sch.types))[col]
+    if not pa.types.is_integer(col_type):
+        raise ValueError(
+            f"column_quantiles: column {col!r} is {col_type}, not integral — "
+            "the exact-histogram method is integer-only (a float column "
+            "would be silently truncated)"
+        )
+
     def partial(t: pa.Table) -> pa.Table:
         v = np.asarray(t[col].to_numpy(zero_copy_only=False), np.int64)
         u, c = np.unique(v, return_counts=True)

@@ -103,6 +103,17 @@ def asof_join(left_ds, right_ds, *, key: str, ts_col: str = "ts",
     l_cols = list(l_schema.names)
     r_cols = list(r_schema.names)
 
+    # exact renamed right value columns, computed from r_schema BEFORE the
+    # union — join() below keys on this set, never on a name-suffix match,
+    # so a left column that natively ends with the suffix can't be dropped
+    r_val_cols = [c + suffix for c in r_cols if c not in (key, ts_col)]
+    collide = set(r_val_cols) & set(l_cols)
+    if collide:
+        raise ValueError(
+            f"asof_join: left columns {sorted(collide)} collide with "
+            f"suffixed right value columns; pass a different suffix"
+        )
+
     # real arrow type per output column (left wins on shared names): a
     # float64-nulls pad would fork the block schemas for string/int
     # columns and corrupt int64 ids via float promotion
@@ -138,7 +149,6 @@ def asof_join(left_ds, right_ds, *, key: str, ts_col: str = "ts",
     def join(g: pd.DataFrame) -> pd.DataFrame:
         lf = g[g["_side"] == 0].drop(columns=["_side"])
         rf = g[g["_side"] == 1].drop(columns=["_side"])
-        r_val_cols = [c for c in rf.columns if c.endswith(suffix)]
         lf = lf.drop(columns=r_val_cols).sort_values(ts_col)
         rf = rf[[key, ts_col] + r_val_cols].dropna(subset=[ts_col]).sort_values(ts_col)
         if len(lf) == 0:

@@ -780,15 +780,24 @@ def isclose(a, b, *, rel_tol: float = 1e-7, abs_tol: float = 0.0,
     return sum(r["bad"] for r in out.take_all()) == 0
 
 
-def selectk_rowwise(edges, k: int, *, largest: bool = True):
+def selectk_rowwise(edges, k: int, *, largest: bool = True,
+                    num_buckets: int = _DEFAULT_BUCKETS):
     """Top-k weights per src row — the SuiteSparse ``selectk``/``compactify``
     analog (reference core/ss/matrix.py:3815,3877; SURVEY.md §2.5).
-    Deterministic: ties broken by ascending dst."""
+    Deterministic: ties broken by ascending dst.
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["w", "dst"], ascending=[not largest, True]).head(k)
+    Shape: rides ``sort_rowwise``'s single mix64(src)-bucketed shuffle +
+    one vectorized lexsort with segmented rank per bucket, then keeps
+    ``rank < k`` — no per-row Python groups, so 10^9 rows cost one sort
+    per bucket, not 10^9 group invocations."""
+    ranked = sort_rowwise(edges, ascending=not largest,
+                          num_buckets=num_buckets)
 
-    return _ds(edges).groupby("src").map_groups(topk, batch_format="pandas")
+    def keep(t: pa.Table) -> pa.Table:
+        r = np.asarray(t["rank"].to_numpy(zero_copy_only=False), np.int64)
+        return t.filter(pa.array(r < k)).drop_columns(["rank"])
+
+    return ranked.map_batches(keep, batch_format="pyarrow")
 
 
 def sort_rowwise(edges, *, ascending: bool = True,

@@ -166,9 +166,10 @@ def test_fingerprint_detects_same_shape_different_edges(tmp_path):
     import json
     with open(os.path.join(d, "graph", "meta.json")) as f:
         assert json.load(f)["fingerprint"] == fb
-    import pytest
-    with pytest.raises(ValueError, match="fingerprint"):
-        ck.read_iter(d, 0, gb)
+    # A's stale iter dirs are REMOVED on the rewrite (not left to hard-fail
+    # read_iter): a resume=True run now restarts from iteration 0 in-band
+    assert not os.path.exists(os.path.join(d, "iter=0"))
+    assert ck.latest_iter(d) is None
 
 
 def test_build_graph_empty_input_is_valid():
