@@ -1033,15 +1033,18 @@ def reshape_matrix(edges, ncols_old: int, ncols_new: int):
 
 
 def mxm(a_edges, b_edges, semiring: str = "plus_times",
-        num_buckets: int = _DEFAULT_BUCKETS):
+        num_buckets: int = _DEFAULT_BUCKETS, *,
+        mask=None, complement: bool = False):
     """General sparse matmul C[i,j] = ⊕_k A[i,k] ⊗ B[k,j]
-    (reference matrix.py:2206).
-
-    Shape: both operands ride ONE groupby on the contraction key k
-    (A bucketed by dst, B by src); each bucket emits locally ⊕-combined
-    (i, j, partial) products; a second grouped reduce combines partials.
-    The masked variant used by triangle counting lives in
-    algorithms/triangles.py (wedge + semi-join, no materialized product).
+    (reference matrix.py:2206), with the reference's central masked form
+    ``C(mask) << A.mxm(B)`` (core/mask.py:131-200) as a structural
+    semi-join: mask edges ride the SAME (i,j)-bucketed shuffle as the
+    partial products (kind-tagged union), so the unmasked C is never
+    materialized or reduced — a partial product whose (i,j) misses the
+    mask (or hits it, with ``complement=True``) is dropped inside the
+    final combine. The degree-oriented CSR specialisation of this shape
+    is algorithms/triangles.py; the generic recipe
+    ``L.mxm(L, mask=L)`` runs here.
     """
     sr = SEMIRING[semiring]
     monoid = sr.monoid
@@ -1094,12 +1097,28 @@ def mxm(a_edges, b_edges, semiring: str = "plus_times",
     partial = u.groupby("bucket").map_groups(gf, batch_format="pandas")
 
     # final combine per (src,dst) — coarse-bucketed vectorized reduce
+    def pb_of(s: np.ndarray, d: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return (mix64(s * np.uint64(0x9E3779B97F4A7C15) ^ d)
+                    % np.uint64(num_buckets)).astype(np.int32)
+
     def add_bucket(t: pa.Table) -> pa.Table:
         s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
         d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
-        with np.errstate(over="ignore"):
-            bk = mix64(s * np.uint64(0x9E3779B97F4A7C15) ^ d) % np.uint64(num_buckets)
-        return t.append_column("_pb", pa.array(bk.astype(np.int32)))
+        t = t.append_column("_pb", pa.array(pb_of(s, d)))
+        if mask is not None:
+            t = t.append_column("kind", pa.array(np.zeros(t.num_rows, np.int8)))
+        return t
+
+    def tag_mask(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        return pa.table({
+            "src": s, "dst": d,
+            "w": np.zeros(len(s), np.float64),
+            "_pb": pb_of(s, d),
+            "kind": np.ones(len(s), np.int8),
+        })
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         s = g["src"].to_numpy(np.uint64)
@@ -1114,10 +1133,51 @@ def mxm(a_edges, b_edges, semiring: str = "plus_times",
         return pd.DataFrame({"src": s[starts], "dst": d[starts],
                              "w": monoid.ufunc.reduceat(w, starts)})
 
+    def final_masked(g: pd.DataFrame) -> pd.DataFrame:
+        """Structural-mask reduce: a (src,dst) survives iff it has ≥1
+        product row AND (has a mask row) != complement; mask rows carry
+        no value."""
+        s = g["src"].to_numpy(np.uint64)
+        d = g["dst"].to_numpy(np.uint64)
+        w = g["w"].to_numpy(np.float64)
+        k = g["kind"].to_numpy(np.int8)
+        empty = pd.DataFrame({"src": np.empty(0, np.uint64),
+                              "dst": np.empty(0, np.uint64),
+                              "w": np.empty(0, np.float64)})
+        if len(s) == 0:
+            return empty
+        order = np.lexsort((d, s))
+        s, d, w, k = s[order], d[order], w[order], k[order]
+        new = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.r_[starts, len(s)])
+        n_mask = np.add.reduceat(k.astype(np.int64), starts)
+        n_prod = counts - n_mask
+        keep = (n_prod > 0) & ((n_mask > 0) != complement)
+        # reduce over product rows only (sorted order preserved)
+        pm = k == 0
+        if not pm.any():
+            return empty
+        sp, dp, wp = s[pm], d[pm], w[pm]
+        pnew = np.r_[True, (sp[1:] != sp[:-1]) | (dp[1:] != dp[:-1])]
+        pstarts = np.flatnonzero(pnew)
+        vals = monoid.ufunc.reduceat(wp, pstarts)
+        # product groups appear in the same (s,d) order as groups with
+        # n_prod>0 — align keep onto them
+        keep_pg = keep[n_prod > 0]
+        return pd.DataFrame({"src": sp[pstarts][keep_pg],
+                             "dst": dp[pstarts][keep_pg],
+                             "w": vals[keep_pg]})
+
+    tagged = partial.map_batches(add_bucket, batch_format="pyarrow")
+    if mask is None:
+        return tagged.groupby("_pb").map_groups(final, batch_format="pandas")
+    mtag = _ds(mask).map_batches(tag_mask, batch_format="pyarrow")
     return (
-        partial.map_batches(add_bucket, batch_format="pyarrow")
+        tagged.select_columns(["src", "dst", "w", "_pb", "kind"])
+        .union(mtag)
         .groupby("_pb")
-        .map_groups(final, batch_format="pandas")
+        .map_groups(final_masked, batch_format="pandas")
     )
 
 

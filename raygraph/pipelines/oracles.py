@@ -238,6 +238,12 @@ ORACLES.update(
 SELECT a.src AS src, b.dst AS dst, round(sum(a.w * b.w), 4) AS w
 FROM e a JOIN e b ON a.dst = b.src
 GROUP BY 1, 2 ORDER BY src, dst""",
+        "mxm_masked": f"""WITH {_E},
+l AS (SELECT src, dst, w FROM e WHERE dst < src)
+SELECT a.src AS src, b.dst AS dst, round(sum(a.w * b.w), 4) AS w
+FROM l a JOIN l b ON a.dst = b.src
+JOIN l m ON m.src = a.src AND m.dst = b.dst
+GROUP BY 1, 2 ORDER BY src, dst""",
         "inner_product": f"""WITH {_CUST}, {_SUPP}
 SELECT round(sum(cv.val * sv.val), 4) AS ip
 FROM cv JOIN sv ON cv.v = sv.v""",

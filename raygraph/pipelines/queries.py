@@ -198,10 +198,33 @@ def q_transpose(sf_dir):
 
 
 def q_triangles(sf_dir):
-    from raygraph.algorithms.triangles import triangle_count
+    """Triangle count re-expressed through the GENERIC masked mxm
+    (VERDICT r2 next #1): the literal reference recipe
+    ``C(L) << L.mxm(L)`` on kernels.mxm(mask=L). The degree-oriented
+    CSR specialisation (triangle_count) is cross-checked against this
+    in tests/test_algorithms.py."""
+    from raygraph.algorithms.triangles import triangle_count_mxm
 
-    g = _g1_graph(sf_dir, symmetrize=True, drop_self=True, binarize=True)
-    return pa.table({"triangles": pa.array([triangle_count(g)], pa.int64())})
+    n = triangle_count_mxm(_edges_dedup(sf_dir))
+    return pa.table({"triangles": pa.array([n], pa.int64())})
+
+
+def q_mxm_masked(sf_dir):
+    """(L @ L) * L with ⊕=plus ⊗=times — the masked-matmul idiom itself
+    as a value-level query (mask semi-join, no unmasked product)."""
+    def tril(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        keep = d < s
+        return pa.table({"src": s[keep], "dst": d[keep],
+                         "w": np.asarray(t["w"].to_numpy(zero_copy_only=False),
+                                         np.float64)[keep]})
+
+    L = _edges_dedup(sf_dir).map_batches(tril, batch_format="pyarrow").materialize()
+    out = K.mxm(L, L, "plus_times", mask=L)
+    t = K.to_table(out, sort_by=None).select(["src", "dst", "w"])
+    t = _round_col(_int64_col(_int64_col(t, "src"), "dst"), "w", 4)
+    return t.sort_by([("src", "ascending"), ("dst", "ascending")])
 
 
 def q_cc_labels(sf_dir):
@@ -557,6 +580,7 @@ QUERIES = {
     "transpose_edges": q_transpose,
     # link-graph algorithms (SURVEY.md §3.2-3.3, §7.1)
     "triangle_count": q_triangles,
+    "mxm_masked": q_mxm_masked,
     "cc_labels": q_cc_labels,
     "pagerank_k8": q_pagerank_k8,
     "bfs_from_1": q_bfs_from_1,

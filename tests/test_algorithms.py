@@ -97,6 +97,17 @@ def test_triangle_random_graph():
     assert triangle_count(g) == fx.triangle_oracle(A)
 
 
+def test_triangle_mxm_generic_path_matches_csr():
+    """The generic masked-mxm recipe (C(L) << L.mxm(L)) and the
+    degree-oriented CSR path agree with the dense oracle."""
+    from raygraph.algorithms.triangles import triangle_count_mxm
+
+    for seed, n, p in [(21, 64, 0.2), (3, 40, 0.35)]:
+        A = fx.random_graph(n, p, seed=seed, symmetric=True)
+        got = triangle_count_mxm(rd.from_arrow(fx.dense_to_edge_table(A)))
+        assert got == fx.triangle_oracle(A)
+
+
 # ------------------------------------------------------------------ lpa ----
 
 

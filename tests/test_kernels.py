@@ -230,6 +230,31 @@ def test_mxm_min_plus():
         assert r["w"] == want[int(r["src"]), int(r["dst"])]
 
 
+def test_mxm_masked_and_complement():
+    """C(mask) << A.mxm(B) — structural mask and its complement partition
+    the unmasked product exactly (reference core/mask.py:131-200)."""
+    A = fx.a7_dense()
+    want = A @ A
+    # mask = the sparsity pattern of A itself
+    got_m = K.to_table(K.mxm(EDGES7, EDGES7, "plus_times", mask=EDGES7),
+                       sort_by=None).to_pandas()
+    got_c = K.to_table(
+        K.mxm(EDGES7, EDGES7, "plus_times", mask=EDGES7, complement=True),
+        sort_by=None).to_pandas()
+    prod_keys = {(i, j) for i, j in zip(*np.nonzero(want))}
+    mask_keys = {(int(r), int(c)) for r, c in zip(fx.A7_ROWS, fx.A7_COLS)}
+    assert {(int(r), int(c)) for r, c in zip(got_m["src"], got_m["dst"])} == (
+        prod_keys & mask_keys)
+    assert {(int(r), int(c)) for r, c in zip(got_c["src"], got_c["dst"])} == (
+        prod_keys - mask_keys)
+    for df in (got_m, got_c):
+        for _, r in df.iterrows():
+            assert r["w"] == want[int(r["src"]), int(r["dst"])]
+    # masked ∪ complement == unmasked
+    full = K.to_table(K.mxm(EDGES7, EDGES7, "plus_times"), sort_by=None)
+    assert len(got_m) + len(got_c) == full.num_rows
+
+
 def test_diag_round_trip_and_inner_outer():
     v = _vec([1, 3], [2.0, 5.0])
     d = K.to_table(K.diag_matrix(v), sort_by=None)
