@@ -733,6 +733,192 @@ def extract(vec, index: np.ndarray, *, remap: bool = True, num_buckets: int = _D
     return u.groupby("bucket").map_groups(join, batch_format="pyarrow")
 
 
+def _gather_matrix_axis(ds, index: np.ndarray, key_col: str,
+                        num_buckets: int = _DEFAULT_BUCKETS):
+    """One axis of A[rows, cols]: join edge rows' ``key_col`` against a
+    (possibly duplicate) index vector and REPLACE the key with the index
+    position (dup indices fan out). Same bucketed co-group shape as the
+    vector ``extract`` (kernels.py:680) — the edge side never broadcasts
+    and never leaves its bucket."""
+    other_col = "dst" if key_col == "src" else "src"
+    idx = np.asarray(index, np.uint64)
+    index_tbl = pa.table({
+        "bucket": (mix64(idx) % np.uint64(num_buckets)).astype(np.int32),
+        "k": idx,
+        "o": np.zeros(len(idx), np.uint64),
+        "w": np.zeros(len(idx), np.float64),
+        "pos": np.arange(len(idx), dtype=np.int64),
+        "side": np.full(len(idx), 1, np.int8),
+    })
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        k = np.asarray(t[key_col].to_numpy(zero_copy_only=False), np.uint64)
+        return pa.table({
+            "bucket": (mix64(k) % np.uint64(num_buckets)).astype(np.int32),
+            "k": k,
+            "o": np.asarray(t[other_col].to_numpy(zero_copy_only=False), np.uint64),
+            "w": np.asarray(t["w"].to_numpy(zero_copy_only=False), np.float64),
+            "pos": np.full(len(k), -1, np.int64),
+            "side": np.zeros(len(k), np.int8),
+        })
+
+    import ray.data as rd
+
+    u = _ds(ds).map_batches(tag_edges, batch_format="pyarrow").union(
+        rd.from_arrow(index_tbl))
+
+    def join(g: pa.Table) -> pa.Table:
+        k = np.asarray(g["k"].to_numpy(zero_copy_only=False), np.uint64)
+        o = np.asarray(g["o"].to_numpy(zero_copy_only=False), np.uint64)
+        w = np.asarray(g["w"].to_numpy(zero_copy_only=False), np.float64)
+        pos = np.asarray(g["pos"].to_numpy(zero_copy_only=False), np.int64)
+        side = np.asarray(g["side"].to_numpy(zero_copy_only=False), np.int8)
+        isv = side == 1
+        ik, ipos = k[isv], pos[isv]
+        order = np.argsort(ik, kind="stable")
+        ik, ipos = ik[order], ipos[order]
+        ek, eo, ew = k[~isv], o[~isv], w[~isv]
+        empty = pa.table({key_col: pa.array([], pa.uint64()),
+                          other_col: pa.array([], pa.uint64()),
+                          "w": pa.array([], pa.float64())})
+        if len(ik) == 0 or len(ek) == 0:
+            return empty
+        left = np.searchsorted(ik, ek, "left")
+        right = np.searchsorted(ik, ek, "right")
+        cnt = right - left
+        tot = int(cnt.sum())
+        if tot == 0:
+            return empty
+        rep = np.repeat(np.arange(len(ek)), cnt)
+        offs = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        pos_out = ipos[np.repeat(left, cnt) + offs].astype(np.uint64)
+        return pa.table({key_col: pos_out, other_col: eo[rep], "w": ew[rep]})
+
+    return u.groupby("bucket").map_groups(join, batch_format="pyarrow")
+
+
+def extract_submatrix(edges, rows: np.ndarray, cols: np.ndarray,
+                      num_buckets: int = _DEFAULT_BUCKETS):
+    """``A[rows, cols]`` — 2-D submatrix extract with index remap
+    (reference core/expr.py:288, core/matrix.py:2906): result entry
+    (p, q) = A[rows[p], cols[q]]; duplicate indices fan out. Two
+    bucketed co-group joins, one per axis — never a broadcast of the
+    edge side, never a materialized intermediate on the driver."""
+    step1 = _gather_matrix_axis(edges, rows, "src", num_buckets)
+    return _gather_matrix_axis(step1, cols, "dst", num_buckets)
+
+
+def merge_matrix(old, new, *, accum: str | None = None,
+                 num_buckets: int = _DEFAULT_BUCKETS):
+    """Matrix-keyed merge ``C(accum) << new``: union pattern, ``accum``
+    where both sides hold (src,dst); new wins when no accum. The 2-D
+    sibling of ``merge`` (vector path above), on one (src,dst)-bucketed
+    shuffle."""
+    op = BINARY[accum] if accum else None
+
+    def tag(ds, side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+            d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+            with np.errstate(over="ignore"):
+                bk = (mix64(s * np.uint64(0x9E3779B97F4A7C15) ^ d)
+                      % np.uint64(num_buckets)).astype(np.int32)
+            return pa.table({
+                "bucket": bk, "src": s, "dst": d,
+                "w": np.asarray(t["w"].to_numpy(zero_copy_only=False), np.float64),
+                "side": np.full(len(s), side, np.int8),
+            })
+
+        return _ds(ds).map_batches(fn, batch_format="pyarrow")
+
+    def join(g: pa.Table) -> pa.Table:
+        s = np.asarray(g["src"].to_numpy(zero_copy_only=False), np.uint64)
+        d = np.asarray(g["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        w = np.asarray(g["w"].to_numpy(zero_copy_only=False), np.float64)
+        side = np.asarray(g["side"].to_numpy(zero_copy_only=False), np.int8)
+        if len(s) == 0:
+            return pa.table({"src": pa.array([], pa.uint64()),
+                             "dst": pa.array([], pa.uint64()),
+                             "w": pa.array([], pa.float64())})
+        order = np.lexsort((side, d, s))
+        s, d, w, side = s[order], d[order], w[order], side[order]
+        newg = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])]
+        starts = np.flatnonzero(newg)
+        counts = np.diff(np.r_[starts, len(s)])
+        # per (s,d): ≤1 old row then ≤1 new row (matrix entries unique)
+        out = np.empty(len(starts), np.float64)
+        one = counts == 1
+        out[one] = w[starts[one]]
+        two = ~one
+        if two.any():
+            o_idx, n_idx = starts[two], starts[two] + 1
+            out[two] = op(w[o_idx], w[n_idx]) if op is not None else w[n_idx]
+        # no-accum new wins also for single-row groups (value already there)
+        if op is None:
+            last = starts + counts - 1
+            out = w[last]
+        return pa.table({"src": s[starts], "dst": d[starts], "w": out})
+
+    u = tag(old, 0).union(tag(new, 1))
+    return u.groupby("bucket").map_groups(join, batch_format="pyarrow")
+
+
+def assign_submatrix(c_edges, rows: np.ndarray, cols: np.ndarray, a_edges,
+                     *, accum: str | None = None,
+                     num_buckets: int = _DEFAULT_BUCKETS):
+    """``C(accum)[rows, cols] << A`` (reference core/matrix.py:2906):
+    A is given in position space (p, q) with p < len(rows),
+    q < len(cols); its entries land at (rows[p], cols[q]). GrB assign
+    semantics: without accum the C-region is REPLACED by A's mapped
+    pattern (in-region C entries absent from A are deleted); with accum
+    the region keeps the union pattern and combines where both.
+    Index vectors must be duplicate-free (GrB_Matrix_assign requirement).
+
+    Shape: position→target remap is a per-batch array gather (the index
+    vectors are driver-side, as in vector extract); the region split of
+    C is a stateless filter; the combine is one (src,dst)-bucketed
+    merge_matrix shuffle.
+    """
+    rows = np.asarray(rows, np.uint64)
+    cols = np.asarray(cols, np.uint64)
+    if len(np.unique(rows)) != len(rows) or len(np.unique(cols)) != len(cols):
+        raise ValueError("assign_submatrix: duplicate target indices "
+                         "(GrB assign requires unique rows/cols)")
+    rset = np.sort(rows)
+    cset = np.sort(cols)
+
+    def remap(t: pa.Table) -> pa.Table:
+        p = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.int64)
+        q = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.int64)
+        if (p >= len(rows)).any() or (q >= len(cols)).any():
+            raise IndexError("assign_submatrix: A position out of range")
+        return pa.table({"src": rows[p], "dst": cols[q], "w": t["w"]})
+
+    def in_region(t: pa.Table) -> np.ndarray:
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        si = np.searchsorted(rset, s)
+        ci = np.searchsorted(cset, d)
+        sin = (si < len(rset)) & (rset[np.minimum(si, len(rset) - 1)] == s)
+        cin = (ci < len(cset)) & (cset[np.minimum(ci, len(cset) - 1)] == d)
+        return sin & cin
+
+    def keep_outside(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(~in_region(t))).select(["src", "dst", "w"])
+
+    def keep_inside(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(in_region(t))).select(["src", "dst", "w"])
+
+    mapped = _ds(a_edges).map_batches(remap, batch_format="pyarrow")
+    outside = _ds(c_edges).map_batches(keep_outside, batch_format="pyarrow")
+    if accum is None:
+        # region replaced by A's mapped pattern exactly
+        return outside.union(mapped)
+    inside = _ds(c_edges).map_batches(keep_inside, batch_format="pyarrow")
+    return outside.union(merge_matrix(inside, mapped, accum=accum,
+                                      num_buckets=num_buckets))
+
+
 def assign_reduce(vec, targets: "pa.Table", dup_monoid: str = "min",
                   accum: str | None = "min", num_buckets: int = _DEFAULT_BUCKETS):
     """C(accum)[I] << values with duplicate targets combined by ``dup_monoid``

@@ -238,6 +238,17 @@ ORACLES.update(
 SELECT a.src AS src, b.dst AS dst, round(sum(a.w * b.w), 4) AS w
 FROM e a JOIN e b ON a.dst = b.src
 GROUP BY 1, 2 ORDER BY src, dst""",
+        "extract_submatrix": f"""WITH {_E},
+ridx(p, v) AS (VALUES (0, 3), (1, 5), (2, 11), (3, 5)),
+cidx(q, v) AS (VALUES (0, 2), (1, 7), (2, 52), (3, 97))
+SELECT ridx.p AS src, cidx.q AS dst, e.w AS w
+FROM e JOIN ridx ON e.src = ridx.v JOIN cidx ON e.dst = cidx.v
+ORDER BY src, dst""",
+        "assign_submatrix": f"""WITH {_E}
+SELECT src, dst,
+       round(CASE WHEN src IN (3, 5, 11) AND dst IN (2, 7, 52)
+                  THEN w * 2 ELSE w END, 6) AS w
+FROM e ORDER BY src, dst""",
         "mxm_masked": f"""WITH {_E},
 l AS (SELECT src, dst, w FROM e WHERE dst < src)
 SELECT a.src AS src, b.dst AS dst, round(sum(a.w * b.w), 4) AS w

@@ -227,6 +227,31 @@ def q_mxm_masked(sf_dir):
     return t.sort_by([("src", "ascending"), ("dst", "ascending")])
 
 
+def q_extract_submatrix(sf_dir):
+    """A[rows, cols] with a duplicate row index — 2-D extract + remap
+    (reference core/matrix.py:2906)."""
+    rows = np.array([3, 5, 11, 5], np.uint64)   # dup: 5 fans out to p=1,3
+    cols = np.array([2, 7, 52, 97], np.uint64)
+    out = K.extract_submatrix(_edges_dedup(sf_dir), rows, cols)
+    t = K.to_table(out, sort_by=None).select(["src", "dst", "w"])
+    t = _round_col(_int64_col(_int64_col(t, "src"), "dst"), "w", 6)
+    return t.sort_by([("src", "ascending"), ("dst", "ascending")])
+
+
+def q_assign_submatrix(sf_dir):
+    """C(plus)[rows, cols] << A where A = C[rows, cols]: doubles every
+    in-region entry, leaves the rest — exercises the position→target
+    remap, the region split, and the (src,dst)-bucketed accum merge."""
+    rows = np.array([3, 5, 11], np.uint64)
+    cols = np.array([2, 7, 52], np.uint64)
+    C = _edges_dedup(sf_dir).materialize()
+    A = K.extract_submatrix(C, rows, cols)
+    out = K.assign_submatrix(C, rows, cols, A, accum="plus")
+    t = K.to_table(out, sort_by=None).select(["src", "dst", "w"])
+    t = _round_col(_int64_col(_int64_col(t, "src"), "dst"), "w", 6)
+    return t.sort_by([("src", "ascending"), ("dst", "ascending")])
+
+
 def q_cc_labels(sf_dir):
     from raygraph.algorithms.components import connected_components
 
@@ -581,6 +606,8 @@ QUERIES = {
     # link-graph algorithms (SURVEY.md §3.2-3.3, §7.1)
     "triangle_count": q_triangles,
     "mxm_masked": q_mxm_masked,
+    "extract_submatrix": q_extract_submatrix,
+    "assign_submatrix": q_assign_submatrix,
     "cc_labels": q_cc_labels,
     "pagerank_k8": q_pagerank_k8,
     "bfs_from_1": q_bfs_from_1,

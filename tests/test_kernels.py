@@ -230,6 +230,52 @@ def test_mxm_min_plus():
         assert r["w"] == want[int(r["src"]), int(r["dst"])]
 
 
+def test_extract_submatrix_dense_oracle():
+    """A[rows, cols] with duplicate indices on both axes vs the dense
+    numpy gather (reference core/matrix.py:2906 remap semantics)."""
+    A = fx.a7_dense()
+    rows = np.array([3, 0, 6, 0], np.uint64)   # dup 0
+    cols = np.array([2, 5, 2], np.uint64)      # dup 2
+    got = K.to_table(K.extract_submatrix(EDGES7, rows, cols),
+                     sort_by=None).to_pandas()
+    want = A[np.ix_(rows.astype(int), cols.astype(int))]
+    dense = np.zeros_like(want)
+    dense[got["src"].astype(int), got["dst"].astype(int)] = got["w"]
+    assert np.array_equal(dense, want)
+    assert (got["w"] != 0).all()  # only stored entries, no explicit zeros
+
+
+def test_assign_submatrix_replace_and_accum():
+    """GrB C[I,J] << A: no-accum REPLACES the region pattern (in-region
+    entries absent from A are deleted); accum keeps the union."""
+    A = fx.a7_dense()
+    rows = np.array([0, 3, 6], np.uint64)
+    cols = np.array([2, 3, 4], np.uint64)
+    # A_sub in position space: one entry (p=1, q=0) -> target (3, 2)
+    sub = rd.from_arrow(pa.table({"src": np.array([1], np.uint64),
+                                  "dst": np.array([0], np.uint64),
+                                  "w": np.array([99.0], np.float64)}))
+    got = K.to_table(K.assign_submatrix(EDGES7, rows, cols, sub),
+                     sort_by=None).to_pandas()
+    dense = np.zeros((7, 7))
+    dense[got["src"].astype(int), got["dst"].astype(int)] = got["w"]
+    want = A.copy()
+    want[np.ix_(rows.astype(int), cols.astype(int))] = 0.0  # region replaced
+    want[3, 2] = 99.0
+    assert np.array_equal(dense, want)
+    # accum: union pattern, plus where both
+    got2 = K.to_table(K.assign_submatrix(EDGES7, rows, cols, sub, accum="plus"),
+                      sort_by=None).to_pandas()
+    dense2 = np.zeros((7, 7))
+    dense2[got2["src"].astype(int), got2["dst"].astype(int)] = got2["w"]
+    want2 = A.copy()
+    want2[3, 2] += 99.0
+    assert np.array_equal(dense2, want2)
+    # duplicate targets refused
+    with pytest.raises(ValueError, match="duplicate"):
+        K.assign_submatrix(EDGES7, np.array([1, 1], np.uint64), cols, sub)
+
+
 def test_mxm_masked_and_complement():
     """C(mask) << A.mxm(B) — structural mask and its complement partition
     the unmasked product exactly (reference core/mask.py:131-200)."""
