@@ -48,54 +48,93 @@ def exact_dedup(docs_ds, *, text_col: str = "text", id_col: str = "doc_id"):
 
 
 def repeated_ngrams(docs_ds, *, n: int = 8, min_docs: int = 2,
-                    text_col: str = "text", id_col: str = "doc_id"):
+                    text_col: str = "text", id_col: str = "doc_id",
+                    num_buckets: int = 64):
     """Cross-document repeated n-gram spans — substring-level dedup in the
     style of "Deduplicating Training Data Makes Language Models Better"
     (Lee et al. 2022): any whitespace-token n-gram occurring in >=
     ``min_docs`` distinct documents is a candidate memorized/boilerplate
-    span. Returns (gram, n_occ, n_docs, min_doc) per repeated n-gram.
+    span. Returns (gram, n_occ, n_docs, min_doc) per repeated n-gram,
+    where ``gram`` is the 16-hex mix64-chained token-hash key.
 
-    Scale shape: per-batch the (gram, doc) pairs are locally uniqued with
-    occurrence counts (combiner), then ONE groupby(gram) counts documents
-    — text itself never reshuffles, only md5 digests. The md5-of-joined-
-    tokens gram key makes the result exactly reproducible in SQL.
+    Scale shape (VERDICT r2 next #4): gram keys are the vectorized
+    polynomial/mix64 token-hash chain (no per-window hashlib call — the
+    SQL oracle reproduces splitmix64 and the Horner token hash exactly
+    with HUGEINT split-multiply arithmetic, see oracles._mix64_sql);
+    per-batch the (gram, doc) pairs are locally uniqued with occurrence
+    counts (combiner); the final reduce is the ``distinct_pairs``
+    coarse-bucket pattern — mix-bucketed ONE shuffle, one vectorized
+    lexsort + reduceat per bucket, never one Python call per gram.
     """
-    import hashlib
+    import binascii
 
     def grams(t: pa.Table) -> pa.Table:
         ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), np.int64)
         texts = t[text_col].to_pylist()
         g_out, d_out, c_out = [], [], []
-        for did, s in zip(ids, texts):
-            toks = (s or "").split()
-            if len(toks) < n:
-                continue
-            seen: dict[str, int] = {}
-            for i in range(len(toks) - n + 1):
-                g = hashlib.md5(" ".join(toks[i:i + n]).encode("utf-8")).hexdigest()
-                seen[g] = seen.get(g, 0) + 1
-            g_out.extend(seen.keys())
-            d_out.extend([int(did)] * len(seen))
-            c_out.extend(seen.values())
-        return pa.table({"gram": pa.array(g_out, pa.string()),
-                         id_col: pa.array(d_out, pa.int64()),
-                         "cnt": pa.array(c_out, pa.int64())})
+        with np.errstate(over="ignore"):
+            for did, s in zip(ids, texts):
+                toks = (s or "").split()
+                if len(toks) < n:
+                    continue
+                hs = _token_hashes(toks)
+                m = len(hs) - n + 1
+                g = mix64(hs[:m])
+                for j in range(1, n):
+                    g = mix64(g ^ hs[j:m + j])
+                u, c = np.unique(g, return_counts=True)
+                g_out.append(u)
+                d_out.append(np.full(len(u), did, np.int64))
+                c_out.append(c.astype(np.int64))
+        if not g_out:
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "gram": pa.array([], pa.uint64()),
+                             id_col: pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        g_all = np.concatenate(g_out)
+        return pa.table({
+            "bucket": (g_all % np.uint64(num_buckets)).astype(np.int32),
+            "gram": g_all,
+            id_col: np.concatenate(d_out),
+            "cnt": np.concatenate(c_out),
+        })
 
     pairs = docs_ds.map_batches(grams, batch_format="pyarrow")
 
-    def per_gram(g: pd.DataFrame) -> pd.DataFrame:
-        nd = g[id_col].nunique()
-        if nd < min_docs:
-            return pd.DataFrame({"gram": pd.Series([], dtype=object),
-                                 "n_occ": pd.Series([], dtype=np.int64),
-                                 "n_docs": pd.Series([], dtype=np.int64),
-                                 "min_doc": pd.Series([], dtype=np.int64)})
-        return pd.DataFrame({"gram": [g["gram"].iloc[0]],
-                             "n_occ": [np.int64(g["cnt"].sum())],
-                             "n_docs": [np.int64(nd)],
-                             "min_doc": [np.int64(g[id_col].min())]})
+    def stats(g: pa.Table) -> pa.Table:
+        """One vectorized pass per bucket: (gram, doc) rows are globally
+        unique (uniqued per doc, one row per doc), so n_docs is the group
+        size."""
+        gr = np.asarray(g["gram"].to_numpy(zero_copy_only=False), np.uint64)
+        d = np.asarray(g[id_col].to_numpy(zero_copy_only=False), np.int64)
+        c = np.asarray(g["cnt"].to_numpy(zero_copy_only=False), np.int64)
+        empty = pa.table({"gram": pa.array([], pa.string()),
+                          "n_occ": pa.array([], pa.int64()),
+                          "n_docs": pa.array([], pa.int64()),
+                          "min_doc": pa.array([], pa.int64())})
+        if len(gr) == 0:
+            return empty
+        order = np.argsort(gr, kind="stable")
+        gr, d, c = gr[order], d[order], c[order]
+        new = np.r_[True, gr[1:] != gr[:-1]]
+        starts = np.flatnonzero(new)
+        n_docs = np.diff(np.r_[starts, len(gr)])
+        keep = n_docs >= min_docs
+        if not keep.any():
+            return empty
+        n_occ = np.add.reduceat(c, starts)[keep]
+        min_doc = np.minimum.reduceat(d, starts)[keep]
+        gsel = gr[starts][keep]
+        # vectorized 16-hex formatting: one hexlify over the big-endian
+        # byte view, reinterpreted as fixed-width strings
+        hx = np.frombuffer(binascii.hexlify(gsel.astype(">u8").tobytes()),
+                           dtype="S16").astype("U16")
+        return pa.table({"gram": pa.array(hx),
+                         "n_occ": n_occ.astype(np.int64),
+                         "n_docs": n_docs[keep].astype(np.int64),
+                         "min_doc": min_doc})
 
-    return pairs.groupby("gram").map_groups(per_gram, batch_format="pandas")
+    return pairs.groupby("bucket").map_groups(stats, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- minhash ----
@@ -242,19 +281,27 @@ _GRAM_P = np.uint64(1099511628211)
 
 def _token_hashes(toks: list[str]) -> np.ndarray:
     """Deterministic 64-bit polynomial hash per token (process-independent
-    — python's builtin hash() is salted and must never cross workers)."""
+    — python's builtin hash() is salted and must never cross workers).
+
+    Horner over UNICODE CODE POINTS (not utf-8 bytes), h = ((0+c1)·P +
+    c2)·P ... + len mod 2^64: code points are what DuckDB's ord() sees,
+    which lets the repeated_ngrams oracle reproduce the hash bit-exactly
+    in SQL (oracles._token_hash_sql). Cached per unique token; the
+    per-unique-token loop is inherent to tokenized text."""
     uniq = {}
     out = np.empty(len(toks), np.uint64)
     with np.errstate(over="ignore"):
         for i, t in enumerate(toks):
             h = uniq.get(t)
             if h is None:
-                b = np.frombuffer(t.encode("utf-8"), np.uint8).astype(np.uint64)
-                if len(b) == 0:
+                cps = np.frombuffer(t.encode("utf-32-le"), np.uint32).astype(np.uint64)
+                if len(cps) == 0:
                     h = np.uint64(0)
                 else:
-                    pw = np.multiply.accumulate(np.full(len(b), _GRAM_P, np.uint64))
-                    h = np.uint64((b * pw[::-1]).sum(dtype=np.uint64) + len(b))
+                    pw = np.multiply.accumulate(np.full(len(cps), _GRAM_P, np.uint64))
+                    # NB: uint64 scalar + python int promotes to float64
+                    # (silent precision loss) — keep the add in uint64
+                    h = (cps * pw[::-1]).sum(dtype=np.uint64) + np.uint64(len(cps))
                 uniq[t] = h
             out[i] = h
     return out

@@ -535,14 +535,60 @@ SELECT query_id, vec_id, rank FROM (
   FROM s
 ) WHERE rank <= 5 ORDER BY query_id, rank"""
 
-ORACLES["repeated_ngrams"] = """WITH toks AS (
+# --- bit-exact SQL reproduction of the mix64-chained token-hash gram key
+# (dedup._token_hashes + the splitmix64 finalizer, util.py:27). DuckDB's
+# UBIGINT errors on overflow rather than wrapping, so 64-bit modular
+# multiplication is spelled as a HUGEINT split-multiply:
+#   (x*C) mod 2^64 = ((hi32(x)*C mod 2^32)*2^32 + lo32(x)*C) mod 2^64
+_M64 = 1 << 64
+
+
+def _mulmod_sql(x: str, c: int) -> str:
+    return (f"CAST((((CAST(({x}) >> 32 AS HUGEINT) * {c}) % 4294967296) "
+            f"* 4294967296 + CAST(({x}) & 4294967295 AS HUGEINT) * {c}) "
+            f"% {_M64} AS UBIGINT)")
+
+
+def _xorshift_sql(x: str, s: int) -> str:
+    return f"xor(({x}), ({x}) >> {s})"
+
+
+def _mix64_sql(x: str) -> str:
+    """splitmix64 finalizer, textually inlined (util.mix64)."""
+    e = _xorshift_sql(x, 30)
+    e = _mulmod_sql(e, 0xBF58476D1CE4E9B9)
+    e = _xorshift_sql(e, 27)
+    e = _mulmod_sql(e, 0x94D049BB133111EB)
+    return _xorshift_sql(e, 31)
+
+
+# token hash: Horner over code points, h=((0+c1)*P+c2)*P... + len mod 2^64
+_GRAM_P = 1099511628211
+_TOKEN_HASH_SQL = (
+    "CAST((CAST(list_reduce(list_prepend(CAST(0 AS UBIGINT), "
+    "list_transform(range(1, length(t) + 1), i -> CAST(ord(t[i]) AS UBIGINT))), "
+    f"(a, b) -> {_mulmod_sql(f'CAST((CAST(a AS HUGEINT) + b) % {_M64} AS UBIGINT)', _GRAM_P)}"
+    f") AS HUGEINT) + length(t)) % {_M64} AS UBIGINT)"
+)
+
+# gram key: reduce([0, h_i..h_{i+n-1}], (a,b) -> mix64(a XOR b))
+_GRAM_LAMBDA_SQL = f"(a, b) -> {_mix64_sql('xor(a, b)')}"
+
+_NGRAM_N = 8
+ORACLES["repeated_ngrams"] = f"""WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
   FROM documents WHERE trim(coalesce(text, '')) <> ''
 ),
+th AS (
+  SELECT doc_id, list_transform(ts, t -> {_TOKEN_HASH_SQL}) AS hs
+  FROM toks WHERE len(ts) >= {_NGRAM_N}
+),
 grams AS (
-  SELECT doc_id, md5(array_to_string(ts[i:i + 7], ' ')) AS gram
-  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 8 + 2)) AS i) u
-  WHERE len(ts) >= 8
+  SELECT doc_id,
+         lpad(lower(to_hex(list_reduce(
+           list_prepend(CAST(0 AS UBIGINT), hs[i:i + {_NGRAM_N - 1}]),
+           {_GRAM_LAMBDA_SQL}))), 16, '0') AS gram
+  FROM th, LATERAL (SELECT unnest(range(1, len(hs) - {_NGRAM_N} + 2)) AS i) u
 )
 SELECT gram, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs,
        min(doc_id) AS min_doc

@@ -363,8 +363,9 @@ def q_doc_len_quantiles(sf_dir):
 
 def q_repeated_ngrams(sf_dir):
     """Cross-document repeated 8-gram spans (substring-level dedup, Lee
-    et al. 2022 style), hash-checked: md5-of-joined-tokens gram keys are
-    reproduced exactly by the SQL oracle's list slicing."""
+    et al. 2022 style), hash-checked: the vectorized mix64-chained
+    token-hash gram keys are reproduced bit-exactly by the SQL oracle's
+    HUGEINT split-multiply arithmetic (oracles._mix64_sql)."""
     from raygraph.datapipe.dedup import repeated_ngrams
 
     docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",

@@ -301,7 +301,9 @@ def test_ivf_refine_matches_duckdb_integer_lloyd():
 
 
 def test_repeated_ngrams_finds_planted_span():
-    import hashlib
+    import numpy as np
+
+    from raygraph.util import mix64
 
     base = _docs().to_pandas().head(30)
     span = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
@@ -312,7 +314,13 @@ def test_repeated_ngrams_finds_planted_span():
     base.iloc[0], base.iloc[1] = d1, d2
     docs = rd.from_pandas(base)
     out = dedup.repeated_ngrams(docs, n=8, min_docs=2).to_pandas()
-    want = hashlib.md5(span.encode()).hexdigest()
+    # independent recomputation of the planted span's gram key (the
+    # mix64 chain over per-token Horner code-point hashes)
+    hs = dedup._token_hashes(span.split())
+    g = mix64(hs[:1])
+    for j in range(1, 8):
+        g = mix64(g ^ hs[j:j + 1])
+    want = f"{int(g[0]):016x}"
     row = out[out["gram"] == want]
     assert len(row) == 1 and int(row["n_docs"].iloc[0]) >= 2
     # partition-invariant
