@@ -1587,24 +1587,39 @@ def ewise_union_matrix(a, b, op_name: str, left_default, right_default,
 def vector_agg(x, names: list[str], col: str = "val") -> dict:
     """Composite whole-vector aggregators (reference core/operator/agg.py:
     290-680): count/mean/argmin/argmax/first_index/last_index, population/
-    sample variance + stddev, and the L0/L1/L2/Linf norms.
+    sample variance + stddev, the L0/L1/L2/Linf norms, and the long tail
+    — geometric_mean, harmonic_mean, logaddexp/logaddexp2 (max-shifted,
+    numerically stable), peak_to_peak, sum_of_inverses, exists,
+    bitwise_all/bitwise_any (integer inputs only).
 
     One distributed pass: every batch emits a constant-size partial row
     (count, sum, sum of squares, sum/max of |x|, min/max with their
-    argmin/argmax indices, min/max index), the driver combines the tiny
+    argmin/argmax indices, min/max index, sum of logs/inverses,
+    max-shifted exp sums, AND/OR folds), the driver combines the tiny
     partials — the partial+final shape SURVEY.md §2.2 sketches for mean.
     Ties in argmin/argmax break to the smallest index (deterministic).
     """
     ds = _ds(x)
+    sch = ds.schema()
+    atype = dict(zip(sch.names, sch.types)).get(col)
+    is_int = atype is not None and pa.types.is_integer(atype)
 
     def partial(t: pa.Table) -> pa.Table:
-        a = np.asarray(t[col].to_numpy(zero_copy_only=False), np.float64)
+        raw = np.asarray(t[col].to_numpy(zero_copy_only=False))
+        a = raw.astype(np.float64)
         v = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.uint64)
         if len(a) == 0:
             return pa.table({"n": pa.array([], pa.int64())})
         # deterministic arg ties: smallest index among equal values
         imin = np.lexsort((v, a))[0]
         imax = np.lexsort((v, -a))[0]
+        mx = float(a.max())
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sumlog = float(np.log(a).sum())
+            suminv = float((1.0 / a).sum())
+            sexp = float(np.exp(a - mx).sum())
+            sexp2 = float(np.exp2(a - mx).sum())
+        iview = raw.astype(np.int64) if is_int else np.zeros(1, np.int64)
         return pa.table({
             "n": pa.array([len(a)], pa.int64()),
             "sum": pa.array([float(a.sum())]),
@@ -1618,6 +1633,12 @@ def vector_agg(x, names: list[str], col: str = "val") -> dict:
             "maxarg": pa.array([int(v[imax])], pa.int64()),
             "minidx": pa.array([int(v.min())], pa.int64()),
             "maxidx": pa.array([int(v.max())], pa.int64()),
+            "sumlog": pa.array([sumlog]),
+            "suminv": pa.array([suminv]),
+            "sexp": pa.array([sexp]),
+            "sexp2": pa.array([sexp2]),
+            "band": pa.array([int(np.bitwise_and.reduce(iview))], pa.int64()),
+            "bor": pa.array([int(np.bitwise_or.reduce(iview))], pa.int64()),
         })
 
     rows = [r for r in ds.map_batches(partial, batch_format="pyarrow").take_all()
@@ -1667,6 +1688,34 @@ def vector_agg(x, names: list[str], col: str = "val") -> dict:
             out[name] = float(np.sqrt(sumsq))
         elif name == "Linfnorm":
             out[name] = float(maxabs)
+        elif name == "geometric_mean":
+            out[name] = float(np.exp(sum(r["sumlog"] for r in rows) / n))
+        elif name == "harmonic_mean":
+            out[name] = float(n / sum(r["suminv"] for r in rows))
+        elif name == "sum_of_inverses":
+            out[name] = float(sum(r["suminv"] for r in rows))
+        elif name == "peak_to_peak":
+            out[name] = float(best_max["maxval"] - best_min["minval"])
+        elif name == "exists":
+            out[name] = 1
+        elif name in ("logaddexp", "logaddexp2"):
+            # max-shifted stable combine of the per-batch partials
+            M = max(r["maxval"] for r in rows)
+            if name == "logaddexp":
+                tot = sum(r["sexp"] * float(np.exp(r["maxval"] - M)) for r in rows)
+                out[name] = float(M + np.log(tot))
+            else:
+                tot = sum(r["sexp2"] * float(np.exp2(r["maxval"] - M)) for r in rows)
+                out[name] = float(M + np.log2(tot))
+        elif name in ("bitwise_all", "bitwise_any"):
+            if not is_int:
+                raise ValueError(f"{name}: column {col!r} is not integral")
+            if name == "bitwise_all":
+                out[name] = int(np.bitwise_and.reduce(
+                    np.array([r["band"] for r in rows], np.int64)))
+            else:
+                out[name] = int(np.bitwise_or.reduce(
+                    np.array([r["bor"] for r in rows], np.int64)))
         else:
             raise KeyError(name)
     return out

@@ -149,6 +149,40 @@ register_monoid("bor", np.bitwise_or, np.uint64(0), "max")
 # 'any' — pick an arbitrary present value; maximum is a valid deterministic choice
 register_monoid("any", np.maximum, -np.inf, "max")
 
+
+class _BxnorReducer:
+    """bxnor reduce (reference monoid.py:184-193 BXNOR): associative, but
+    numpy has no binary bxnor ufunc, so the segmented reduce is spelled
+    as XOR + an even-segment complement — bxnor-fold of k elements equals
+    XOR(all) ^ ~0 when k is even (each xnor step contributes one
+    complement; k elements fold k-1 steps... expanding: fold = x1^..^xk
+    complemented (k-1) times ≡ complemented iff k even). Duck-typed to
+    the np.ufunc surface the kernels use (reduce / reduceat)."""
+
+    __name__ = "bitwise_xnor"
+
+    @staticmethod
+    def reduceat(a: np.ndarray, starts: np.ndarray) -> np.ndarray:
+        x = np.bitwise_xor.reduceat(a, starts)
+        sizes = np.diff(np.r_[starts, len(a)])
+        even = (sizes % 2) == 0
+        x[even] = np.bitwise_not(x[even])
+        return x
+
+    @staticmethod
+    def reduce(a: np.ndarray):
+        x = np.bitwise_xor.reduce(a)
+        return np.bitwise_not(x) if (len(a) % 2 == 0) else x
+
+
+# logical/bitwise xor family (reference monoid.py:184-193,382): lxnor's
+# binary form IS equality on bools (associative), bxnor needs the
+# parity-fixup reducer above
+register_monoid("lxor", np.logical_xor, False, "any")
+register_monoid("lxnor", np.equal, True, "all")
+register_monoid("bxor", np.bitwise_xor, np.uint64(0), "sum")
+register_monoid("bxnor", _BxnorReducer(), np.uint64(0xFFFFFFFFFFFFFFFF), "sum")
+
 # -------------------------------------------------------------- semiring ----
 
 
@@ -181,6 +215,8 @@ for _m in ("plus", "min", "max", "any", "times"):
         register_semiring(f"{_m}_{_b}", _m, _b)
 register_semiring("lor_land", "lor", "land")
 register_semiring("land_lor", "land", "lor")
+register_semiring("lxor_land", "lxor", "land")
+register_semiring("bxor_band", "bxor", "band")
 
 
 def segmented_reduce(ufunc: np.ufunc, values: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:

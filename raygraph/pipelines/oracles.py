@@ -410,6 +410,24 @@ FROM cv"""
 ORACLES["select_rowle"] = f"""WITH {_E}
 SELECT src, dst, w FROM e WHERE src <= 100 AND dst > 50 ORDER BY src, dst"""
 
+ORACLES["agg_tail"] = f"""WITH ov AS (
+  SELECT o_custkey % {MOD} AS v, round(sum(o_totalprice), 6) AS val
+  FROM orders GROUP BY 1),
+m AS (SELECT count(*) AS n, max(val) AS mx, min(val) AS mn,
+             sum(ln(val)) AS sl, sum(1.0 / val) AS si FROM ov),
+l AS (SELECT sum(exp(val - (SELECT mx FROM m))) AS se,
+             sum(pow(2.0, val - (SELECT mx FROM m))) AS se2 FROM ov)
+SELECT round(exp((SELECT sl FROM m) / (SELECT n FROM m)), 4) AS geometric_mean,
+       round((SELECT n FROM m) / (SELECT si FROM m), 4) AS harmonic_mean,
+       round((SELECT mx FROM m) + ln((SELECT se FROM l)), 4) AS logaddexp,
+       round((SELECT mx FROM m) + log2((SELECT se2 FROM l)), 4) AS logaddexp2,
+       round((SELECT mx FROM m) - (SELECT mn FROM m), 4) AS peak_to_peak,
+       round((SELECT si FROM m), 9) AS sum_of_inverses,
+       CAST(1 AS BIGINT) AS "exists\""""
+
+ORACLES["reduce_bxor_groups"] = f"""WITH {_E}
+SELECT src AS v, bit_xor(n) AS val FROM e GROUP BY 1 ORDER BY v"""
+
 
 ORACLES["diag_vector"] = f"""WITH {_E}
 SELECT src AS v, round(w, 6) AS val FROM e WHERE src = dst ORDER BY v"""

@@ -802,9 +802,46 @@ def q_select_rowle(sf_dir):
     return t.sort_by([("src", "ascending"), ("dst", "ascending")])
 
 
+def q_agg_tail(sf_dir):
+    """Aggregator long tail (reference core/operator/agg.py:290-680):
+    geometric/harmonic mean, stable logaddexp/logaddexp2, peak_to_peak,
+    sum_of_inverses, exists — over the positive orders vector."""
+    vec = _vec_from(sf_dir, "orders", "o_custkey", "o_totalprice")
+    agg = K.vector_agg(vec, ["geometric_mean", "harmonic_mean", "logaddexp",
+                             "logaddexp2", "peak_to_peak",
+                             "sum_of_inverses", "exists"])
+    return pa.table({
+        "geometric_mean": pa.array([round(agg["geometric_mean"], 4)]),
+        "harmonic_mean": pa.array([round(agg["harmonic_mean"], 4)]),
+        "logaddexp": pa.array([round(agg["logaddexp"], 4)]),
+        "logaddexp2": pa.array([round(agg["logaddexp2"], 4)]),
+        "peak_to_peak": pa.array([round(agg["peak_to_peak"], 4)]),
+        "sum_of_inverses": pa.array([round(agg["sum_of_inverses"], 9)]),
+        "exists": pa.array([agg["exists"]], pa.int64()),
+    })
+
+
+def q_reduce_bxor_groups(sf_dir):
+    """Grouped reduction driven by the bxor MONOID (reference
+    monoid.py:184-193): per-src XOR fold of the duplicate counts."""
+    def to_vec(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64),
+            "val": np.asarray(t["n"].to_numpy(zero_copy_only=False), np.int64),
+        })
+
+    vec = _edges_dedup(sf_dir).map_batches(to_vec, batch_format="pyarrow")
+    out = K.salted_aggregate(vec, "v", "val", "bxor")
+    t = K.to_table(out, sort_by=None)
+    t = _int64_col(_int64_col(t, "v"), "val")
+    return t.sort_by([("v", "ascending")])
+
+
 QUERIES["agg_norms"] = q_agg_norms
 QUERIES["agg_var_argmin"] = q_agg_var_argmin
 QUERIES["select_rowle"] = q_select_rowle
+QUERIES["agg_tail"] = q_agg_tail
+QUERIES["reduce_bxor_groups"] = q_reduce_bxor_groups
 
 
 def q_diag_vector(sf_dir):

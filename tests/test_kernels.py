@@ -464,6 +464,38 @@ def test_vector_agg_composites():
     assert agg["first_index"] == 1 and agg["last_index"] == 300
 
 
+def test_vector_agg_tail():
+    """Aggregator long tail vs direct numpy (reference agg.py:290-680):
+    geometric/harmonic mean, stable logaddexp(2), peak_to_peak,
+    sum_of_inverses, exists, bitwise_all/any."""
+    rng = np.random.default_rng(5)
+    v = np.arange(1, 201, dtype=np.uint64)
+    val = np.round(rng.uniform(0.5, 9.0, 200), 3)
+    vec = pa.table({"v": v, "val": val})
+    agg = K.vector_agg(vec, ["geometric_mean", "harmonic_mean", "logaddexp",
+                             "logaddexp2", "peak_to_peak",
+                             "sum_of_inverses", "exists"])
+    np.testing.assert_allclose(agg["geometric_mean"],
+                               np.exp(np.log(val).mean()), rtol=1e-12)
+    np.testing.assert_allclose(agg["harmonic_mean"],
+                               len(val) / (1.0 / val).sum(), rtol=1e-12)
+    np.testing.assert_allclose(agg["logaddexp"],
+                               np.logaddexp.reduce(val), rtol=1e-12)
+    np.testing.assert_allclose(agg["logaddexp2"],
+                               np.logaddexp2.reduce(val), rtol=1e-12)
+    np.testing.assert_allclose(agg["peak_to_peak"], val.max() - val.min())
+    np.testing.assert_allclose(agg["sum_of_inverses"], (1.0 / val).sum(),
+                               rtol=1e-12)
+    assert agg["exists"] == 1
+    ints = rng.integers(0, 2**40, size=64).astype(np.int64)
+    ivec = pa.table({"v": np.arange(64, dtype=np.uint64), "val": ints})
+    iagg = K.vector_agg(ivec, ["bitwise_all", "bitwise_any"])
+    assert iagg["bitwise_all"] == int(np.bitwise_and.reduce(ints))
+    assert iagg["bitwise_any"] == int(np.bitwise_or.reduce(ints))
+    with pytest.raises(ValueError, match="not integral"):
+        K.vector_agg(vec, ["bitwise_all"])
+
+
 def test_select_positional_thunk_and_index():
     e = pa.table({"src": np.array([0, 5, 10, 20], np.uint64),
                   "dst": np.array([9, 5, 2, 30], np.uint64),

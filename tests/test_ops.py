@@ -55,3 +55,43 @@ def test_register_custom():
     ops.register_semiring("max_plus", "max", "plus")
     assert ops.SEMIRING["max_plus"].monoid.name == "max"
     np.testing.assert_array_equal(ops.UNARY["double_it"](np.array([3.0])), [6.0])
+
+
+def test_xor_family_monoids():
+    """lxor/lxnor/bxor/bxnor monoid reduces vs brute-force folds
+    (reference monoid.py:184-193,382)."""
+    rng = np.random.default_rng(7)
+    ints = rng.integers(0, 2**62, size=23).astype(np.int64)
+    bools = rng.integers(0, 2, size=23).astype(bool)
+    starts = np.array([0, 5, 6, 14], np.int64)  # segments incl. size 1
+
+    def brute(vals, op):
+        out = []
+        bounds = list(starts) + [len(vals)]
+        for a, b in zip(bounds, bounds[1:]):
+            acc = vals[a]
+            for x in vals[a + 1:b]:
+                acc = op(acc, x)
+            out.append(acc)
+        return out
+
+    got = ops.MONOID["bxor"].ufunc.reduceat(ints, starts)
+    assert got.tolist() == brute(ints, lambda a, b: a ^ b)
+    got = ops.MONOID["bxnor"].ufunc.reduceat(ints, starts)
+    assert got.tolist() == brute(ints, lambda a, b: ~(a ^ b))
+    got = ops.MONOID["lxor"].ufunc.reduceat(bools, starts)
+    assert got.tolist() == brute(bools, lambda a, b: bool(a) != bool(b))
+    got = ops.MONOID["lxnor"].ufunc.reduceat(bools, starts)
+    assert got.tolist() == brute(bools, lambda a, b: bool(a) == bool(b))
+    # bxnor whole-array reduce parity (even/odd lengths)
+    for k in (4, 5):
+        want = ints[0]
+        for x in ints[1:k]:
+            want = ~(want ^ x)
+        assert int(ops.MONOID["bxnor"].ufunc.reduce(ints[:k])) == int(want)
+    # identities: op(x, id) == x
+    for name in ("lxor", "bxor"):
+        m = ops.MONOID[name]
+        x = bools if name == "lxor" else ints.astype(np.uint64)
+        np.testing.assert_array_equal(
+            m.ufunc(x, np.full(len(x), m.identity, x.dtype)), x)
