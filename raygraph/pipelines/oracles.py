@@ -616,7 +616,8 @@ ORDER BY gram"""
 # doc_quality: the stopword-profile lang-ID argmax (dict-order strict->
 # tie rule: en beats de beats fr; all-zero -> 'und') and the quality
 # formula with the SAME IEEE expression order as text.QualityScore.
-ORACLES["doc_quality"] = """WITH w AS (
+# shared lang-ID/quality CTE chain (used by doc_quality AND doc_profile)
+_DOCQ_CTES = """w AS (
   SELECT doc_id,
          list_transform(regexp_extract_all(coalesce(text, ''), '[a-zA-ZÀ-ɏ]+'),
                         x -> lower(x)) AS words,
@@ -650,15 +651,41 @@ r AS (
          en_sc / greatest(n_words, 1.0) AS stopword_ratio,
          n_words
   FROM s
-)
-SELECT doc_id, pred_lang, round(punct_ratio, 6) AS punct_ratio,
-       round(stopword_ratio, 6) AS stopword_ratio,
-       round(least(greatest(
+)"""
+
+_QUALITY_EXPR = """round(least(greatest(
          0.4 * least(greatest(n_words / 50.0, 0.0), 1.0)
          + 0.3 * (1.0 - punct_ratio)
          + 0.3 * least(greatest(stopword_ratio * 4.0, 0.0), 1.0),
-       0.0), 1.0), 6) AS quality
+       0.0), 1.0), 6)"""
+
+ORACLES["doc_quality"] = f"""WITH {_DOCQ_CTES}
+SELECT doc_id, pred_lang, round(punct_ratio, 6) AS punct_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       {_QUALITY_EXPR} AS quality
 FROM r ORDER BY doc_id"""
+
+# doc_profile: the full fused analyzer output, INCLUDING the rolling
+# code-point fingerprint — Horner in HUGEINT split-multiply arithmetic,
+# bit-exact vs datapipe.text.rolling_fingerprint (r2's last no_oracle)
+_FP_HORNER = (
+    "list_reduce(list_prepend(CAST(0 AS UBIGINT), "
+    "list_transform(regexp_extract_all(coalesce(text, ''), '(?s).'), "
+    "c -> CAST(ord(c) AS UBIGINT))), "
+    f"(a, b) -> {_mulmod_sql(f'CAST((CAST(a AS HUGEINT) + b) % {_M64} AS UBIGINT)', _GRAM_P)})"
+)
+
+ORACLES["doc_profile"] = f"""WITH {_DOCQ_CTES},
+f AS (
+  SELECT doc_id,
+         length(regexp_extract_all(coalesce(text, ''), '{_TOKEN_RE_SQL}')) AS n_tokens,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+              ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws_tokens,
+         {_FP_HORNER} AS fingerprint
+  FROM documents)
+SELECT f.doc_id, f.n_tokens, f.n_ws_tokens, r.pred_lang,
+       {_QUALITY_EXPR} AS quality, f.fingerprint
+FROM f JOIN r USING (doc_id) ORDER BY doc_id"""
 
 ORACLES["doc_sample_per_lang"] = """SELECT lang, doc_id FROM (
   SELECT lang, doc_id,

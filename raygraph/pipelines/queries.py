@@ -326,15 +326,19 @@ def q_doc_analysis(sf_dir):
 
 
 def q_doc_profile(sf_dir):
-    """Full text analysis (lang-ID + quality heuristics + fingerprint):
-    rows-only check (the scoring heuristics are not SQL-expressible)."""
+    """Full text analysis (lang-ID + quality heuristics + rolling
+    code-point fingerprint), hash-checked: every column including the
+    fingerprint is reproduced bit-exactly by the SQL oracle
+    (oracles._FP_HORNER) — the r2 'no_oracle' fix."""
     from raygraph.datapipe.text import analyze_documents
 
     docs = _rd().read_parquet(f"{sf_dir}/documents.parquet")
     out = analyze_documents(docs, concurrency=4)
-    return out.select_columns(
+    t = K.to_table(out, sort_by=None).select(
         ["doc_id", "n_tokens", "n_ws_tokens", "pred_lang", "quality", "fingerprint"]
     )
+    t = _round_col(t, "quality", 6)
+    return t.sort_by([("doc_id", "ascending")])
 
 
 def q_doc_sample_per_lang(sf_dir):
