@@ -25,10 +25,9 @@ def test_queries_and_oracles_align():
     oracles = em.oracle_sql()
     assert len(qs) >= 30
     assert set(oracles) <= set(qs)
-    # the non-oracled set is exactly the heuristic ops (lang-id/quality
-    # profiling has no SQL twin; dedup pair sets and knn_lsh gained exact
-    # oracles in r2)
-    assert set(qs) - set(oracles) == {"doc_profile"}
+    # every query has a SQL oracle (doc_profile, the last rows-only one,
+    # gained a bit-exact fingerprint oracle in r3)
+    assert set(qs) == set(oracles)
 
 
 def test_selected_queries_run_and_match_duckdb():
