@@ -139,3 +139,112 @@ def from_networkx(g) -> pa.Table:
     return pa.table({"src": np.asarray(src, np.uint64),
                      "dst": np.asarray(dst, np.uint64),
                      "w": np.asarray(w, np.float64)})
+
+
+# ------------------------------------------------ small constructors ----
+# (reference matrix.py:1398-1577 from_dense/to_dense/from_dicts,
+# vector.py:731-1997 from_dense/from_pairs — driver-sized conveniences;
+# the scale path stays partitioned Parquet / from_coo)
+
+
+def matrix_from_dense(a: np.ndarray, *, missing_value=None) -> pa.Table:
+    """Dense 2-D array -> (src, dst, w) edge table. With
+    ``missing_value`` set, entries equal to it are skipped (the
+    reference's from_dense missing_value semantics); otherwise every
+    cell becomes an explicit entry."""
+    a = np.asarray(a)
+    if a.ndim != 2:
+        raise ValueError("matrix_from_dense: need a 2-D array")
+    if missing_value is None:
+        r, c = np.indices(a.shape)
+        r, c = r.ravel(), c.ravel()
+        w = a.ravel()
+    else:
+        r, c = np.nonzero(a != missing_value)
+        w = a[r, c]
+    return pa.table({"src": r.astype(np.uint64), "dst": c.astype(np.uint64),
+                     "w": w.astype(np.float64)})
+
+
+def matrix_to_dense(edges: pa.Table, *, nrows: int | None = None,
+                    ncols: int | None = None, fill=0.0) -> np.ndarray:
+    """(src, dst, w) edge table -> dense 2-D array (driver-sized)."""
+    s = np.asarray(edges["src"].to_numpy(zero_copy_only=False), np.int64)
+    d = np.asarray(edges["dst"].to_numpy(zero_copy_only=False), np.int64)
+    w = np.asarray(edges["w"].to_numpy(zero_copy_only=False), np.float64)
+    nr = nrows if nrows is not None else (int(s.max()) + 1 if len(s) else 0)
+    nc = ncols if ncols is not None else (int(d.max()) + 1 if len(d) else 0)
+    out = np.full((nr, nc), fill, np.float64)
+    out[s, d] = w
+    return out
+
+
+def matrix_from_dicts(d: dict, *, order: str = "rowwise") -> pa.Table:
+    """{row: {col: val}} (or colwise {col: {row: val}}) -> edge table
+    (reference Matrix.from_dicts)."""
+    rows, cols, vals = [], [], []
+    for outer, inner in d.items():
+        for k, v in inner.items():
+            rows.append(outer)
+            cols.append(k)
+            vals.append(v)
+    r = np.asarray(rows, np.uint64)
+    c = np.asarray(cols, np.uint64)
+    if order == "colwise":
+        r, c = c, r
+    elif order != "rowwise":
+        raise ValueError("order must be 'rowwise' or 'colwise'")
+    return pa.table({"src": r, "dst": c,
+                     "w": np.asarray(vals, np.float64)})
+
+
+def matrix_to_dicts(edges: pa.Table) -> dict:
+    """Edge table -> {row: {col: val}} (driver-sized)."""
+    out: dict = {}
+    s = np.asarray(edges["src"].to_numpy(zero_copy_only=False), np.int64)
+    d = np.asarray(edges["dst"].to_numpy(zero_copy_only=False), np.int64)
+    w = np.asarray(edges["w"].to_numpy(zero_copy_only=False), np.float64)
+    for i, j, v in zip(s, d, w):
+        out.setdefault(int(i), {})[int(j)] = float(v)
+    return out
+
+
+def vector_from_dense(x: np.ndarray, *, missing_value=None) -> pa.Table:
+    """Dense 1-D array -> (v, val) vector table."""
+    x = np.asarray(x)
+    if x.ndim != 1:
+        raise ValueError("vector_from_dense: need a 1-D array")
+    idx = (np.arange(len(x)) if missing_value is None
+           else np.nonzero(x != missing_value)[0])
+    return pa.table({"v": idx.astype(np.uint64),
+                     "val": x[idx].astype(np.float64)})
+
+
+def vector_to_dense(vec: pa.Table, *, size: int | None = None,
+                    fill=0.0) -> np.ndarray:
+    v = np.asarray(vec["v"].to_numpy(zero_copy_only=False), np.int64)
+    x = np.asarray(vec["val"].to_numpy(zero_copy_only=False), np.float64)
+    n = size if size is not None else (int(v.max()) + 1 if len(v) else 0)
+    out = np.full(n, fill, np.float64)
+    out[v] = x
+    return out
+
+
+def vector_from_pairs(pairs, *, dup_op: str = "raise") -> pa.Table:
+    """[(index, value), ...] -> (v, val) table (reference
+    Vector.from_pairs, vector.py:731): duplicate indices combine by the
+    named monoid, or raise when dup_op='raise' (the reference default)."""
+    from raygraph.ops import MONOID, local_combine
+
+    if not pairs:
+        return pa.table({"v": pa.array([], pa.uint64()),
+                         "val": pa.array([], pa.float64())})
+    v = np.asarray([p[0] for p in pairs], np.uint64)
+    x = np.asarray([p[1] for p in pairs], np.float64)
+    if dup_op == "raise":
+        if len(np.unique(v)) != len(v):
+            raise ValueError("vector_from_pairs: duplicate indices "
+                             "(pass dup_op to combine)")
+        return pa.table({"v": v, "val": x})
+    k, s = local_combine(MONOID[dup_op], v, x)
+    return pa.table({"v": k, "val": s})

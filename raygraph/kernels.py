@@ -329,8 +329,13 @@ _BROADCAST_MAX = 2_000_000
 
 
 def mxv(edges, vec, semiring: str = "plus_times", *, salt: int = 0,
-        distribute: str = "auto", num_buckets: int = _DEFAULT_BUCKETS):
+        distribute: str = "auto", num_buckets: int = _DEFAULT_BUCKETS,
+        input_mask=None, input_mask_complement: bool = False):
     """w[i] = ⊕_j A[i,j] ⊗ v[j] (reference matrix.py:2163).
+
+    ``input_mask`` structurally pre-filters the VECTOR input before the
+    product (reference core/base.py:335-343): masked-out v[j] contribute
+    nothing, as if absent.
 
     Distribution of the vector side (VERDICT r1 'What's wrong' #1):
     ``broadcast`` — materialize the vector on the driver and ``ray.put``
@@ -344,6 +349,10 @@ def mxv(edges, vec, semiring: str = "plus_times", *, salt: int = 0,
     For the co-partitioned CSR-block path used by iterative algorithms
     see engine.spmv.
     """
+    if input_mask is not None:
+        vec = vector_semijoin(vec, input_mask,
+                              complement=input_mask_complement,
+                              num_buckets=num_buckets)
     return _mxv_impl(edges, vec, semiring, gather_on="dst", reduce_on="src",
                      salt=salt, distribute=distribute, num_buckets=num_buckets)
 
@@ -677,13 +686,47 @@ def merge(old, new, *, mask=None, complement=False, value_mask=False,
 # ------------------------------------------------------- extract / assign ----
 
 
-def extract(vec, index: np.ndarray, *, remap: bool = True, num_buckets: int = _DEFAULT_BUCKETS):
+def vector_semijoin(vec, mask, *, complement: bool = False,
+                    value_mask: bool = False,
+                    num_buckets: int = _DEFAULT_BUCKETS):
+    """Filter ``vec`` by a mask vector's structure (or truthy values) —
+    the ``input_mask`` primitive (reference core/base.py:335-343): an
+    extract-side INPUT filter, applied before the op rather than to its
+    output. One bucketed co-group; neither side broadcasts."""
+    sides = [(vec, 0), (mask, 1)]
+    dt = _common_dtype(sides)
+
+    def join(v, val, side) -> pa.Table:
+        keys, has, vals = _join_sides(v, val, side, 2, dt)
+        allowed = has[1] & (vals[1] != 0) if value_mask else has[1]
+        if complement:
+            allowed = ~allowed
+        keep = has[0] & allowed
+        if not keep.any():
+            return _empty_vv(dt)
+        return pa.table({"v": keys[keep], "val": vals[0][keep]})
+
+    return _cogroup(sides, join, num_buckets, dtype=dt)
+
+
+def extract(vec, index: np.ndarray, *, remap: bool = True,
+            input_mask=None, input_mask_complement: bool = False,
+            input_value_mask: bool = False,
+            num_buckets: int = _DEFAULT_BUCKETS):
     """v[index] — gather with (possibly duplicate) indices = join of the
     index table on v (reference expr.py:288; FastSV ``gp << f[I]``).
 
     With ``remap`` the result is re-indexed 0..len(index)-1 (the
     reference's dimension-collapsing extract); otherwise keys are kept.
+    ``input_mask`` pre-filters v BEFORE the gather (reference
+    core/base.py:335-343 ``v(input_mask=m)[I]``): a masked-out element
+    is absent from the result even when its index is requested.
     """
+    if input_mask is not None:
+        vec = vector_semijoin(vec, input_mask,
+                              complement=input_mask_complement,
+                              value_mask=input_value_mask,
+                              num_buckets=num_buckets)
     idx = np.asarray(index, np.uint64)
     dt = _val_dtype_of(vec)
     # bespoke tagged union: the index side carries its output position in

@@ -68,3 +68,37 @@ def test_networkx_bridge_gated():
     except ImportError:
         with pytest.raises(ImportError):
             io.to_networkx(edges)
+
+
+def test_dense_dicts_pairs_round_trips():
+    """Small-constructor conveniences (reference matrix.py:1398-1577,
+    vector.py:731-1997): dense/dicts/pairs round-trip bit-exactly."""
+    import numpy as np
+    import pytest
+
+    from raygraph import io
+
+    A = np.array([[0.0, 2.5], [7.0, 0.0], [0.0, 1.0]])
+    t = io.matrix_from_dense(A, missing_value=0.0)
+    assert t.num_rows == 3
+    np.testing.assert_array_equal(io.matrix_to_dense(t, nrows=3, ncols=2), A)
+    # no missing_value: every cell explicit
+    assert io.matrix_from_dense(A).num_rows == 6
+    d = {0: {1: 2.5}, 1: {0: 7.0}, 2: {1: 1.0}}
+    t2 = io.matrix_from_dicts(d)
+    assert io.matrix_to_dicts(t2) == d
+    np.testing.assert_array_equal(io.matrix_to_dense(t2, nrows=3, ncols=2), A)
+    # colwise orientation transposes
+    t3 = io.matrix_from_dicts({1: {0: 2.5}}, order="colwise")
+    assert t3["src"].to_pylist() == [0] and t3["dst"].to_pylist() == [1]
+
+    x = np.array([0.0, 3.0, 0.0, 4.0])
+    v = io.vector_from_dense(x, missing_value=0.0)
+    assert v.num_rows == 2
+    np.testing.assert_array_equal(io.vector_to_dense(v, size=4), x)
+    p = io.vector_from_pairs([(3, 1.0), (1, 2.0)])
+    assert p["v"].to_pylist() == [3, 1]
+    with pytest.raises(ValueError, match="duplicate"):
+        io.vector_from_pairs([(1, 1.0), (1, 2.0)])
+    pc = io.vector_from_pairs([(1, 1.0), (1, 2.0)], dup_op="plus")
+    assert pc["val"].to_pylist() == [3.0]

@@ -230,6 +230,33 @@ def test_mxm_min_plus():
         assert r["w"] == want[int(r["src"]), int(r["dst"])]
 
 
+def test_input_mask_truth_table():
+    """input_mask semantics (reference core/base.py:335-343): the INPUT
+    is filtered by the mask's structure (or truthy values) BEFORE the
+    op — a masked-out element is absent even when its index is asked."""
+    vec = _vec([1, 2, 3, 4], [10.0, 20.0, 30.0, 40.0])
+    mask = _vec([2, 3, 5], [1.0, 0.0, 1.0])  # 3 present but falsy
+    idx = np.arange(1, 6, dtype=np.uint64)
+    # structural: presence only — 2 and 3 pass
+    got = _as_dict(K.extract(vec, idx, remap=False, input_mask=mask))
+    assert got == {2: 20.0, 3: 30.0}
+    # value mask: only truthy mask values pass
+    got = _as_dict(K.extract(vec, idx, remap=False, input_mask=mask,
+                             input_value_mask=True))
+    assert got == {2: 20.0}
+    # complement: vec elements NOT in the mask structure
+    got = _as_dict(K.extract(vec, idx, remap=False, input_mask=mask,
+                             input_mask_complement=True))
+    assert got == {1: 10.0, 4: 40.0}
+    # mxv with input_mask == mxv against the pre-filtered vector
+    e = fx.edge_table(fx.A7_ROWS, fx.A7_COLS, fx.A7_VALS)
+    v7 = _vec([1, 3, 4, 6], [1.0, 1.0, 2.0, 0.0])
+    m7 = _vec([1, 4], [1.0, 1.0])
+    got = _as_dict(K.mxv(e, v7, "plus_times", input_mask=m7))
+    want = _as_dict(K.mxv(e, _vec([1, 4], [1.0, 2.0]), "plus_times"))
+    assert got == want
+
+
 def test_extract_submatrix_dense_oracle():
     """A[rows, cols] with duplicate indices on both axes vs the dense
     numpy gather (reference core/matrix.py:2906 remap semantics)."""
