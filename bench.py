@@ -25,6 +25,27 @@ N_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "4000000"))
 PAGES_DIR = f"/tmp/raygraph_bench/pages_{N_PAGES}"
 
 
+def _membw_probe() -> float:
+    """One cheap same-window STREAM-triad sample (GB/s, single process) —
+    stamped next to each heavy stage so the driver's BENCH record is
+    self-interpreting under shared-host drift (VERDICT r2 next #8; the
+    full multi-process curve lives in scripts/membw.py)."""
+    import numpy as np
+
+    n = 8_000_000  # 3 x 64 MB working set
+    a = np.zeros(n)
+    b = np.random.default_rng(1).random(n)
+    c = np.random.default_rng(2).random(n)
+    np.add(b, c, out=a)  # warm-up faults pages
+    t0 = time.perf_counter()
+    iters = 4
+    for _ in range(iters):
+        np.multiply(c, 3.0, out=a)
+        np.add(a, b, out=a)
+    dt = time.perf_counter() - t0
+    return round(iters * 3 * n * 8 / dt / 1e9, 2)
+
+
 def _ensure_pages():
     import ray.data as rd
 
@@ -65,31 +86,57 @@ def run_bench() -> dict:
     ).count()
 
     q: dict[str, float] = {}
+    stages: dict[str, dict] = {}
+    # min-of-N per heavy stage, each sample stamped with a same-window
+    # membw probe (VERDICT r2 next #8). Scaling legs keep 1 repeat (the
+    # scaling runner takes its own min across whole-process repeats).
+    repeats = int(os.environ.get(
+        "GRAFT_BENCH_REPEATS",
+        "1" if os.environ.get("GRAFT_BENCH_HEADLINE") else "2"))
+
+    def staged(name: str, fn):
+        samples, bws, result = [], [], None
+        for _ in range(repeats):
+            if result is not None and hasattr(result, "free_caches"):
+                result.free_caches()  # drop the previous sample's blocks
+            bws.append(_membw_probe())
+            t = time.perf_counter()
+            result = fn()
+            samples.append(round(time.perf_counter() - t, 3))
+        q[name] = min(samples)
+        stages[name] = {"min": min(samples), "samples": samples,
+                        "membw_gbps": bws}
+        return result
 
     # ---- headline: pages -> extract -> graph build -> pagerank
-    t0 = time.perf_counter()
     # num_parts is FIXED (not cpu-derived) so both scaling levels run the
     # identical job with identical partitioning
     P = int(os.environ.get("GRAFT_BENCH_PARTS", "32"))
-    # fixed block count (same job at every parallelism level); without it the
-    # handful of parquet files caps extraction parallelism at ~5 tasks
-    # prune at the read: the extractor needs url/html/lang only — never decode
-    # the ground-truth text column (VERDICT r1 'What's wrong' #6)
-    pages = rd.read_parquet(PAGES_DIR, override_num_blocks=128,
-                            columns=["url", "html", "lang"])
-    extracted, links, verts = edges_from_pages(pages, concurrency=(1, max(4, NUM_CPUS - 2)))
-    links = links.materialize()  # extraction runs ONCE; both graphs build from it
-    verts = verts.materialize()
-    q["extract"] = time.perf_counter() - t0
-    tb = time.perf_counter()
-    g = build_graph(links, vertices_ds=verts, num_parts=P,
-                    dup_op="plus", binarize=True)
-    q["build"] = time.perf_counter() - tb
-    q["extract_build"] = time.perf_counter() - t0
 
-    t1 = time.perf_counter()
-    slices, info = pagerank(g, tol=1e-6, itermax=100, mode="fused", check_every=4)
-    q["pagerank"] = time.perf_counter() - t1
+    def do_extract():
+        # fixed block count (same job at every parallelism level); without it
+        # the handful of parquet files caps extraction parallelism at ~5 tasks
+        # prune at the read: the extractor needs url/html/lang only — never
+        # decode the ground-truth text column (VERDICT r1 'What's wrong' #6)
+        pages = rd.read_parquet(PAGES_DIR, override_num_blocks=128,
+                                columns=["url", "html", "lang"])
+        extracted, links, verts = edges_from_pages(
+            pages, concurrency=(1, max(4, NUM_CPUS - 2)))
+        return extracted, links.materialize(), verts.materialize()
+
+    extracted, links, verts = staged("extract", do_extract)
+
+    def do_build():
+        return build_graph(links, vertices_ds=verts, num_parts=P,
+                           dup_op="plus", binarize=True)
+
+    g = staged("build", do_build)
+    q["extract_build"] = round(q["extract"] + q["build"], 3)
+
+    def do_pagerank():
+        return pagerank(g, tol=1e-6, itermax=100, mode="fused", check_every=4)
+
+    slices, info = staged("pagerank", do_pagerank)
     headline = q["extract_build"] + q["pagerank"]
 
     pr_meta = {
@@ -110,6 +157,8 @@ def run_bench() -> dict:
             "value": round(headline, 3),
             "unit": "sec",
             "queries": q,
+            "stages": stages,
+            "stage_repeats": repeats,
             "sf": SF_DIR,
             "num_cpus": NUM_CPUS,
             **pr_meta,
@@ -124,16 +173,15 @@ def run_bench() -> dict:
     del extracted, links, verts
     g.free_caches()
 
-    t2 = time.perf_counter()
     from raygraph.graph import symmetrize_graph
 
     # derive A+A.T from the directed build's CSR blocks (one positional
     # exchange) instead of re-running the whole build from the link table
-    gs = symmetrize_graph(g, dup_op="first", binarize=True, drop_self=True)
-    q["symmetrize"] = time.perf_counter() - t2
-    t2b = time.perf_counter()  # cc must not double-count symmetrize
-    f, cci = connected_components(gs, mode="fused")
-    q["cc"] = time.perf_counter() - t2b
+    gs = staged("symmetrize",
+                lambda: symmetrize_graph(g, dup_op="first", binarize=True,
+                                         drop_self=True))
+    # cc must not double-count symmetrize
+    f, cci = staged("cc", lambda: connected_components(gs, mode="fused"))
     pr_meta["cc_rounds"] = cci["iters"]
 
     # release the symmetric graph before BFS runs on the directed one
@@ -152,9 +200,7 @@ def run_bench() -> dict:
     pbest = max(range(g.num_parts),
                 key=lambda p: degs[p].max() if len(degs[p]) else -1)
     src_v = int(ids[pbest][int(np.argmax(degs[pbest]))])
-    t3 = time.perf_counter()
-    dist, bfsi = bfs_levels(g, src_v, mode="frontier")
-    q["bfs"] = time.perf_counter() - t3
+    dist, bfsi = staged("bfs", lambda: bfs_levels(g, src_v, mode="frontier"))
     pr_meta["bfs_rounds"] = bfsi["iters"]
     pr_meta["bfs_edges_traversed"] = bfsi["edges_traversed"]
     pr_meta["bfs_dnnz"] = bfsi["iters"] * g.nnz  # what full relaxation would touch
@@ -187,6 +233,8 @@ def run_bench() -> dict:
         "value": round(headline, 3),
         "unit": "sec",
         "queries": q,
+        "stages": stages,
+        "stage_repeats": repeats,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         **pr_meta,
