@@ -568,9 +568,25 @@ def _emit_block_pos(part, ids, sp, dp, dpos, w, dup_op, binarize, drop_self) -> 
         keep = ~((dp == part) & (dpos == sp))
         sp, dp, dpos, w = sp[keep], dp[keep], dpos[keep], w[keep]
     if len(sp):
-        order = np.lexsort((dpos, dp, sp))
-        sp, dp, dpos, w = sp[order], dp[order], dpos[order], w[order]
-        new = np.r_[True, (sp[1:] != sp[:-1]) | (dp[1:] != dp[:-1]) | (dpos[1:] != dpos[:-1])]
+        # pack (sp, dp, dpos) into one uint64 key when the bounds allow
+        # (positions < 2^24, partitions < 2^12 — true for any partition of
+        # < 16M vertices): a single stable integer argsort is a radix sort,
+        # ~2-3x cheaper than the 3-pass lexsort on this bandwidth-bound
+        # stage (stability preserves dup_op='first' semantics)
+        if (int(sp.max()) < (1 << 24) and int(dpos.max()) < (1 << 24)
+                and int(dp.max()) < (1 << 12)):
+            key = ((sp.astype(np.uint64) << np.uint64(36))
+                   | (dp.astype(np.uint64) << np.uint64(24))
+                   | dpos.astype(np.uint64))
+            order = np.argsort(key, kind="stable")
+            sp, dp, dpos, w = sp[order], dp[order], dpos[order], w[order]
+            key = key[order]
+            new = np.r_[True, key[1:] != key[:-1]]
+        else:
+            order = np.lexsort((dpos, dp, sp))
+            sp, dp, dpos, w = sp[order], dp[order], dpos[order], w[order]
+            new = np.r_[True, (sp[1:] != sp[:-1]) | (dp[1:] != dp[:-1])
+                        | (dpos[1:] != dpos[:-1])]
         starts = np.flatnonzero(new)
         if len(starts) != len(sp):
             if dup_op == "raise":
