@@ -138,9 +138,10 @@ def run_bench() -> dict:
 
     # the first run pays routing-cache build + block-locality warm-up
     # (measured 44s -> 29s -> 10s on identical input); one extra sample so
-    # min-of-N reflects the steady state an iterating production job sees
-    slices, info = staged("pagerank", do_pagerank,
-                          n=repeats + 1 if repeats > 1 else repeats)
+    # min-of-N reflects the steady state an iterating production job sees.
+    # This applies to the scaling legs too: the warm-up is a near-fixed
+    # cost, so a single-sample leg deflates eff(N->4N) artificially.
+    slices, info = staged("pagerank", do_pagerank, n=repeats + 1)
     headline = q["extract_build"] + q["pagerank"]
 
     pr_meta = {
