@@ -330,7 +330,8 @@ _BROADCAST_MAX = 2_000_000
 
 def mxv(edges, vec, semiring: str = "plus_times", *, salt: int = 0,
         distribute: str = "auto", num_buckets: int = _DEFAULT_BUCKETS,
-        input_mask=None, input_mask_complement: bool = False):
+        input_mask=None, input_mask_complement: bool = False,
+        mask=None, mask_complement: bool = False):
     """w[i] = ⊕_j A[i,j] ⊗ v[j] (reference matrix.py:2163).
 
     ``input_mask`` structurally pre-filters the VECTOR input before the
@@ -354,17 +355,21 @@ def mxv(edges, vec, semiring: str = "plus_times", *, salt: int = 0,
                               complement=input_mask_complement,
                               num_buckets=num_buckets)
     return _mxv_impl(edges, vec, semiring, gather_on="dst", reduce_on="src",
-                     salt=salt, distribute=distribute, num_buckets=num_buckets)
+                     salt=salt, distribute=distribute, num_buckets=num_buckets,
+                     mask=mask, mask_complement=mask_complement)
 
 
 def vxm(vec, edges, semiring: str = "plus_times", *, salt: int = 0,
-        distribute: str = "auto", num_buckets: int = _DEFAULT_BUCKETS):
+        distribute: str = "auto", num_buckets: int = _DEFAULT_BUCKETS,
+        mask=None, mask_complement: bool = False):
     """w[j] = ⊕_i v[i] ⊗ A[i,j] (reference vector.py:1259)."""
     return _mxv_impl(edges, vec, semiring, gather_on="src", reduce_on="dst",
-                     salt=salt, distribute=distribute, num_buckets=num_buckets)
+                     salt=salt, distribute=distribute, num_buckets=num_buckets,
+                     mask=mask, mask_complement=mask_complement)
 
 
-def _mxv_cogroup(edges, vec, sr, *, gather_on, reduce_on, salt, num_buckets):
+def _mxv_cogroup(edges, vec, sr, *, gather_on, reduce_on, salt, num_buckets,
+                 mask=None, mask_complement=False):
     """Shuffle-join form of mxv: no driver materialization of either side.
 
     Tag edges with bucket = mix64(gather key) % B and the vector with
@@ -418,11 +423,18 @@ def _mxv_cogroup(edges, vec, sr, *, gather_on, reduce_on, salt, num_buckets):
         return pa.table({"v": kk, "val": cv})
 
     contrib = u.groupby("bucket").map_groups(join, batch_format="pyarrow")
+    if mask is not None:
+        # output-mask PUSHDOWN (reference w(mask) << A.mxv(v)): dropped
+        # BEFORE the final grouped reduce, so masked-out keys never ride
+        # the aggregate shuffle and unmasked w is never materialized
+        contrib = vector_semijoin(contrib, mask, complement=mask_complement,
+                                  num_buckets=num_buckets)
     return salted_aggregate(contrib, "v", "val", monoid.name, salt=salt, alias="val")
 
 
 def _mxv_impl(edges, vec, semiring, *, gather_on, reduce_on, salt,
-              distribute="auto", num_buckets=_DEFAULT_BUCKETS):
+              distribute="auto", num_buckets=_DEFAULT_BUCKETS,
+              mask=None, mask_complement=False):
     import ray
 
     sr = SEMIRING[semiring]
@@ -432,7 +444,8 @@ def _mxv_impl(edges, vec, semiring, *, gather_on, reduce_on, salt,
     if distribute == "cogroup":
         return _mxv_cogroup(edges, vec, sr, gather_on=gather_on,
                             reduce_on=reduce_on, salt=salt,
-                            num_buckets=num_buckets)
+                            num_buckets=num_buckets, mask=mask,
+                            mask_complement=mask_complement)
     vt = to_table(vec)
     vs = np.asarray(vt["v"].to_numpy(zero_copy_only=False), np.uint64)
     vv = np.asarray(vt["val"].to_numpy(zero_copy_only=False))
@@ -459,6 +472,9 @@ def _mxv_impl(edges, vec, semiring, *, gather_on, reduce_on, salt,
         return pa.table({"v": k, "val": v})
 
     contrib = _ds(edges).map_batches(scatter, batch_format="pyarrow")
+    if mask is not None:
+        contrib = vector_semijoin(contrib, mask, complement=mask_complement,
+                                  num_buckets=num_buckets)
     return salted_aggregate(contrib, "v", "val", monoid.name, salt=salt, alias="val")
 
 
@@ -692,21 +708,57 @@ def vector_semijoin(vec, mask, *, complement: bool = False,
     """Filter ``vec`` by a mask vector's structure (or truthy values) —
     the ``input_mask`` primitive (reference core/base.py:335-343): an
     extract-side INPUT filter, applied before the op rather than to its
-    output. One bucketed co-group; neither side broadcasts."""
-    sides = [(vec, 0), (mask, 1)]
-    dt = _common_dtype(sides)
+    output. One bucketed co-group; neither side broadcasts.
 
-    def join(v, val, side) -> pa.Table:
-        keys, has, vals = _join_sides(v, val, side, 2, dt)
-        allowed = has[1] & (vals[1] != 0) if value_mask else has[1]
-        if complement:
-            allowed = ~allowed
-        keep = has[0] & allowed
+    The result keeps VEC's value dtype exactly (a float mask can never
+    coerce an int64 data column — the >2^53 corruption rule), and the
+    data side may carry DUPLICATE keys: this is a pure membership
+    filter, so it is also safe on pre-aggregation partial streams
+    (the mxv output-mask pushdown relies on that)."""
+    dt = _val_dtype_of(vec)
+
+    def tag(ds, side: int, zero_val: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            v = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.uint64)
+            if zero_val:
+                a = np.asarray(t["val"].to_numpy(zero_copy_only=False))
+                val = (a != 0).astype(dt) if value_mask else np.ones(len(a), dt)
+            else:
+                val = np.asarray(t["val"].to_numpy(zero_copy_only=False)).astype(dt)
+            return pa.table({
+                "bucket": (mix64(v) % np.uint64(num_buckets)).astype(np.int32),
+                "v": v, "val": val,
+                "side": np.full(len(v), side, np.int8),
+            })
+
+        return _ds(ds).map_batches(fn, batch_format="pyarrow")
+
+    u = tag(vec, 0, False).union(tag(mask, 1, True))
+
+    def join(g: pa.Table) -> pa.Table:
+        v = np.asarray(g["v"].to_numpy(zero_copy_only=False), np.uint64)
+        val = np.asarray(g["val"].to_numpy(zero_copy_only=False))
+        side = np.asarray(g["side"].to_numpy(zero_copy_only=False), np.int8)
+        ism = side == 1
+        # allowed mask keys (truthy-valued when value_mask)
+        mk = v[ism]
+        if value_mask:
+            mk = mk[val[ism] != 0]
+        mk = np.unique(mk)
+        dv, dval = v[~ism], val[~ism]
+        if len(dv) == 0:
+            return _empty_vv(dt)
+        if len(mk) == 0:
+            member = np.zeros(len(dv), bool)
+        else:
+            at = np.searchsorted(mk, dv)
+            member = (at < len(mk)) & (mk[np.minimum(at, len(mk) - 1)] == dv)
+        keep = ~member if complement else member
         if not keep.any():
             return _empty_vv(dt)
-        return pa.table({"v": keys[keep], "val": vals[0][keep]})
+        return pa.table({"v": dv[keep], "val": dval[keep]})
 
-    return _cogroup(sides, join, num_buckets, dtype=dt)
+    return u.groupby("bucket").map_groups(join, batch_format="pyarrow")
 
 
 def extract(vec, index: np.ndarray, *, remap: bool = True,

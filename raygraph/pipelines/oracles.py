@@ -113,6 +113,12 @@ FROM e JOIN sv ON sv.v = e.dst GROUP BY 1 ORDER BY v""",
     "vxm_min_plus": f"""WITH {_E}, {_SUPP}
 SELECT e.dst AS v, round(min(e.w + sv.val), 6) AS val
 FROM e JOIN sv ON sv.v = e.src GROUP BY 1 ORDER BY v""",
+    "mxv_masked": f"""WITH {_E}, {_SUPP}, {_CUST}
+SELECT s.v, round(s.val, 6) AS val FROM (
+  SELECT e.src AS v, sum(e.w * sv.val) AS val
+  FROM e JOIN sv ON sv.v = e.dst GROUP BY 1
+) s JOIN (SELECT DISTINCT v FROM cv WHERE v <= 140) m ON m.v = s.v
+ORDER BY s.v""",
     "ewise_add_plus": f"""WITH {_CUST}, {_SUPP}
 SELECT COALESCE(cv.v, sv.v) AS v,
        round(COALESCE(cv.val, 0) + COALESCE(sv.val, 0), 6) AS val

@@ -133,6 +133,16 @@ def q_mxv_plus_times(sf_dir):
     return _vv_out(K.mxv(_edges_dedup(sf_dir), _supplier_vec(sf_dir), "plus_times"))
 
 
+def q_mxv_masked(sf_dir):
+    """w(mask) << A.mxv(v) — the output mask pushed below the final
+    grouped reduce (masked keys never ride the aggregate shuffle);
+    mask = the customer vector's structure."""
+    mask = K.select_index(_customer_vec(sf_dir), "<=", 140)
+    out = K.mxv(_edges_dedup(sf_dir), _supplier_vec(sf_dir), "plus_times",
+                mask=mask)
+    return _vv_out(out)
+
+
 def q_vxm_min_plus(sf_dir):
     return _vv_out(K.vxm(_supplier_vec(sf_dir), _edges_dedup(sf_dir), "min_plus"))
 
@@ -597,6 +607,7 @@ QUERIES = {
     "coo_build_dup_plus": q_coo_build,
     "degrees_out": q_degrees_out,
     "mxv_plus_times": q_mxv_plus_times,
+    "mxv_masked": q_mxv_masked,
     "vxm_min_plus": q_vxm_min_plus,
     "ewise_add_plus": q_ewise_add_plus,
     "ewise_mult_times": q_ewise_mult_times,

@@ -257,6 +257,25 @@ def test_input_mask_truth_table():
     assert got == want
 
 
+def test_mxv_output_mask_pushdown():
+    """w(mask) << A.mxv(v): equals the unmasked product filtered by the
+    mask's structure; complement partitions it."""
+    e = EDGES7
+    v7 = _vec([1, 3, 4, 6], [1.0, 1.0, 2.0, 0.0])
+    m7 = _vec([0, 1, 6], [1.0, 1.0, 1.0])
+    full = _as_dict(K.mxv(e, v7, "plus_times"))
+    got_m = _as_dict(K.mxv(e, v7, "plus_times", mask=m7))
+    got_c = _as_dict(K.mxv(e, v7, "plus_times", mask=m7, mask_complement=True))
+    mk = {0, 1, 6}
+    assert got_m == {k: x for k, x in full.items() if k in mk}
+    assert got_c == {k: x for k, x in full.items() if k not in mk}
+    # co-group (Dataset) path takes the same pushdown
+    got_ds = _as_dict(K.mxv(rd.from_arrow(e), rd.from_arrow(v7),
+                            "plus_times", mask=rd.from_arrow(m7),
+                            distribute="cogroup"))
+    assert got_ds == got_m
+
+
 def test_extract_submatrix_dense_oracle():
     """A[rows, cols] with duplicate indices on both axes vs the dense
     numpy gather (reference core/matrix.py:2906 remap semantics)."""
