@@ -150,6 +150,69 @@ def reduce_columnwise(edges, monoid_name: str = "plus", *, salt: int = 0):
     )
 
 
+def reduce_rowwise_agg(edges, names: list[str],
+                       num_buckets: int = _DEFAULT_BUCKETS):
+    """Per-row COMPOSITE aggregators — ``A.reduce_rowwise(agg.argmax)``
+    etc. (reference core/operator/agg.py applied along an axis,
+    matrix.py:2553 with an Aggregator op). Supported names: count, mean,
+    min, max, argmin, argmax (args tie-break to the smallest dst —
+    deterministic, same rule as vector_agg).
+
+    Shape: sort_rowwise's layout — ONE mix64(src)-bucketed shuffle, then
+    vectorized lexsorts + reduceat per bucket; no per-row Python groups.
+    Returns one row per src with a column per aggregate.
+    """
+    allowed = {"count", "mean", "min", "max", "argmin", "argmax"}
+    bad = set(names) - allowed
+    if bad:
+        raise KeyError(f"reduce_rowwise_agg: unsupported {sorted(bad)}")
+
+    def tag(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        return pa.table({
+            "bucket": (mix64(s) % np.uint64(num_buckets)).astype(np.int32),
+            "src": s,
+            "dst": np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64),
+            "w": np.asarray(t["w"].to_numpy(zero_copy_only=False), np.float64),
+        })
+
+    def stats(g: pa.Table) -> pa.Table:
+        s = np.asarray(g["src"].to_numpy(zero_copy_only=False), np.uint64)
+        d = np.asarray(g["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        w = np.asarray(g["w"].to_numpy(zero_copy_only=False), np.float64)
+        cols: dict = {"v": pa.array([], pa.uint64())}
+        if len(s) == 0:
+            for n in names:
+                cols[n] = pa.array([], pa.int64() if n in
+                                   ("count", "argmin", "argmax") else pa.float64())
+            return pa.table(cols)
+        order = np.lexsort((d, w, s))   # group-first row = argmin (dst ties)
+        ss, dd, ww = s[order], d[order], w[order]
+        new = np.r_[True, ss[1:] != ss[:-1]]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.r_[starts, len(ss)])
+        out: dict = {"v": ss[starts]}
+        if "count" in names:
+            out["count"] = counts.astype(np.int64)
+        if "mean" in names:
+            out["mean"] = np.add.reduceat(ww, starts) / counts
+        if "min" in names:
+            out["min"] = ww[starts]                     # sorted ascending
+        if "max" in names:
+            out["max"] = np.maximum.reduceat(ww, starts)
+        if "argmin" in names:
+            out["argmin"] = dd[starts].astype(np.int64)
+        if "argmax" in names:
+            omax = np.lexsort((d, -w, s))
+            sm, dm = s[omax], d[omax]
+            mstarts = np.flatnonzero(np.r_[True, sm[1:] != sm[:-1]])
+            out["argmax"] = dm[mstarts].astype(np.int64)
+        return pa.table({k: out[k] for k in ["v"] + names})
+
+    return (_ds(edges).map_batches(tag, batch_format="pyarrow")
+            .groupby("bucket").map_groups(stats, batch_format="pyarrow"))
+
+
 def reduce_scalar(x, monoid_name: str = "plus", col: str | None = None):
     """Global reduction -> Python scalar (reference matrix.py:2627, vector.py:1561).
 

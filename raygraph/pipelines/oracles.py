@@ -113,6 +113,16 @@ FROM e JOIN sv ON sv.v = e.dst GROUP BY 1 ORDER BY v""",
     "vxm_min_plus": f"""WITH {_E}, {_SUPP}
 SELECT e.dst AS v, round(min(e.w + sv.val), 6) AS val
 FROM e JOIN sv ON sv.v = e.src GROUP BY 1 ORDER BY v""",
+    "rowwise_agg": f"""WITH {_E},
+r AS (
+  SELECT src, dst, w,
+         row_number() OVER (PARTITION BY src ORDER BY w ASC, dst ASC) AS rn,
+         row_number() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) AS rx
+  FROM e)
+SELECT src AS v, count(*) AS count, round(sum(w) / count(*), 6) AS mean,
+       max(CASE WHEN rn = 1 THEN dst END) AS argmin,
+       max(CASE WHEN rx = 1 THEN dst END) AS argmax
+FROM r GROUP BY 1 ORDER BY v""",
     "mxv_masked": f"""WITH {_E}, {_SUPP}, {_CUST}
 SELECT s.v, round(s.val, 6) AS val FROM (
   SELECT e.src AS v, sum(e.w * sv.val) AS val

@@ -143,6 +143,17 @@ def q_mxv_masked(sf_dir):
     return _vv_out(out)
 
 
+def q_rowwise_agg(sf_dir):
+    """Per-row composite aggregators (reference agg applied rowwise):
+    count / mean / argmin / argmax per src, args tie-broken to the
+    smallest dst."""
+    out = K.reduce_rowwise_agg(_edges_dedup(sf_dir),
+                               ["count", "mean", "argmin", "argmax"])
+    t = K.to_table(out, sort_by=None)
+    t = _round_col(_int64_col(t, "v"), "mean", 6)
+    return t.sort_by([("v", "ascending")])
+
+
 def q_vxm_min_plus(sf_dir):
     return _vv_out(K.vxm(_supplier_vec(sf_dir), _edges_dedup(sf_dir), "min_plus"))
 
@@ -608,6 +619,7 @@ QUERIES = {
     "degrees_out": q_degrees_out,
     "mxv_plus_times": q_mxv_plus_times,
     "mxv_masked": q_mxv_masked,
+    "rowwise_agg": q_rowwise_agg,
     "vxm_min_plus": q_vxm_min_plus,
     "ewise_add_plus": q_ewise_add_plus,
     "ewise_mult_times": q_ewise_mult_times,

@@ -257,6 +257,29 @@ def test_input_mask_truth_table():
     assert got == want
 
 
+def test_reduce_rowwise_agg_dense_oracle():
+    """Per-row composite aggregators vs the dense numpy answer; args
+    tie-break to the smallest dst."""
+    A = fx.a7_dense()
+    got = K.to_table(K.reduce_rowwise_agg(
+        EDGES7, ["count", "mean", "min", "max", "argmin", "argmax"]),
+        sort_by=None).to_pandas().set_index("v").sort_index()
+    for i in range(7):
+        row = A[i]
+        nz = np.flatnonzero(row)
+        if len(nz) == 0:
+            assert i not in got.index
+            continue
+        r = got.loc[i]
+        assert int(r["count"]) == len(nz)
+        np.testing.assert_allclose(r["mean"], row[nz].mean(), rtol=1e-12)
+        assert r["min"] == row[nz].min() and r["max"] == row[nz].max()
+        assert int(r["argmin"]) == int(nz[np.argmin(row[nz])])
+        assert int(r["argmax"]) == int(nz[np.argmax(row[nz])])
+    with pytest.raises(KeyError):
+        K.reduce_rowwise_agg(EDGES7, ["median"])
+
+
 def test_mxv_output_mask_pushdown():
     """w(mask) << A.mxv(v): equals the unmasked product filtered by the
     mask's structure; complement partitions it."""
