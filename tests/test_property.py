@@ -247,3 +247,87 @@ def test_uint64_shift_predicates_match_bigint(s, d, k):
     assert (_le_shift(da, sa, k) == want_le).all()
     assert (_ge_shift(da, sa, k) == want_ge).all()
     assert (_eq_shift(da, sa, k) == want_eq).all()
+
+
+def _mat_dict(tbl: pa.Table) -> dict:
+    """(src,dst,w) table -> dict; an all-empty Dataset can surface as a
+    zero-column table (Ray empty-block quirk) — treat as empty."""
+    if tbl.num_rows == 0 or "src" not in tbl.column_names:
+        return {}
+    return {(int(r), int(c)): w for r, c, w in
+            zip(tbl["src"].to_pylist(), tbl["dst"].to_pylist(),
+                tbl["w"].to_pylist())}
+
+
+@given(a=sparse_mat(), b=sparse_mat(), m=sparse_mat(), comp=st.booleans())
+@_SETTINGS
+def test_mxm_masked_matches_dict_oracle(a, b, m, comp):
+    """C(mask) << A.mxm(B) over random sparse matrices: equals the dict
+    product filtered by mask structure (complement = the rest)."""
+    got = K.to_table(
+        K.mxm(_mat_tbl(a), _mat_tbl(b), "plus_times", mask=_mat_tbl(m),
+              complement=comp),
+        sort_by=None,
+    )
+    want: dict = {}
+    for (i, k1), wa in a.items():
+        for (k2, j), wb in b.items():
+            if k1 == k2:
+                want[(i, j)] = want.get((i, j), 0.0) + wa * wb
+    keys = set(m) if not comp else set(want) - set(m)
+    want = {k: v for k, v in want.items() if k in keys}
+    assert _mat_dict(got) == want
+
+
+@given(a=sparse_mat(), data=st.data())
+@_SETTINGS
+def test_extract_submatrix_matches_dict_oracle(a, data):
+    """A[rows, cols] with random (possibly duplicate) indices."""
+    rows = data.draw(st.lists(st.integers(0, 7), min_size=1, max_size=5))
+    cols = data.draw(st.lists(st.integers(0, 7), min_size=1, max_size=5))
+    got = K.to_table(
+        K.extract_submatrix(_mat_tbl(a), np.array(rows, np.uint64),
+                            np.array(cols, np.uint64)),
+        sort_by=None,
+    )
+    want = {}
+    for p, i in enumerate(rows):
+        for q, j in enumerate(cols):
+            if (i, j) in a:
+                want[(p, q)] = float(a[(i, j)])
+    assert _mat_dict(got) == want
+
+
+@given(c=sparse_mat(), a_cells=st.data())
+@_SETTINGS
+def test_assign_submatrix_matches_dict_oracle(c, a_cells):
+    """C[rows, cols] << A (no accum: region replaced) and with
+    accum=plus (union + combine) vs dict oracles."""
+    rows = [1, 3, 5]
+    cols = [0, 2, 6]
+    sub = a_cells.draw(
+        st.dictionaries(
+            st.tuples(st.integers(0, 2), st.integers(0, 2)),
+            st.integers(1, 9), max_size=5))
+    at = pa.table({
+        "src": np.array([k[0] for k in sub], np.uint64),
+        "dst": np.array([k[1] for k in sub], np.uint64),
+        "w": np.array([float(v) for v in sub.values()], np.float64),
+    })
+    region = {(i, j) for i in rows for j in cols}
+    mapped = {(rows[p], cols[q]): float(v) for (p, q), v in sub.items()}
+    # no accum: region replaced by mapped pattern
+    want = {k: float(v) for k, v in c.items() if k not in region}
+    want.update(mapped)
+    got = K.to_table(K.assign_submatrix(
+        _mat_tbl(c), np.array(rows, np.uint64), np.array(cols, np.uint64), at),
+        sort_by=None)
+    assert _mat_dict(got) == want
+    # accum=plus: union pattern, combine where both
+    want2 = {k: float(v) for k, v in c.items()}
+    for k, v in mapped.items():
+        want2[k] = want2.get(k, 0.0) + v
+    got2 = K.to_table(K.assign_submatrix(
+        _mat_tbl(c), np.array(rows, np.uint64), np.array(cols, np.uint64), at,
+        accum="plus"), sort_by=None)
+    assert _mat_dict(got2) == want2
