@@ -224,7 +224,8 @@ def run_bench() -> dict:
     for name in ("coo_build_dup_plus", "pagerank_k8", "cc_labels",
                  "doc_exact_dedup", "minhash_pairs", "knn_topk", "knn_ivf",
                  "doc_sample_per_lang", "doc_len_quantiles",
-                 "events_tumbling", "events_asof_prev", "agg_stats"):
+                 "events_tumbling", "events_asof_prev", "agg_stats",
+                 "mxm_masked", "repeated_ngrams", "extract_submatrix"):
         t = time.perf_counter()
         out = QUERIES[name](SF_DIR)
         if hasattr(out, "materialize"):
