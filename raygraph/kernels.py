@@ -275,6 +275,35 @@ _CMP = {">": np.greater, ">=": np.greater_equal, "<": np.less, "<=": np.less_equ
         "==": np.equal, "!=": np.not_equal}
 
 
+def apply_positional(x, which: str, *, thunk: int = 0):
+    """Positional APPLY — ``A.apply(indexunary.rowindex, thunk)`` family
+    (reference core/operator/indexunary.py rowindex/columnindex/index):
+    the VALUE becomes the (shifted) row/column/element index. Pure
+    per-batch map; int64 output."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        if which in ("rowindex", "columnindex"):
+            col = "src" if which == "rowindex" else "dst"
+            idx = np.asarray(t[col].to_numpy(zero_copy_only=False), np.int64)
+            return pa.table({"src": t["src"], "dst": t["dst"],
+                             "w": idx + np.int64(thunk)})
+        if which == "index":
+            idx = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.int64)
+            return pa.table({"v": t["v"], "val": idx + np.int64(thunk)})
+        raise KeyError(which)
+
+    return _ds(x).map_batches(fn, batch_format="pyarrow")
+
+
+def reduce_columnwise_agg(edges, names: list[str],
+                          num_buckets: int = _DEFAULT_BUCKETS):
+    """Column-axis twin of reduce_rowwise_agg (reference
+    matrix.py:2590 with an Aggregator op) — one transpose map + the same
+    bucketed layout."""
+    return reduce_rowwise_agg(transpose(edges), names,
+                              num_buckets=num_buckets)
+
+
 def select_value(x, cmp: str, thunk, *, col: str = "val"):
     """Keep elements whose value passes the predicate — reference
     ``A.select(">=", 5)`` string shorthand (matrix.py:2452)."""
@@ -1596,21 +1625,8 @@ def reposition(vec, offset: int):
     return _ds(vec).map_batches(fn, batch_format="pyarrow")
 
 
-def apply_positional(x, which: str = "index", *, col: str = "val"):
-    """Index-aware apply: positioni / rowindex analogs — the output value is
-    (a function of) the key itself (reference indexunary rowindex/colindex,
-    core/operator/indexunary.py:102-110)."""
-
-    def fn(t: pa.Table) -> pa.Table:
-        if "v" in t.column_names:
-            k = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.uint64)
-            return pa.table({"v": k, col: k.astype(np.float64)})
-        s = np.asarray(t["src" if which != "colindex" else "dst"]
-                       .to_numpy(zero_copy_only=False), np.uint64)
-        out = pa.table({"src": t["src"], "dst": t["dst"], "w": s.astype(np.float64)})
-        return out
-
-    return _ds(x).map_batches(fn, batch_format="pyarrow")
+# (apply_positional lives in the apply/select section above — one
+# definition covering rowindex/columnindex/index with thunk shift)
 
 
 # ----------------------------------------------------- matrix ewise ops ----

@@ -113,6 +113,16 @@ FROM e JOIN sv ON sv.v = e.dst GROUP BY 1 ORDER BY v""",
     "vxm_min_plus": f"""WITH {_E}, {_SUPP}
 SELECT e.dst AS v, round(min(e.w + sv.val), 6) AS val
 FROM e JOIN sv ON sv.v = e.src GROUP BY 1 ORDER BY v""",
+    "apply_rowindex": f"""WITH {_E},
+p AS (SELECT src, dst, CAST(src + 1 AS DOUBLE) AS w FROM e),
+r AS (
+  SELECT dst, w,
+         row_number() OVER (PARTITION BY dst ORDER BY w ASC, src ASC) AS rn,
+         src
+  FROM p)
+SELECT dst AS v, count(*) AS count, min(w) AS min,
+       max(CASE WHEN rn = 1 THEN src END) AS argmin
+FROM r GROUP BY 1 ORDER BY v""",
     "rowwise_agg": f"""WITH {_E},
 r AS (
   SELECT src, dst, w,

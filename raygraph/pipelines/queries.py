@@ -154,6 +154,20 @@ def q_rowwise_agg(sf_dir):
     return t.sort_by([("v", "ascending")])
 
 
+def q_apply_rowindex(sf_dir):
+    """Positional apply (reference indexunary rowindex + thunk): value
+    becomes src index + 1; columnwise composite aggregators then reduce
+    it per dst (count + argmin over the new values)."""
+    pos = K.apply_positional(_edges_dedup(sf_dir), "rowindex", thunk=1)
+    out = K.reduce_columnwise_agg(pos, ["count", "min", "argmin"])
+    t = K.to_table(out, sort_by=None)
+    t = _int64_col(_int64_col(t, "v"), "argmin")
+    i = t.schema.get_field_index("min")
+    t = t.set_column(i, "min", pa.array(
+        np.asarray(t["min"].to_numpy(zero_copy_only=False), np.float64)))
+    return t.sort_by([("v", "ascending")])
+
+
 def q_vxm_min_plus(sf_dir):
     return _vv_out(K.vxm(_supplier_vec(sf_dir), _edges_dedup(sf_dir), "min_plus"))
 
@@ -620,6 +634,7 @@ QUERIES = {
     "mxv_plus_times": q_mxv_plus_times,
     "mxv_masked": q_mxv_masked,
     "rowwise_agg": q_rowwise_agg,
+    "apply_rowindex": q_apply_rowindex,
     "vxm_min_plus": q_vxm_min_plus,
     "ewise_add_plus": q_ewise_add_plus,
     "ewise_mult_times": q_ewise_mult_times,

@@ -388,7 +388,13 @@ def test_diag_round_trip_and_inner_outer():
 def test_reposition_and_positional():
     v = _vec([1, 3], [2.0, 5.0])
     assert _as_dict(K.reposition(v, 10)) == {11: 2.0, 13: 5.0}
-    assert _as_dict(K.apply_positional(v)) == {1: 1.0, 3: 3.0}
+    # positional apply: value = (shifted) index, int64 like the reference
+    assert _as_dict(K.apply_positional(v, "index")) == {1: 1, 3: 3}
+    assert _as_dict(K.apply_positional(v, "index", thunk=5)) == {1: 6, 3: 8}
+    e = fx.edge_table(np.array([2, 4], np.uint64), np.array([7, 9], np.uint64),
+                      np.array([1.0, 1.0]))
+    got = K.to_table(K.apply_positional(e, "columnindex"), sort_by=None)
+    assert got["w"].to_pylist() == [7, 9]
 
 
 def test_merge_replace_no_mask_clears_old():
