@@ -87,15 +87,9 @@ def save_graph(graph, ckpt_dir: str) -> None:
             old = json.load(f)
         if old.get("fingerprint") == graph_fingerprint(graph):
             return
-        # same ckpt_dir, different graph content: rewrite the graph dir AND
-        # drop stale iter=K dirs (they carry the OLD fingerprint; read_iter
-        # would refuse them, leaving resume=True hard-failed until a human
-        # deleted them by hand — remove them here so the next run restarts
-        # cleanly from iteration 0 instead)
-        import re as _re
-        for name in os.listdir(ckpt_dir):
-            if _re.fullmatch(r"iter=\d+", name):
-                shutil.rmtree(os.path.join(ckpt_dir, name), ignore_errors=True)
+        drop_stale_iters = True
+    else:
+        drop_stale_iters = False
     tmp = gdir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     graph.blocks.write_parquet(tmp)
@@ -112,6 +106,18 @@ def save_graph(graph, ckpt_dir: str) -> None:
         )
     shutil.rmtree(gdir, ignore_errors=True)
     os.rename(tmp, gdir)
+    if drop_stale_iters:
+        # same ckpt_dir, different graph content: the iter=K dirs carry the
+        # OLD fingerprint; read_iter would refuse them, leaving resume=True
+        # hard-failed until a human deleted them by hand — remove them so the
+        # next run restarts cleanly from iteration 0. Deliberately done ONLY
+        # after the new graph dir is durably committed (tmp write + rename
+        # above): a crash mid-write leaves the old graph AND its resumable
+        # iteration state fully intact.
+        import re as _re
+        for name in os.listdir(ckpt_dir):
+            if _re.fullmatch(r"iter=\d+", name):
+                shutil.rmtree(os.path.join(ckpt_dir, name), ignore_errors=True)
 
 
 def load_graph(ckpt_dir: str):

@@ -160,7 +160,14 @@ def matrix_from_dense(a: np.ndarray, *, missing_value=None) -> pa.Table:
         r, c = r.ravel(), c.ravel()
         w = a.ravel()
     else:
-        r, c = np.nonzero(a != missing_value)
+        # NaN != NaN elementwise, so `a != missing_value` would keep every
+        # cell including the NaNs — match the reference's from_dense, which
+        # treats a NaN missing_value as "skip the NaNs"
+        if isinstance(missing_value, float) and np.isnan(missing_value):
+            keep = ~np.isnan(a)
+        else:
+            keep = a != missing_value
+        r, c = np.nonzero(keep)
         w = a[r, c]
     return pa.table({"src": r.astype(np.uint64), "dst": c.astype(np.uint64),
                      "w": w.astype(np.float64)})
@@ -214,8 +221,12 @@ def vector_from_dense(x: np.ndarray, *, missing_value=None) -> pa.Table:
     x = np.asarray(x)
     if x.ndim != 1:
         raise ValueError("vector_from_dense: need a 1-D array")
-    idx = (np.arange(len(x)) if missing_value is None
-           else np.nonzero(x != missing_value)[0])
+    if missing_value is None:
+        idx = np.arange(len(x))
+    elif isinstance(missing_value, float) and np.isnan(missing_value):
+        idx = np.nonzero(~np.isnan(x))[0]  # NaN != NaN keeps everything
+    else:
+        idx = np.nonzero(x != missing_value)[0]
     return pa.table({"v": idx.astype(np.uint64),
                      "val": x[idx].astype(np.float64)})
 

@@ -72,65 +72,50 @@ def to_table(x, sort_by: str | None = "v") -> pa.Table:
 def salted_aggregate(ds, key: str, val: str, monoid_name: str, *, salt: int = 0, alias: str | None = None):
     """groupby(key).reduce(monoid) with optional hot-key salting.
 
-    With ``salt > 0`` the reduce runs in two stages: first on
-    ``(key, hash % salt)`` sub-keys, then on ``key`` — so a single hub key
-    never lands on one reducer (SURVEY.md §4 'Skew'). Monoid must be
+    Shape: per-block partial combine (segmented ufunc.reduceat, cheap and
+    associative), then ONE shuffle keyed by ``mix64(key) % B`` int32
+    buckets with a vectorized segmented final combine per bucket. Never
+    Ray's native ``groupby(key)``: a full-range uint64 key (splitmix64
+    vertex ids ≥ 2^63) round-trips through Python there and comes back as
+    a pickled-object extension column — unsortable, un-Arrow (found by
+    the r4 /verify drive on harvested link ids). Key and value dtypes
+    are preserved exactly. ``salt`` is moot on this path and accepted
+    for compatibility: the per-block partial combine already bounds a
+    hub key's final-reduce rows to one per input block, which is at
+    least as tight as hash%salt sub-keying. Monoid must be
     associative+commutative (all registered ones are).
     """
-    from ray.data.aggregate import Max, Min, Sum
-
     alias = alias or val
-    aggs = {"plus": Sum, "min": Min, "max": Max, "any": Max, "lor": Max, "land": Min}
     ds = _ds(ds)
-    if monoid_name not in aggs:
-        # fallback for monoids without a Ray builtin aggregate (times, band,
-        # bor, bxor, ...): segmented ufunc.reduceat inside map_groups —
-        # covers every registered Monoid (ADVICE r1). ``salt`` is moot on
-        # this path: the per-block partial combine below already bounds a
-        # hub key's final-reduce rows to one per input block, which is at
-        # least as tight as the builtin path's hash%salt sub-keying.
-        m = MONOID[monoid_name]
+    m = MONOID[monoid_name]
+    num_buckets = _DEFAULT_BUCKETS
 
-        def seg_reduce(t: pa.Table, vcol: str) -> pa.Table:
-            a = np.asarray(t[vcol].to_numpy(zero_copy_only=False))
-            k = np.asarray(t[key].to_numpy(zero_copy_only=False))
-            if len(k) == 0:
-                return pa.table({key: k, alias: a})
-            order = np.argsort(k, kind="stable")
-            k_s, a_s = k[order], a[order]
-            cast_back = None
-            if a_s.dtype.kind == "f" and "bitwise" in m.ufunc.__name__:
-                cast_back, a_s = a_s.dtype, a_s.astype(np.int64)
-            starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
-            red = m.ufunc.reduceat(a_s, starts)
-            if cast_back is not None:
-                red = red.astype(cast_back)
-            return pa.table({key: k_s[starts], alias: red})
+    def seg_reduce(t: pa.Table, vcol: str, tag_bucket: bool) -> pa.Table:
+        a = np.asarray(t[vcol].to_numpy(zero_copy_only=False))
+        k = np.asarray(t[key].to_numpy(zero_copy_only=False))
+        if len(k) == 0:
+            return (pa.table({"_kb": pa.array([], pa.int32()), key: k, alias: a})
+                    if tag_bucket else pa.table({key: k, alias: a}))
+        order = np.argsort(k, kind="stable")
+        k_s, a_s = k[order], a[order]
+        cast_back = None
+        if a_s.dtype.kind == "f" and "bitwise" in m.ufunc.__name__:
+            cast_back, a_s = a_s.dtype, a_s.astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        red = m.ufunc.reduceat(a_s, starts)
+        if cast_back is not None:
+            red = red.astype(cast_back)
+        ku = k_s[starts]
+        if not tag_bucket:
+            return pa.table({key: ku, alias: red})
+        kb = (mix64(ku.astype(np.uint64)) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table({"_kb": kb, key: ku, alias: red})
 
-        # per-block partial combine (cheap, associative), then the grouped
-        # final combine — same shape as the builtin-aggregate path
-        partial = ds.map_batches(lambda t: seg_reduce(t, val),
-                                 batch_format="pyarrow")
-        return partial.groupby(key).map_groups(
-            lambda t: seg_reduce(t, alias), batch_format="pyarrow"
-        )
-    A = aggs[monoid_name]
-    if salt > 0:
-        def add_salt(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                "_salt", pa.array(np.arange(t.num_rows, dtype=np.int64) % salt)
-            )
-
-        stage1 = (
-            ds.map_batches(add_salt, batch_format="pyarrow")
-            .groupby([key, "_salt"])
-            .aggregate(A(val, alias_name="_p"))
-        )
-        return (
-            stage1.groupby(key)
-            .aggregate(A("_p", alias_name=alias))
-        )
-    return ds.groupby(key).aggregate(A(val, alias_name=alias))
+    partial = ds.map_batches(lambda t: seg_reduce(t, val, True),
+                             batch_format="pyarrow")
+    return partial.groupby("_kb").map_groups(
+        lambda t: seg_reduce(t, alias, False), batch_format="pyarrow"
+    )
 
 
 def reduce_rowwise(edges, monoid_name: str = "plus", *, salt: int = 0):
@@ -423,7 +408,8 @@ _BROADCAST_MAX = 2_000_000
 def mxv(edges, vec, semiring: str = "plus_times", *, salt: int = 0,
         distribute: str = "auto", num_buckets: int = _DEFAULT_BUCKETS,
         input_mask=None, input_mask_complement: bool = False,
-        mask=None, mask_complement: bool = False):
+        mask=None, mask_complement: bool = False,
+        mask_value: bool = False):
     """w[i] = ⊕_j A[i,j] ⊗ v[j] (reference matrix.py:2163).
 
     ``input_mask`` structurally pre-filters the VECTOR input before the
@@ -448,20 +434,22 @@ def mxv(edges, vec, semiring: str = "plus_times", *, salt: int = 0,
                               num_buckets=num_buckets)
     return _mxv_impl(edges, vec, semiring, gather_on="dst", reduce_on="src",
                      salt=salt, distribute=distribute, num_buckets=num_buckets,
-                     mask=mask, mask_complement=mask_complement)
+                     mask=mask, mask_complement=mask_complement,
+                     mask_value=mask_value)
 
 
 def vxm(vec, edges, semiring: str = "plus_times", *, salt: int = 0,
         distribute: str = "auto", num_buckets: int = _DEFAULT_BUCKETS,
-        mask=None, mask_complement: bool = False):
+        mask=None, mask_complement: bool = False, mask_value: bool = False):
     """w[j] = ⊕_i v[i] ⊗ A[i,j] (reference vector.py:1259)."""
     return _mxv_impl(edges, vec, semiring, gather_on="src", reduce_on="dst",
                      salt=salt, distribute=distribute, num_buckets=num_buckets,
-                     mask=mask, mask_complement=mask_complement)
+                     mask=mask, mask_complement=mask_complement,
+                     mask_value=mask_value)
 
 
 def _mxv_cogroup(edges, vec, sr, *, gather_on, reduce_on, salt, num_buckets,
-                 mask=None, mask_complement=False):
+                 mask=None, mask_complement=False, mask_value=False):
     """Shuffle-join form of mxv: no driver materialization of either side.
 
     Tag edges with bucket = mix64(gather key) % B and the vector with
@@ -518,15 +506,17 @@ def _mxv_cogroup(edges, vec, sr, *, gather_on, reduce_on, salt, num_buckets,
     if mask is not None:
         # output-mask PUSHDOWN (reference w(mask) << A.mxv(v)): dropped
         # BEFORE the final grouped reduce, so masked-out keys never ride
-        # the aggregate shuffle and unmasked w is never materialized
+        # the aggregate shuffle and unmasked w is never materialized.
+        # mask_value -> reference ValueMask (truthy entries; mask.py:149)
         contrib = vector_semijoin(contrib, mask, complement=mask_complement,
+                                  value_mask=mask_value,
                                   num_buckets=num_buckets)
     return salted_aggregate(contrib, "v", "val", monoid.name, salt=salt, alias="val")
 
 
 def _mxv_impl(edges, vec, semiring, *, gather_on, reduce_on, salt,
               distribute="auto", num_buckets=_DEFAULT_BUCKETS,
-              mask=None, mask_complement=False):
+              mask=None, mask_complement=False, mask_value=False):
     import ray
 
     sr = SEMIRING[semiring]
@@ -537,7 +527,8 @@ def _mxv_impl(edges, vec, semiring, *, gather_on, reduce_on, salt,
         return _mxv_cogroup(edges, vec, sr, gather_on=gather_on,
                             reduce_on=reduce_on, salt=salt,
                             num_buckets=num_buckets, mask=mask,
-                            mask_complement=mask_complement)
+                            mask_complement=mask_complement,
+                            mask_value=mask_value)
     vt = to_table(vec)
     vs = np.asarray(vt["v"].to_numpy(zero_copy_only=False), np.uint64)
     vv = np.asarray(vt["val"].to_numpy(zero_copy_only=False))
@@ -566,6 +557,7 @@ def _mxv_impl(edges, vec, semiring, *, gather_on, reduce_on, salt,
     contrib = _ds(edges).map_batches(scatter, batch_format="pyarrow")
     if mask is not None:
         contrib = vector_semijoin(contrib, mask, complement=mask_complement,
+                                  value_mask=mask_value,
                                   num_buckets=num_buckets)
     return salted_aggregate(contrib, "v", "val", monoid.name, salt=salt, alias="val")
 
@@ -576,7 +568,13 @@ def _mxv_impl(edges, vec, semiring, *, gather_on, reduce_on, salt,
 def _val_dtype_of(x, val_col: str = "val") -> np.dtype:
     """Value dtype of a vector table/Dataset (schema-level, no execution
     of the data itself)."""
-    schema = x.schema if isinstance(x, pa.Table) else x.schema().base_schema
+    if isinstance(x, pa.Table):
+        schema = x.schema
+    else:
+        s = x.schema()
+        if s is None:  # empty/unschematized dataset: nothing to preserve
+            return np.dtype(np.float64)
+        schema = s.base_schema
     if val_col not in schema.names:
         return np.dtype(np.float64)
     return np.dtype(schema.field(val_col).type.to_pandas_dtype())
@@ -995,71 +993,127 @@ def extract_submatrix(edges, rows: np.ndarray, cols: np.ndarray,
     return _gather_matrix_axis(step1, cols, "dst", num_buckets)
 
 
-def merge_matrix(old, new, *, accum: str | None = None,
+def merge_matrix(old, new, *, mask=None, complement: bool = False,
+                 value_mask: bool = False, accum: str | None = None,
+                 replace: bool = False,
                  num_buckets: int = _DEFAULT_BUCKETS):
-    """Matrix-keyed merge ``C(accum) << new``: union pattern, ``accum``
-    where both sides hold (src,dst); new wins when no accum. The 2-D
-    sibling of ``merge`` (vector path above), on one (src,dst)-bucketed
-    shuffle."""
+    """Matrix-keyed output control ``C(mask, accum, replace) << new`` — the
+    2-D sibling of the vector ``merge`` truth table above (reference
+    core/mask.py:149,185 ValueMask/ComplementedValueMask + the replace
+    descriptor bit core/descriptor.py:68-80, applied to Matrix outputs in
+    core/base.py:192-260). One (src,dst)-bucketed shuffle carries all
+    sides; each side must be entry-unique per (src,dst) — duplicate rows
+    within a side raise instead of silently miscombining (ADVICE r3)."""
     op = BINARY[accum] if accum else None
 
     def tag(ds, side: int):
         def fn(t: pa.Table) -> pa.Table:
             s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
             d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+            if side == 2:
+                # a value mask is a structural mask over its truthy subset
+                # (holds under complement too: ¬(entry ∧ truthy) ≡ no
+                # truthy entry); mask rows carry no value downstream
+                w = np.asarray(t["w"].to_numpy(zero_copy_only=False))
+                if value_mask:
+                    keep = w != 0
+                    s, d = s[keep], d[keep]
+                w = np.zeros(len(s), np.float64)
+            else:
+                w = np.asarray(t["w"].to_numpy(zero_copy_only=False),
+                               np.float64)
             with np.errstate(over="ignore"):
                 bk = (mix64(s * np.uint64(0x9E3779B97F4A7C15) ^ d)
                       % np.uint64(num_buckets)).astype(np.int32)
             return pa.table({
-                "bucket": bk, "src": s, "dst": d,
-                "w": np.asarray(t["w"].to_numpy(zero_copy_only=False), np.float64),
+                "bucket": bk, "src": s, "dst": d, "w": w,
                 "side": np.full(len(s), side, np.int8),
             })
 
         return _ds(ds).map_batches(fn, batch_format="pyarrow")
+
+    has_mask = mask is not None
 
     def join(g: pa.Table) -> pa.Table:
         s = np.asarray(g["src"].to_numpy(zero_copy_only=False), np.uint64)
         d = np.asarray(g["dst"].to_numpy(zero_copy_only=False), np.uint64)
         w = np.asarray(g["w"].to_numpy(zero_copy_only=False), np.float64)
         side = np.asarray(g["side"].to_numpy(zero_copy_only=False), np.int8)
+        empty = pa.table({"src": pa.array([], pa.uint64()),
+                          "dst": pa.array([], pa.uint64()),
+                          "w": pa.array([], pa.float64())})
         if len(s) == 0:
-            return pa.table({"src": pa.array([], pa.uint64()),
-                             "dst": pa.array([], pa.uint64()),
-                             "w": pa.array([], pa.float64())})
+            return empty
         order = np.lexsort((side, d, s))
         s, d, w, side = s[order], d[order], w[order], side[order]
         newg = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])]
         starts = np.flatnonzero(newg)
+        ngroups = len(starts)
         counts = np.diff(np.r_[starts, len(s)])
-        # per (s,d): ≤1 old row then ≤1 new row (matrix entries unique)
-        out = np.empty(len(starts), np.float64)
-        one = counts == 1
-        out[one] = w[starts[one]]
-        two = ~one
-        if two.any():
-            o_idx, n_idx = starts[two], starts[two] + 1
-            out[two] = op(w[o_idx], w[n_idx]) if op is not None else w[n_idx]
-        # no-accum new wins also for single-row groups (value already there)
-        if op is None:
-            last = starts + counts - 1
-            out = w[last]
-        return pa.table({"src": s[starts], "dst": d[starts], "w": out})
+        gid = np.repeat(np.arange(ngroups), counts)
+        has = []
+        vals = []
+        for x in (0, 1, 2):
+            m = side == x
+            per = np.bincount(gid[m], minlength=ngroups)
+            if x != 2 and (per > 1).any():
+                raise ValueError(
+                    "merge_matrix: duplicate (src,dst) rows within the "
+                    f"{'old' if x == 0 else 'new'} side — matrix entries "
+                    "must be unique per key (pre-combine with "
+                    "salted_aggregate / from_coo dup_op first)")
+            hx = per > 0
+            vx = np.zeros(ngroups, np.float64)
+            vx[gid[m]] = w[m]  # ≤1 row per group for sides 0/1
+            has.append(hx)
+            vals.append(vx)
+        in_o, in_n = has[0].copy(), has[1].copy()
+        if not has_mask and replace and op is None:
+            in_o[:] = False  # GrB replace, no mask/accum: C = T exactly
+        if has_mask:
+            allowed = ~has[2] if complement else has[2]
+            in_n &= allowed
+            if op is None:
+                # in-mask C takes T's pattern exactly (spec §3.5.3)
+                in_o &= ~allowed | in_n
+            if replace:
+                in_o &= allowed
+        keep = in_o | in_n
+        if not keep.any():
+            return empty
+        out = np.where(in_n, vals[1], vals[0])
+        if op is not None:
+            both = in_o & in_n
+            if both.any():
+                out[both] = op(vals[0][both], vals[1][both])
+        return pa.table({"src": s[starts][keep], "dst": d[starts][keep],
+                         "w": out[keep]})
 
     u = tag(old, 0).union(tag(new, 1))
+    if has_mask:
+        u = u.union(tag(mask, 2))
     return u.groupby("bucket").map_groups(join, batch_format="pyarrow")
 
 
 def assign_submatrix(c_edges, rows: np.ndarray, cols: np.ndarray, a_edges,
                      *, accum: str | None = None,
+                     mask=None, complement: bool = False,
+                     value_mask: bool = False, replace: bool = False,
                      num_buckets: int = _DEFAULT_BUCKETS):
-    """``C(accum)[rows, cols] << A`` (reference core/matrix.py:2906):
-    A is given in position space (p, q) with p < len(rows),
-    q < len(cols); its entries land at (rows[p], cols[q]). GrB assign
-    semantics: without accum the C-region is REPLACED by A's mapped
-    pattern (in-region C entries absent from A are deleted); with accum
-    the region keeps the union pattern and combines where both.
+    """``C(mask, accum, replace)[rows, cols] << A`` (reference
+    core/matrix.py:2906): A is given in position space (p, q) with
+    p < len(rows), q < len(cols); its entries land at (rows[p], cols[q]).
+    GrB assign semantics: without accum the C-region is REPLACED by A's
+    mapped pattern (in-region C entries absent from A are deleted); with
+    accum the region keeps the union pattern and combines where both.
     Index vectors must be duplicate-free (GrB_Matrix_assign requirement).
+
+    ``mask``/``complement``/``value_mask``/``replace`` follow the
+    GxB_subassign convention: the mask is keyed in C's (src, dst)
+    coordinate space but governs ONLY the region — outside the region C
+    is never touched (reference core/mask.py:149,185 +
+    core/descriptor.py:68-80). Within the region the full vector-merge
+    truth table applies via :func:`merge_matrix`.
 
     Shape: position→target remap is a per-batch array gather (the index
     vectors are driver-side, as in vector extract); the region split of
@@ -1098,11 +1152,14 @@ def assign_submatrix(c_edges, rows: np.ndarray, cols: np.ndarray, a_edges,
 
     mapped = _ds(a_edges).map_batches(remap, batch_format="pyarrow")
     outside = _ds(c_edges).map_batches(keep_outside, batch_format="pyarrow")
-    if accum is None:
-        # region replaced by A's mapped pattern exactly
+    if accum is None and mask is None:
+        # region replaced by A's mapped pattern exactly (replace is moot:
+        # without a mask the no-accum region write already clears it)
         return outside.union(mapped)
     inside = _ds(c_edges).map_batches(keep_inside, batch_format="pyarrow")
     return outside.union(merge_matrix(inside, mapped, accum=accum,
+                                      mask=mask, complement=complement,
+                                      value_mask=value_mask, replace=replace,
                                       num_buckets=num_buckets))
 
 
@@ -1405,21 +1462,63 @@ def reshape_matrix(edges, ncols_old: int, ncols_new: int):
 # ------------------------------------------------------- remaining surface ----
 
 
-def mxm(a_edges, b_edges, semiring: str = "plus_times",
-        num_buckets: int = _DEFAULT_BUCKETS, *,
-        mask=None, complement: bool = False):
-    """General sparse matmul C[i,j] = ⊕_k A[i,k] ⊗ B[k,j]
-    (reference matrix.py:2206), with the reference's central masked form
-    ``C(mask) << A.mxm(B)`` (core/mask.py:131-200) as a structural
-    semi-join: mask edges ride the SAME (i,j)-bucketed shuffle as the
-    partial products (kind-tagged union), so the unmasked C is never
-    materialized or reduced — a partial product whose (i,j) misses the
-    mask (or hits it, with ``complement=True``) is dropped inside the
-    final combine. The degree-oriented CSR specialisation of this shape
-    is algorithms/triangles.py; the generic recipe
-    ``L.mxm(L, mask=L)`` runs here.
-    """
-    sr = SEMIRING[semiring]
+def _match_cost(x, x_key: str, y, y_key: str,
+                num_buckets: int = _DEFAULT_BUCKETS) -> int:
+    """Exact Σ_k cx(k)·cy(k) over keys present on both sides — the cost
+    model for mxm mode selection (wedge count / dot-mode intermediate
+    rows). One bucketed co-group over per-batch pre-combined (key, count)
+    partials; each bucket emits a single scalar, the driver sums ≤
+    num_buckets rows. Metadata-scale: the shuffle carries counts, never
+    the edges themselves."""
+
+    def counts(ds, key_col: str, side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            k = np.asarray(t[key_col].to_numpy(zero_copy_only=False),
+                           np.uint64)
+            uk, cnt = np.unique(k, return_counts=True)
+            return pa.table({
+                "bucket": (mix64(uk) % np.uint64(num_buckets)).astype(np.int32),
+                "k": uk, "c": cnt.astype(np.int64),
+                "side": np.full(len(uk), side, np.int8),
+            })
+
+        return _ds(ds).map_batches(fn, batch_format="pyarrow")
+
+    u = counts(x, x_key, 0).union(counts(y, y_key, 1))
+
+    def agg(g: pa.Table) -> pa.Table:
+        k = np.asarray(g["k"].to_numpy(zero_copy_only=False), np.uint64)
+        c = np.asarray(g["c"].to_numpy(zero_copy_only=False), np.int64)
+        side = np.asarray(g["side"].to_numpy(zero_copy_only=False), np.int8)
+
+        def tot(sel):
+            kk, cc = k[sel], c[sel]
+            order = np.argsort(kk)
+            kk, cc = kk[order], cc[order]
+            starts = np.flatnonzero(np.r_[True, kk[1:] != kk[:-1]]) \
+                if len(kk) else np.empty(0, np.int64)
+            return (kk[starts] if len(kk) else kk,
+                    np.add.reduceat(cc, starts) if len(kk) else cc)
+
+        kx, cx = tot(side == 0)
+        ky, cy = tot(side == 1)
+        if len(kx) == 0 or len(ky) == 0:
+            return pa.table({"t": pa.array([0], pa.int64())})
+        pos = np.searchsorted(kx, ky)
+        ok = (pos < len(kx)) & (kx[np.minimum(pos, len(kx) - 1)] == ky)
+        total = int((cx[pos[ok]] * cy[ok]).sum())
+        return pa.table({"t": pa.array([total], pa.int64())})
+
+    rows = u.groupby("bucket").map_groups(agg, batch_format="pyarrow").take_all()
+    return int(sum(r["t"] for r in rows))
+
+
+def _mxm_wedge(a_edges, b_edges, sr, num_buckets, mask, complement):
+    """Gustavson-style masked/unmasked product: join A ⋈ B on the
+    contraction key k, locally ⊕-combine partials per (i,j), and apply
+    the (structural) mask inside the second shuffle's combine — the
+    unmasked C is never materialized, but the intermediate is
+    wedge-volume bound (use _mxm_dot when the mask is sparse)."""
     monoid = sr.monoid
 
     def tag(ds, side):
@@ -1552,6 +1651,200 @@ def mxm(a_edges, b_edges, semiring: str = "plus_times",
         .groupby("_pb")
         .map_groups(final_masked, batch_format="pandas")
     )
+
+
+def _mxm_dot(a_edges, b_edges, sr, mask, num_buckets):
+    """Mask-driven dot-product mode: compute C ONLY at mask positions —
+    the scale path when ``nnz(mask)·avg_rowdeg(A) ≪ wedge count`` (what
+    SuiteSparse's masked-product mode selection picks for sparse masks;
+    reference core/matrix.py:2206 + core/mask.py:131-200 semantics).
+
+    Two bucketed exchanges, neither wedge-bound:
+      1. bucket mask entries (i,j) and A rows (i,k) by mix64(i); per
+         bucket, fan each mask entry out across A's row-i adjacency →
+         rows (j, i, k, a_ik). Volume = Σ_{(i,j)∈M} deg_A(i), logged by
+         the caller via _match_cost — NOT Σ_k in·out over hubs.
+      2. bucket those rows AND B entries (k,j) by mix64(j); per bucket,
+         intersect on (j,k) with one vectorized dense-encoded
+         searchsorted, ⊗ the matched pairs, ⊕-reduce per (i,j). All k
+         contributions of a given (i,j) live in one j-bucket, so the
+         reduce completes here — no third shuffle.
+    """
+    monoid = sr.monoid
+    _empty = pa.table({"src": pa.array([], pa.uint64()),
+                       "dst": pa.array([], pa.uint64()),
+                       "w": pa.array([], pa.float64())})
+
+    # ---- stage 1: attach A's row adjacency to each mask entry ----
+    def tag_a(t: pa.Table) -> pa.Table:
+        i = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        return pa.table({
+            "bucket": (mix64(i) % np.uint64(num_buckets)).astype(np.int32),
+            "i": i,
+            "jk": np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64),
+            "x": np.asarray(t["w"].to_numpy(zero_copy_only=False), np.float64),
+            "side": np.zeros(len(i), np.int8),
+        })
+
+    def tag_m(t: pa.Table) -> pa.Table:
+        i = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        return pa.table({
+            "bucket": (mix64(i) % np.uint64(num_buckets)).astype(np.int32),
+            "i": i,
+            "jk": np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64),
+            "x": np.zeros(len(i), np.float64),
+            "side": np.ones(len(i), np.int8),
+        })
+
+    u1 = _ds(a_edges).map_batches(tag_a, batch_format="pyarrow").union(
+        _ds(mask).map_batches(tag_m, batch_format="pyarrow"))
+
+    def expand(g: pa.Table) -> pa.Table:
+        i = np.asarray(g["i"].to_numpy(zero_copy_only=False), np.uint64)
+        jk = np.asarray(g["jk"].to_numpy(zero_copy_only=False), np.uint64)
+        x = np.asarray(g["x"].to_numpy(zero_copy_only=False), np.float64)
+        side = np.asarray(g["side"].to_numpy(zero_copy_only=False), np.int8)
+        ism = side == 1
+        empty = pa.table({"bucket": pa.array([], pa.int32()),
+                          "j": pa.array([], pa.uint64()),
+                          "i": pa.array([], pa.uint64()),
+                          "k": pa.array([], pa.uint64()),
+                          "x": pa.array([], pa.float64()),
+                          "side": pa.array([], pa.int8())})
+        mi, mj = i[ism], jk[ism]
+        ai, ak, aw = i[~ism], jk[~ism], x[~ism]
+        if len(mi) == 0 or len(ai) == 0:
+            return empty
+        order = np.argsort(ai, kind="stable")
+        ai, ak, aw = ai[order], ak[order], aw[order]
+        left = np.searchsorted(ai, mi, "left")
+        right = np.searchsorted(ai, mi, "right")
+        cnt = right - left
+        tot = int(cnt.sum())
+        if tot == 0:
+            return empty
+        rep = np.repeat(np.arange(len(mi)), cnt)      # which mask entry
+        offs = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        src_a = np.repeat(left, cnt) + offs           # which A row
+        j_out = mj[rep]
+        return pa.table({
+            "bucket": (mix64(j_out) % np.uint64(num_buckets)).astype(np.int32),
+            "j": j_out, "i": mi[rep], "k": ak[src_a], "x": aw[src_a],
+            "side": np.zeros(tot, np.int8),
+        })
+
+    queries = u1.groupby("bucket").map_groups(expand, batch_format="pyarrow")
+
+    # ---- stage 2: intersect with B on (j,k), reduce per (i,j) ----
+    def tag_b(t: pa.Table) -> pa.Table:
+        j = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        return pa.table({
+            "bucket": (mix64(j) % np.uint64(num_buckets)).astype(np.int32),
+            "j": j,
+            "i": np.zeros(len(j), np.uint64),
+            "k": np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64),
+            "x": np.asarray(t["w"].to_numpy(zero_copy_only=False), np.float64),
+            "side": np.ones(len(j), np.int8),
+        })
+
+    u2 = queries.union(_ds(b_edges).map_batches(tag_b, batch_format="pyarrow"))
+
+    def dot(g: pa.Table) -> pa.Table:
+        j = np.asarray(g["j"].to_numpy(zero_copy_only=False), np.uint64)
+        i = np.asarray(g["i"].to_numpy(zero_copy_only=False), np.uint64)
+        k = np.asarray(g["k"].to_numpy(zero_copy_only=False), np.uint64)
+        x = np.asarray(g["x"].to_numpy(zero_copy_only=False), np.float64)
+        side = np.asarray(g["side"].to_numpy(zero_copy_only=False), np.int8)
+        isb = side == 1
+        qj, qi, qk, qx = j[~isb], i[~isb], k[~isb], x[~isb]
+        bj, bk, bx = j[isb], k[isb], x[isb]
+        if len(qj) == 0 or len(bj) == 0:
+            return _empty
+        # dense-encode (j, k) within the bucket so the pair join is ONE
+        # searchsorted over packed int64 keys (full-range uint64 ids
+        # cannot pack directly)
+        uj, inv_j = np.unique(np.concatenate([bj, qj]), return_inverse=True)
+        uk, inv_k = np.unique(np.concatenate([bk, qk]), return_inverse=True)
+        if len(uj) >= 2**31 or len(uk) >= 2**31:  # pragma: no cover
+            raise ValueError("_mxm_dot: bucket too large to pair-encode; "
+                             "raise num_buckets")
+        nb = len(bj)
+        key_b = inv_j[:nb].astype(np.int64) * len(uk) + inv_k[:nb]
+        key_q = inv_j[nb:].astype(np.int64) * len(uk) + inv_k[nb:]
+        order = np.argsort(key_b)
+        key_b, bx_s = key_b[order], bx[order]
+        pos = np.searchsorted(key_b, key_q)
+        ok = (pos < len(key_b)) & (key_b[np.minimum(pos, len(key_b) - 1)] == key_q)
+        if not ok.any():
+            return _empty
+        val = np.asarray(sr.binary(qx[ok], bx_s[pos[ok]]), np.float64)
+        ri, rj = qi[ok], qj[ok]
+        order = np.lexsort((rj, ri))
+        ri, rj, val = ri[order], rj[order], val[order]
+        new = np.r_[True, (ri[1:] != ri[:-1]) | (rj[1:] != rj[:-1])]
+        starts = np.flatnonzero(new)
+        return pa.table({"src": ri[starts], "dst": rj[starts],
+                         "w": monoid.ufunc.reduceat(val, starts)})
+
+    return u2.groupby("bucket").map_groups(dot, batch_format="pyarrow")
+
+
+def mxm(a_edges, b_edges, semiring: str = "plus_times",
+        num_buckets: int = _DEFAULT_BUCKETS, *,
+        mask=None, complement: bool = False, value_mask: bool = False,
+        mode: str = "auto", stats: dict | None = None):
+    """General sparse matmul C[i,j] = ⊕_k A[i,k] ⊗ B[k,j]
+    (reference matrix.py:2206), with the reference's central masked form
+    ``C(mask) << A.mxm(B)`` (core/mask.py:131-200). Two execution modes,
+    auto-selected from exact degree statistics the way SuiteSparse picks
+    Gustavson vs dot products for masked outputs:
+
+    * ``wedge`` (Gustavson): A⋈B on the contraction key; mask (if any)
+      applied as a kind-tagged semi-join inside the final combine — the
+      unmasked C is never materialized, but the intermediate is
+      wedge-volume bound. The only mode for unmasked or
+      complement-masked products.
+    * ``dot``: compute only at mask positions (structural semi-join is
+      the FIRST step) — intermediate is Σ_{(i,j)∈M} deg_A(i) rows, not
+      Σ_k in·out over hubs. Selected when the mask is sparse relative
+      to the wedge stream.
+
+    ``mode='auto'`` runs two metadata-scale counting passes
+    (:func:`_match_cost`) and records its decision in ``stats``
+    (est_wedges / est_dot_rows / mode) when a dict is passed.
+    ``value_mask`` treats the mask as the reference's ValueMask
+    (truthy entries only; core/mask.py:149) — a value mask is exactly a
+    structural mask over its truthy subset, under complement too.
+    """
+    sr = SEMIRING[semiring]
+    if mask is not None and value_mask:
+        def _truthy(t: pa.Table) -> pa.Table:
+            w = np.asarray(t["w"].to_numpy(zero_copy_only=False))
+            return t.filter(pa.array(w != 0))
+
+        mask = _ds(mask).map_batches(_truthy, batch_format="pyarrow")
+    if mode not in ("auto", "wedge", "dot"):
+        raise ValueError(f"mxm: unknown mode {mode!r}")
+    if mask is None or complement:
+        if mode == "dot":
+            raise ValueError("mxm: dot mode needs a non-complemented mask "
+                             "(a complement mask's positions are dense)")
+        mode = "wedge"
+    elif mode == "auto":
+        # exact cost of each mode's intermediate, from degree stats:
+        # wedge rows = Σ_k din_A(k)·dout_B(k); dot rows = Σ_{(i,j)∈M} deg_A(i)
+        mask = _ds(mask).materialize()  # consumed by estimate + product
+        est_wedges = _match_cost(a_edges, "dst", b_edges, "src", num_buckets)
+        est_dot = _match_cost(mask, "src", a_edges, "src", num_buckets)
+        mode = "dot" if est_dot < est_wedges else "wedge"
+        if stats is not None:
+            stats.update({"mode": mode, "est_wedges": est_wedges,
+                          "est_dot_rows": est_dot})
+    if stats is not None:
+        stats.setdefault("mode", mode)
+    if mode == "dot":
+        return _mxm_dot(a_edges, b_edges, sr, mask, num_buckets)
+    return _mxm_wedge(a_edges, b_edges, sr, num_buckets, mask, complement)
 
 
 def diag_matrix(vec):
@@ -1787,6 +2080,8 @@ def vector_agg(x, names: list[str], col: str = "val") -> dict:
         # deterministic arg ties: smallest index among equal values
         imin = np.lexsort((v, a))[0]
         imax = np.lexsort((v, -a))[0]
+        ifirst = int(np.argmin(v))  # stored order = ascending index
+        ilast = int(np.argmax(v))
         mx = float(a.max())
         with np.errstate(divide="ignore", invalid="ignore"):
             sumlog = float(np.log(a).sum())
@@ -1807,6 +2102,8 @@ def vector_agg(x, names: list[str], col: str = "val") -> dict:
             "maxarg": pa.array([int(v[imax])], pa.int64()),
             "minidx": pa.array([int(v.min())], pa.int64()),
             "maxidx": pa.array([int(v.max())], pa.int64()),
+            "firstval": pa.array([float(a[ifirst])]),
+            "lastval": pa.array([float(a[ilast])]),
             "sumlog": pa.array([sumlog]),
             "suminv": pa.array([suminv]),
             "sexp": pa.array([sexp]),
@@ -1846,6 +2143,14 @@ def vector_agg(x, names: list[str], col: str = "val") -> dict:
             out[name] = int(min(r["minidx"] for r in rows))
         elif name == "last_index":
             out[name] = int(max(r["maxidx"] for r in rows))
+        elif name == "first":
+            # stored-order positional first/last (reference agg.py:570-680
+            # ss.first/ss.last): the VALUE at the smallest/largest stored
+            # index — combine by picking the partial holding the global
+            # first/last index
+            out[name] = float(min(rows, key=lambda r: r["minidx"])["firstval"])
+        elif name == "last":
+            out[name] = float(max(rows, key=lambda r: r["maxidx"])["lastval"])
         elif name == "varp":
             out[name] = max(sumsq / n - mean * mean, 0.0)
         elif name == "vars":
@@ -1960,3 +2265,83 @@ def power(edges, n: int, semiring: str = "plus_times",
         if k:
             sq = mxm(sq, sq, semiring).materialize()
     return result
+
+
+# --------------------------------------------- element-level convenience ----
+# (reference core/matrix.py:283-313 / core/vector.py __getitem__ /
+# __setitem__ / __delitem__ on single entries — the convenience layer a
+# reference user reaches for first. Thin wrappers over the distributed
+# select/merge primitives; the get is a driver round-trip by nature and
+# meant for driver-sized probes, not hot loops.)
+
+
+def vector_get(vec, i, default=None):
+    """v[i] -> scalar (or ``default`` when the entry is absent)."""
+    i = np.uint64(i)
+
+    def pick(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.uint64)
+        return t.filter(pa.array(v == i))
+
+    rows = _ds(vec).map_batches(pick, batch_format="pyarrow").take_all()
+    if not rows:
+        return default
+    if len(rows) > 1:
+        raise ValueError(f"vector_get: duplicate entries at index {int(i)}")
+    return rows[0]["val"]
+
+
+def vector_set(vec, i, value):
+    """v[i] = value — single-entry write (new entry wins; merge shape)."""
+    dt = _val_dtype_of(vec)
+    upd = pa.table({"v": np.array([i], np.uint64),
+                    "val": np.array([value], dt)})
+    return merge(vec, upd)
+
+
+def vector_del(vec, i):
+    """del v[i] — drop one entry (stateless filter, no shuffle)."""
+    i = np.uint64(i)
+
+    def drop(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.uint64)
+        return t.filter(pa.array(v != i))
+
+    return _ds(vec).map_batches(drop, batch_format="pyarrow")
+
+
+def matrix_get(edges, i, j, default=None):
+    """A[i, j] -> scalar (or ``default`` when the entry is absent)."""
+    i, j = np.uint64(i), np.uint64(j)
+
+    def pick(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        return t.filter(pa.array((s == i) & (d == j)))
+
+    rows = _ds(edges).map_batches(pick, batch_format="pyarrow").take_all()
+    if not rows:
+        return default
+    if len(rows) > 1:
+        raise ValueError(f"matrix_get: duplicate entries at ({int(i)}, {int(j)})")
+    return rows[0]["w"]
+
+
+def matrix_set(edges, i, j, value):
+    """A[i, j] = value — single-entry write via merge_matrix."""
+    upd = pa.table({"src": np.array([i], np.uint64),
+                    "dst": np.array([j], np.uint64),
+                    "w": np.array([value], np.float64)})
+    return merge_matrix(edges, upd)
+
+
+def matrix_del(edges, i, j):
+    """del A[i, j] — drop one entry (stateless filter, no shuffle)."""
+    i, j = np.uint64(i), np.uint64(j)
+
+    def drop(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        return t.filter(pa.array(~((s == i) & (d == j))))
+
+    return _ds(edges).map_batches(drop, batch_format="pyarrow")

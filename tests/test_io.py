@@ -102,3 +102,23 @@ def test_dense_dicts_pairs_round_trips():
         io.vector_from_pairs([(1, 1.0), (1, 2.0)])
     pc = io.vector_from_pairs([(1, 1.0), (1, 2.0)], dup_op="plus")
     assert pc["val"].to_pylist() == [3.0]
+
+
+def test_from_dense_nan_missing_value():
+    """missing_value=np.nan must SKIP the NaNs (a != NaN is elementwise
+    True, which previously kept every cell — ADVICE r3)."""
+    import numpy as np
+
+    from raygraph import io
+
+    a = np.array([[1.0, np.nan], [np.nan, 4.0]])
+    t = io.matrix_from_dense(a, missing_value=np.nan)
+    assert t.num_rows == 2
+    assert sorted(t["w"].to_pylist()) == [1.0, 4.0]
+    x = np.array([1.0, np.nan, 3.0])
+    vt = io.vector_from_dense(x, missing_value=np.nan)
+    assert vt["v"].to_pylist() == [0, 2]
+    assert vt["val"].to_pylist() == [1.0, 3.0]
+    # non-NaN missing_value still works
+    t2 = io.matrix_from_dense(np.array([[0.0, 2.0]]), missing_value=0.0)
+    assert t2.num_rows == 1 and t2["w"].to_pylist() == [2.0]

@@ -757,3 +757,46 @@ def test_reduce_scalar_int64_exact_above_2_53():
                      "val": np.array([0b1010, 0b0110], np.int64)})
     assert K.reduce_scalar(rd.from_arrow(bits), "bor") == 0b1110
     assert K.reduce_scalar(rd.from_arrow(bits), "band") == 0b0010
+
+
+def test_vector_agg_first_last_stored_order():
+    """Stored-order positional first/last (reference agg.py:570-680):
+    the VALUE at the smallest/largest stored index, independent of the
+    value ordering."""
+    import pyarrow as pa
+
+    t = pa.table({"v": np.array([7, 2, 40, 11], np.uint64),
+                  "val": np.array([1.5, 9.0, -3.0, 4.0])})
+    out = K.vector_agg(t, ["first", "last", "first_index", "last_index"])
+    assert out["first"] == 9.0        # index 2 is smallest
+    assert out["last"] == -3.0        # index 40 is largest
+    assert out["first_index"] == 2
+    assert out["last_index"] == 40
+
+
+def test_element_level_get_set_del_round_trip():
+    """Single-entry convenience surface (reference core/matrix.py:283-313
+    __getitem__/__setitem__/__delitem__) as thin select/merge wrappers."""
+    import pyarrow as pa
+
+    v = pa.table({"v": np.array([1, 5], np.uint64),
+                  "val": np.array([10.0, 50.0])})
+    assert K.vector_get(v, 5) == 50.0
+    assert K.vector_get(v, 99) is None
+    assert K.vector_get(v, 99, default=-1.0) == -1.0
+    v2 = K.to_table(K.vector_set(v, 7, 70.0))
+    assert K.vector_get(v2, 7) == 70.0
+    v3 = K.to_table(K.vector_set(v2, 5, 55.0))  # overwrite
+    assert K.vector_get(v3, 5) == 55.0
+    v4 = K.to_table(K.vector_del(v3, 1))
+    assert K.vector_get(v4, 1) is None and v4.num_rows == 2
+
+    m = pa.table({"src": np.array([0, 3], np.uint64),
+                  "dst": np.array([1, 4], np.uint64),
+                  "w": np.array([2.0, 8.0])})
+    assert K.matrix_get(m, 3, 4) == 8.0
+    assert K.matrix_get(m, 3, 9) is None
+    m2 = K.to_table(K.matrix_set(m, 3, 4, 9.0), sort_by=None)
+    assert K.matrix_get(m2, 3, 4) == 9.0 and m2.num_rows == 2
+    m3 = K.to_table(K.matrix_del(m2, 0, 1), sort_by=None)
+    assert K.matrix_get(m3, 0, 1) is None and m3.num_rows == 1

@@ -331,3 +331,101 @@ def test_assign_submatrix_matches_dict_oracle(c, a_cells):
         _mat_tbl(c), np.array(rows, np.uint64), np.array(cols, np.uint64), at,
         accum="plus"), sort_by=None)
     assert _mat_dict(got2) == want2
+
+
+@given(a=sparse_mat(), b=sparse_mat(), m=sparse_mat())
+@_SETTINGS
+def test_mxm_dot_mode_equals_wedge_and_oracle(a, b, m):
+    """The mask-driven dot-product mode (kernels._mxm_dot) must agree
+    bit-for-bit with wedge mode and the dict oracle on every random
+    sparse instance (reference core/matrix.py:2206 masked product)."""
+    want: dict = {}
+    for (i, k1), wa in a.items():
+        for (k2, j), wb in b.items():
+            if k1 == k2:
+                want[(i, j)] = want.get((i, j), 0.0) + wa * wb
+    want = {k: v for k, v in want.items() if k in m}
+    stats: dict = {}
+    got_dot = _mat_dict(K.to_table(
+        K.mxm(_mat_tbl(a), _mat_tbl(b), "plus_times", mask=_mat_tbl(m),
+              mode="dot"), sort_by=None))
+    got_wedge = _mat_dict(K.to_table(
+        K.mxm(_mat_tbl(a), _mat_tbl(b), "plus_times", mask=_mat_tbl(m),
+              mode="wedge"), sort_by=None))
+    got_auto = _mat_dict(K.to_table(
+        K.mxm(_mat_tbl(a), _mat_tbl(b), "plus_times", mask=_mat_tbl(m),
+              mode="auto", stats=stats), sort_by=None))
+    assert got_dot == want
+    assert got_wedge == want
+    assert got_auto == want
+    assert stats["mode"] in ("dot", "wedge")
+    assert stats["est_wedges"] >= 0 and stats["est_dot_rows"] >= 0
+
+
+@given(old=sparse_mat(), new=sparse_mat(), m=sparse_mat(),
+       comp=st.booleans(), vm=st.booleans(), acc=st.sampled_from([None, "plus"]),
+       rep=st.booleans(), use_mask=st.booleans())
+@_SETTINGS
+def test_merge_matrix_truth_table(old, new, m, comp, vm, acc, rep, use_mask):
+    """Full matrix output control C(mask, accum, replace) << new vs a
+    brute-force GrB masked-write oracle (VERDICT r3 next #2; reference
+    core/mask.py:149,185 + core/descriptor.py:68-80). Mask values are
+    drawn with explicit zeros so value_mask differs from structural."""
+    mval = {k: float(v % 2) for k, v in m.items()}  # zeros present
+    mtbl = pa.table({
+        "src": np.array([k[0] for k in mval], np.uint64),
+        "dst": np.array([k[1] for k in mval], np.uint64),
+        "w": np.array(list(mval.values()), np.float64),
+    })
+    want: dict = {}
+    keys = set(old) | set(new) | (set(mval) if use_mask else set())
+    for key in keys:
+        in_o, in_n = key in old, key in new
+        if not use_mask:
+            if rep and acc is None:
+                in_o = False
+        else:
+            allowed = key in mval and (not vm or mval[key] != 0)
+            if comp:
+                allowed = not allowed
+            in_n = in_n and allowed
+            if acc is None:
+                in_o = in_o and ((not allowed) or in_n)
+            if rep:
+                in_o = in_o and allowed
+        if not (in_o or in_n):
+            continue
+        if in_o and in_n and acc is not None:
+            want[key] = float(old[key] + new[key])
+        elif in_n:
+            want[key] = float(new[key])
+        else:
+            want[key] = float(old[key])
+    got = _mat_dict(K.to_table(K.merge_matrix(
+        _mat_tbl(old), _mat_tbl(new), mask=mtbl if use_mask else None,
+        complement=comp, value_mask=vm, accum=acc, replace=rep),
+        sort_by=None))
+    assert got == want
+
+
+@given(m=sparse_mat(), v=sparse_vec(max_id=7), mk=sparse_vec(max_id=7),
+       comp=st.booleans(), vm=st.booleans())
+@_SETTINGS
+def test_mxv_value_mask_matches_oracle(m, v, mk, comp, vm):
+    """w(mask.V) << A.mxv(v): value masks on the mxv output path
+    (VERDICT r3 next #3; reference ValueMask core/mask.py:149)."""
+    mkv = {k: float(x % 2) for k, x in mk.items()}  # explicit zeros
+    mtbl = pa.table({"v": np.array(sorted(mkv), np.uint64),
+                     "val": np.array([mkv[k] for k in sorted(mkv)], np.float64)})
+    prod: dict = {}
+    for (i, j), a in m.items():
+        if j in v:
+            prod[i] = prod.get(i, 0.0) + a * v[j]
+    def allowed(i):
+        ok = i in mkv and (not vm or mkv[i] != 0)
+        return not ok if comp else ok
+    want = {i: float(x) for i, x in prod.items() if allowed(i)}
+    got = _as_dict(K.to_table(K.mxv(
+        _mat_tbl(m), _vec_tbl(v), "plus_times", mask=mtbl,
+        mask_complement=comp, mask_value=vm)))
+    assert got == want
