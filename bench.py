@@ -243,6 +243,44 @@ def run_bench() -> dict:
     pr_meta["bfs_dnnz"] = bfsi["iters"] * g.nnz  # what full relaxation would touch
     pr_meta["bfs_reached"] = int(sum(int(np.isfinite(s).sum()) for s in dist))
 
+    # ---- hub-skew stress (VERDICT r3 next #9): deterministic synthetic
+    # graphs at EQUAL nnz — uniform control vs one vertex holding ~1% of
+    # all in-edges — through the same build + fixed-iteration PageRank.
+    # The fused engine's per-batch ⊕-combine bounds hub fan-in at P
+    # packets per wave by design; this records the measured cost.
+    import pyarrow as pa_mod
+
+    from raygraph.util import mix64 as _mix64
+
+    NE, NV = 10_000_000, 1_000_000
+
+    def synth_graph(skew: bool):
+        i = np.arange(NE, dtype=np.uint64)
+        src = _mix64(i) % np.uint64(NV)
+        dst = _mix64(i ^ np.uint64(0xDEADBEEF)) % np.uint64(NV)
+        if skew:
+            hot = _mix64(i ^ np.uint64(0x5EED)) % np.uint64(100) == 0
+            dst = np.where(hot, np.uint64(7), dst)
+        edges = rd.from_arrow(pa_mod.table({"src": src, "dst": dst})) \
+            .repartition(64).materialize()
+        return build_graph(edges, num_parts=P, dup_op="first", binarize=True)
+
+    def pr10(gg):
+        # tol=0 + check_every past itermax = exactly 10 full supersteps on
+        # both graphs (identical work modulo the skew)
+        return pagerank(gg, tol=0.0, itermax=10, mode="fused", check_every=99)
+
+    gu = staged("skew_build_uniform", lambda: synth_graph(False))
+    _, pu = staged("pagerank_uniform_10m", lambda: pr10(gu), n=repeats + 1)
+    gu.free_caches()
+    gu = None
+    gsk = staged("skew_build_hub", lambda: synth_graph(True))
+    _, psk = staged("pagerank_skew_10m", lambda: pr10(gsk), n=repeats + 1)
+    gsk.free_caches()
+    gsk = None
+    pr_meta["skew_over_uniform"] = round(
+        q["pagerank_skew_10m"] / max(q["pagerank_uniform_10m"], 1e-9), 3)
+
     # ---- operator-family queries over the testdata tables
     # the 139M-edge CSR blocks are dead weight now: release them so the
     # small queries don't run against a pressured object store (their
@@ -257,7 +295,8 @@ def run_bench() -> dict:
                  "doc_exact_dedup", "minhash_pairs", "knn_topk", "knn_ivf",
                  "doc_sample_per_lang", "doc_len_quantiles",
                  "events_tumbling", "events_asof_prev", "agg_stats",
-                 "mxm_masked", "repeated_ngrams", "extract_submatrix"):
+                 "mxm_masked", "mxm_masked_dot", "dedup_clusters",
+                 "media_features", "repeated_ngrams", "extract_submatrix"):
         t = time.perf_counter()
         out = QUERIES[name](SF_DIR)
         if hasattr(out, "materialize"):

@@ -745,3 +745,100 @@ ORACLES["reshape_flat"] = f"""WITH {_E}
 SELECT (src * 211 + dst) // 64 AS src, (src * 211 + dst) % 64 AS dst,
        round(w, 6) AS w
 FROM e ORDER BY src, dst"""
+
+
+# r4 queries: output-control, dot-mode mxm, clustering, media codecs
+
+ORACLES["agg_first_last"] = f"""WITH {_SUPP}
+SELECT round((SELECT val FROM sv ORDER BY v ASC LIMIT 1), 6) AS "first",
+       round((SELECT val FROM sv ORDER BY v DESC LIMIT 1), 6) AS "last",
+       (SELECT min(v) FROM sv) AS first_index,
+       (SELECT max(v) FROM sv) AS last_index"""
+
+ORACLES["mxv_value_mask"] = f"""WITH {_E}, {_SUPP}, {_CUST}
+SELECT e.src AS v, round(sum(e.w * sv.val), 4) AS val
+FROM e JOIN sv ON sv.v = e.dst
+WHERE e.src IN (SELECT v FROM cv WHERE v % 2 = 1)
+GROUP BY 1 ORDER BY v"""
+
+ORACLES["mxm_masked_dot"] = f"""WITH {_E},
+hub AS (SELECT dst FROM e GROUP BY dst ORDER BY count(*) DESC, dst ASC LIMIT 1),
+m AS (SELECT src, dst FROM e WHERE dst = (SELECT dst FROM hub))
+SELECT a.src AS src, b.dst AS dst, round(sum(a.w * b.w), 4) AS w
+FROM e a JOIN e b ON a.dst = b.src
+JOIN m ON m.src = a.src AND m.dst = b.dst
+GROUP BY 1, 2 ORDER BY src, dst"""
+
+# C(M, plus, replace)[rows, cols] << C[rows, cols]: in-region cells
+# double where the value mask is truthy ((src+dst) even) and are DELETED
+# where it is falsy (replace drops unmasked in-region old entries);
+# outside the region C is untouched (GxB_subassign scope)
+ORACLES["assign_submatrix_masked"] = f"""WITH {_E},
+t AS (SELECT src, dst, w,
+             (src IN (3, 5, 11) AND dst IN (2, 7, 52)) AS inreg,
+             ((src + dst) % 2 = 0) AS even
+      FROM e)
+SELECT src, dst, round(CASE WHEN inreg AND even THEN w * 2 ELSE w END, 6) AS w
+FROM t WHERE (NOT inreg) OR even
+ORDER BY src, dst"""
+
+# connected components (min label) over the exact-Jaccard >= 0.5 pair
+# graph — the same pair set minhash_pairs is hash-verified against;
+# singleton docs keep themselves
+ORACLES["dedup_clusters"] = """WITH RECURSIVE toks AS MATERIALIZED (
+  SELECT doc_id, tok, ord FROM (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l FROM documents
+    WHERE trim(text) <> ''
+  ), LATERAL (SELECT unnest(l) AS tok, generate_subscripts(l, 1) AS ord) AS u
+),
+grams AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+              JOIN toks c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a, b FROM inter
+  JOIN cnt ca ON ca.doc_id = inter.a JOIN cnt cb ON cb.doc_id = inter.b
+  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
+),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+)
+SELECT node AS doc_id, min(r) AS keep_id FROM reach GROUP BY 1 ORDER BY doc_id"""
+
+# media codec gate: recompute every integer feature from (id, size)
+# closed forms — matches ONLY if the PPM/WAV encode+decode round-trips
+# the exact synthetic pixels/samples
+ORACLES["media_features"] = """WITH ids AS (
+  SELECT unnest(generate_series(0, 47)) AS id),
+img AS (SELECT id, 16 + (id*7)%17 AS w, 16 + (id*5)%13 AS h FROM ids WHERE id%2=0),
+ipx AS (
+  SELECT img.id, img.w, img.h,
+         CAST(sum((X.xx*3 + Y.yy*5 + C.cc*7 + img.id*11) % 256) AS BIGINT) AS s
+  FROM img,
+       LATERAL (SELECT unnest(generate_series(0, img.w-1)) AS xx) X,
+       LATERAL (SELECT unnest(generate_series(0, img.h-1)) AS yy) Y,
+       LATERAL (SELECT unnest(generate_series(0, 2)) AS cc) C
+  GROUP BY 1, 2, 3),
+aud AS (SELECT id, 400 + (id*31)%211 AS n FROM ids WHERE id%2=1),
+apx AS (
+  SELECT aud.id, aud.n,
+         CAST(sum(abs(((I.ii*37 + aud.id*101) % 2048) - 1024)) AS BIGINT) AS s
+  FROM aud, LATERAL (SELECT unnest(generate_series(0, aud.n-1)) AS ii) I
+  GROUP BY 1, 2)
+SELECT id AS media_id, 'image' AS kind, CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height, CAST(w*h AS BIGINT) AS n_units, s AS sum_val
+FROM ipx
+UNION ALL
+SELECT id, 'audio', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(n AS BIGINT), s
+FROM apx
+ORDER BY media_id"""

@@ -193,10 +193,12 @@ def test_media_plumbing():
 
 
 def test_media_real_codec_gate_raises():
+    """fake=False now decodes for REAL (pure-numpy PPM parser); bytes in
+    an unsupported format fail loudly rather than via a stub gate."""
     import pytest
 
     dec = media.ImageDecoder(fake=False)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="PGM/PPM"):
         dec.decode(b"xx", 4, 4)
 
 
@@ -219,7 +221,8 @@ def test_media_resize_and_audio_plumbing():
     m1 = dict(zip(au["media_id"], au["feature"]))
     m2 = dict(zip(au2["media_id"], au2["feature"]))
     assert all(list(m1[k]) == list(m2[k]) for k in m1)
-    with pytest.raises(NotImplementedError):
+    # real resizer on non-PPM synth payloads fails loudly, not silently
+    with pytest.raises(ValueError, match="PGM/PPM"):
         media.ImageResizer(fake=False)(tbl)
 
 
@@ -326,3 +329,83 @@ def test_repeated_ngrams_finds_planted_span():
     # partition-invariant
     out2 = dedup.repeated_ngrams(docs.repartition(5), n=8, min_docs=2).to_pandas()
     assert set(out["gram"]) == set(out2["gram"])
+
+
+def test_media_real_codecs_round_trip():
+    """Pure-numpy public-format codecs (VERDICT r3 next #5): PPM/PGM and
+    WAV PCM16 must round-trip bit-exactly; RAWV frame container too."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (21, 17, 3), dtype=np.uint8)
+    assert (media.decode_ppm(media.encode_ppm(img)) == img).all()
+    gray = rng.integers(0, 256, (7, 9), dtype=np.uint8)
+    assert (media.decode_ppm(media.encode_ppm(gray)) == gray).all()
+    # netpbm comment + whitespace tolerance
+    p = b"P5\n# cmt\n 3 2\n255\n" + bytes(range(6))
+    assert media.decode_ppm(p).shape == (2, 3)
+    s = (np.arange(777) * 13 % 2048 - 1024).astype(np.int16)
+    rate, s2 = media.decode_wav(media.encode_wav(s, 16000))
+    assert rate == 16000 and (s2 == s).all()
+    frames = [img, img[::-1].copy(), img[:, ::-1].copy()]
+    back = media.decode_rawv(media.encode_rawv(frames))
+    assert len(back) == 3 and all((a == b).all() for a, b in zip(frames, back))
+
+
+def test_media_real_decode_stages():
+    """fake=False now decodes for real: image features are the actual
+    per-channel stats, resize subsamples real pixels, audio features are
+    real per-frame RMS, frame sampling walks the real container."""
+    import ray.data as rd
+
+    # image: constant-value image has mean == value, std == 0
+    img = np.full((10, 8, 3), 55, np.uint8)
+    t = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "kind": pa.array(["image"]),
+        "payload": pa.array([media.encode_ppm(img)], pa.binary()),
+        "meta_width": pa.array([8], pa.int32()),
+        "meta_height": pa.array([10], pa.int32()),
+        "meta_duration_ms": pa.array([0], pa.int32()),
+    }, schema=media.MEDIA_SCHEMA)
+    dec = media.ImageDecoder(feature_dim=8, fake=False)(t)
+    f = np.asarray(dec["feature"][0].as_py())
+    assert np.allclose(f[:3], 55.0) and np.allclose(f[3:6], 0.0)
+
+    # resize: real subsample halves the payload dims
+    rz = media.ImageResizer(max_side=5, fake=False)(t)
+    px = media.decode_ppm(rz["payload"][0].as_py())
+    assert px.shape == (5, 4, 3)
+    assert (px == 55).all()
+
+    # audio: constant PCM -> every RMS frame equals |value|
+    s = np.full(400, -300, np.int16)
+    ta = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "kind": pa.array(["audio"]),
+        "payload": pa.array([media.encode_wav(s, 8000)], pa.binary()),
+        "meta_width": pa.array([0], pa.int32()),
+        "meta_height": pa.array([0], pa.int32()),
+        "meta_duration_ms": pa.array([50], pa.int32()),
+    }, schema=media.MEDIA_SCHEMA)
+    af = media.AudioFeaturizer(feature_dim=4, fake=False)(ta)
+    assert np.allclose(np.asarray(af["feature"][0].as_py()), 300.0)
+
+    # video: RAWV container frame sampling hits distinct real frames
+    frames = [np.full((4, 4, 3), v, np.uint8) for v in (10, 200)]
+    tv = pa.table({
+        "media_id": pa.array([2], pa.int64()),
+        "kind": pa.array(["video"]),
+        "payload": pa.array([media.encode_rawv(frames)], pa.binary()),
+        "meta_width": pa.array([4], pa.int32()),
+        "meta_height": pa.array([4], pa.int32()),
+        "meta_duration_ms": pa.array([2000], pa.int32()),
+    }, schema=media.MEDIA_SCHEMA)
+    fs = media.FrameSampler(every_ms=1000, feature_dim=4, fake=False)(tv)
+    means = [np.asarray(x)[0] for x in fs["feature"].to_pylist()]
+    assert means == [10.0, 200.0]
+
+    # end-to-end actor-pool stage over the deterministic synth table
+    ds = rd.from_arrow(media.synth_real_media_table(12))
+    out = media.media_features(ds, concurrency=(1, 2)).to_pandas()
+    assert len(out) == 12
+    img_rows = out[out["kind"] == "image"]
+    assert (img_rows["n_units"] == img_rows["width"] * img_rows["height"]).all()
