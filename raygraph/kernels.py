@@ -1538,21 +1538,35 @@ def _mxm_wedge(a_edges, b_edges, sr, num_buckets, mask, complement):
 
         return _ds(ds).map_batches(fn, batch_format="pyarrow")
 
-    def join(g: pd.DataFrame) -> pa.Table:
-        a = g[g["side"] == 0]
-        b = g[g["side"] == 1]
-        if len(a) == 0 or len(b) == 0:
-            return pa.table({"src": pa.array([], pa.uint64()),
-                             "dst": pa.array([], pa.uint64()),
-                             "w": pa.array([], pa.float64())})
-        m = a.merge(b, on="k", suffixes=("_a", "_b"))
-        if len(m) == 0:
-            return pa.table({"src": pa.array([], pa.uint64()),
-                             "dst": pa.array([], pa.uint64()),
-                             "w": pa.array([], pa.float64())})
-        i = m["o_a"].to_numpy(np.uint64)
-        j = m["o_b"].to_numpy(np.uint64)
-        val = np.asarray(sr.binary(m["w_a"].to_numpy(), m["w_b"].to_numpy()), np.float64)
+    def join(g: pa.Table) -> pa.Table:
+        k = np.asarray(g["k"].to_numpy(zero_copy_only=False), np.uint64)
+        o = np.asarray(g["o"].to_numpy(zero_copy_only=False), np.uint64)
+        w = np.asarray(g["w"].to_numpy(zero_copy_only=False), np.float64)
+        side = np.asarray(g["side"].to_numpy(zero_copy_only=False), np.int8)
+        empty = pa.table({"src": pa.array([], pa.uint64()),
+                          "dst": pa.array([], pa.uint64()),
+                          "w": pa.array([], pa.float64())})
+        isb = side == 1
+        ka, oa, wa = k[~isb], o[~isb], w[~isb]
+        kb, ob, wb = k[isb], o[isb], w[isb]
+        if len(ka) == 0 or len(kb) == 0:
+            return empty
+        # sorted-expansion join on k (≈2x a pandas hash merge at wedge
+        # volumes, and no DataFrame materialization)
+        order_b = np.argsort(kb, kind="stable")
+        kb, ob, wb = kb[order_b], ob[order_b], wb[order_b]
+        left = np.searchsorted(kb, ka, "left")
+        right = np.searchsorted(kb, ka, "right")
+        cnt = right - left
+        tot = int(cnt.sum())
+        if tot == 0:
+            return empty
+        rep = np.repeat(np.arange(len(ka)), cnt)
+        offs = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        bidx = np.repeat(left, cnt) + offs
+        i = oa[rep]
+        j = ob[bidx]
+        val = np.asarray(sr.binary(wa[rep], wb[bidx]), np.float64)
         # local ⊕-combine per (i, j) before the second shuffle
         order = np.lexsort((j, i))
         i, j, val = i[order], j[order], val[order]
@@ -1563,10 +1577,7 @@ def _mxm_wedge(a_edges, b_edges, sr, num_buckets, mask, complement):
 
     u = tag(a_edges, 0).union(tag(b_edges, 1))
 
-    def gf(g: pd.DataFrame) -> pa.Table:
-        return join(g)
-
-    partial = u.groupby("bucket").map_groups(gf, batch_format="pandas")
+    partial = u.groupby("bucket").map_groups(join, batch_format="pyarrow")
 
     # final combine per (src,dst) — coarse-bucketed vectorized reduce
     def pb_of(s: np.ndarray, d: np.ndarray) -> np.ndarray:
