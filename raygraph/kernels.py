@@ -1211,23 +1211,65 @@ def isclose(a, b, *, rel_tol: float = 1e-7, abs_tol: float = 0.0,
 
 
 def selectk_rowwise(edges, k: int, *, largest: bool = True,
+                    how: str | None = None, seed: int = 0,
                     num_buckets: int = _DEFAULT_BUCKETS):
-    """Top-k weights per src row — the SuiteSparse ``selectk``/``compactify``
+    """k elements per src row — the SuiteSparse ``selectk``/``compactify``
     analog (reference core/ss/matrix.py:3815,3877; SURVEY.md §2.5).
-    Deterministic: ties broken by ascending dst.
+    ``how`` ∈ largest | smallest (by value, ties to ascending dst) |
+    first | last (stored order = ascending dst, the reference's
+    column-position order) | random (deterministic mix64(dst ^ seed)
+    ranking — reproducible across runs and partitionings, matching the
+    reference's seeded random selectk). Default preserves the old
+    boolean: largest when ``largest=True`` else smallest.
 
     Shape: rides ``sort_rowwise``'s single mix64(src)-bucketed shuffle +
     one vectorized lexsort with segmented rank per bucket, then keeps
     ``rank < k`` — no per-row Python groups, so 10^9 rows cost one sort
     per bucket, not 10^9 group invocations."""
-    ranked = sort_rowwise(edges, ascending=not largest,
-                          num_buckets=num_buckets)
+    how = how or ("largest" if largest else "smallest")
+    if how in ("largest", "smallest"):
+        ranked = sort_rowwise(edges, ascending=how == "smallest",
+                              num_buckets=num_buckets)
 
-    def keep(t: pa.Table) -> pa.Table:
-        r = np.asarray(t["rank"].to_numpy(zero_copy_only=False), np.int64)
-        return t.filter(pa.array(r < k)).drop_columns(["rank"])
+        def keep(t: pa.Table) -> pa.Table:
+            r = np.asarray(t["rank"].to_numpy(zero_copy_only=False), np.int64)
+            return t.filter(pa.array(r < k)).drop_columns(["rank"])
 
-    return ranked.map_batches(keep, batch_format="pyarrow")
+        return ranked.map_batches(keep, batch_format="pyarrow")
+    if how not in ("first", "last", "random"):
+        raise ValueError(f"selectk_rowwise: unknown how {how!r}")
+
+    def tag(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        return pa.table({
+            "bucket": (mix64(s) % np.uint64(num_buckets)).astype(np.int32),
+            "src": s,
+            "dst": np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64),
+            "w": np.asarray(t["w"].to_numpy(zero_copy_only=False), np.float64),
+        })
+
+    def pick(g: pa.Table) -> pa.Table:
+        src = np.asarray(g["src"].to_numpy(zero_copy_only=False), np.uint64)
+        dst = np.asarray(g["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        w = np.asarray(g["w"].to_numpy(zero_copy_only=False), np.float64)
+        if len(src) == 0:
+            return pa.table({"src": src, "dst": dst, "w": w})
+        if how == "first":
+            key = dst  # stored order ascends dst
+        elif how == "last":
+            key = np.iinfo(np.uint64).max - dst
+        else:  # random: deterministic hash rank, ties impossible per row
+            key = mix64(dst ^ np.uint64(seed))
+        order = np.lexsort((key, src))
+        src, dst, w = src[order], dst[order], w[order]
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        counts = np.diff(np.r_[starts, len(src)])
+        rank = np.arange(len(src), dtype=np.int64) - np.repeat(starts, counts)
+        kf = rank < k
+        return pa.table({"src": src[kf], "dst": dst[kf], "w": w[kf]})
+
+    tagged = _ds(edges).map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby("bucket").map_groups(pick, batch_format="pyarrow")
 
 
 def sort_rowwise(edges, *, ascending: bool = True,

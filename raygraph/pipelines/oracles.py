@@ -842,3 +842,10 @@ UNION ALL
 SELECT id, 'audio', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(n AS BIGINT), s
 FROM apx
 ORDER BY media_id"""
+
+ORACLES["selectk_first"] = f"""WITH {_E}
+SELECT src, dst, round(w, 6) AS w FROM (
+  SELECT src, dst, w,
+         row_number() OVER (PARTITION BY src ORDER BY dst ASC) AS rn
+  FROM e
+) WHERE rn <= 2 ORDER BY src, dst"""

@@ -1090,3 +1090,15 @@ QUERIES["mxm_masked_dot"] = q_mxm_masked_dot
 QUERIES["assign_submatrix_masked"] = q_assign_submatrix_masked
 QUERIES["dedup_clusters"] = q_dedup_clusters
 QUERIES["media_features"] = q_media_features
+
+
+def q_selectk_first(sf_dir):
+    """selectk how='first' — k entries per row in STORED order (ascending
+    dst; reference ss.selectk 'first', core/ss/matrix.py:3815)."""
+    out = K.selectk_rowwise(_edges_dedup(sf_dir), 2, how="first")
+    t = K.to_table(out, sort_by=None).select(["src", "dst", "w"])
+    t = _round_col(_int64_col(_int64_col(t, "src"), "dst"), "w", 6)
+    return t.sort_by([("src", "ascending"), ("dst", "ascending")])
+
+
+QUERIES["selectk_first"] = q_selectk_first

@@ -800,3 +800,31 @@ def test_element_level_get_set_del_round_trip():
     assert K.matrix_get(m2, 3, 4) == 9.0 and m2.num_rows == 2
     m3 = K.to_table(K.matrix_del(m2, 0, 1), sort_by=None)
     assert K.matrix_get(m3, 0, 1) is None and m3.num_rows == 1
+
+
+def test_selectk_rowwise_first_last_random():
+    """selectk how=first/last (stored order) and deterministic random
+    (reference ss.selectk modes, core/ss/matrix.py:3815)."""
+    import pyarrow as pa
+
+    src = np.array([1, 1, 1, 2, 2], np.uint64)
+    dst = np.array([10, 20, 30, 5, 6], np.uint64)
+    w = np.array([9.0, 1.0, 5.0, 2.0, 3.0])
+    t = pa.table({"src": src, "dst": dst, "w": w})
+
+    def as_set(ds):
+        out = K.to_table(ds, sort_by=None)
+        return {(int(a), int(b)) for a, b in
+                zip(out["src"].to_pylist(), out["dst"].to_pylist())}
+
+    assert as_set(K.selectk_rowwise(t, 2, how="first")) == \
+        {(1, 10), (1, 20), (2, 5), (2, 6)}
+    assert as_set(K.selectk_rowwise(t, 2, how="last")) == \
+        {(1, 30), (1, 20), (2, 5), (2, 6)}
+    assert as_set(K.selectk_rowwise(t, 1, how="largest")) == {(1, 10), (2, 6)}
+    # random: deterministic per seed, k elements per row, seed changes pick
+    r1 = as_set(K.selectk_rowwise(t, 1, how="random", seed=1))
+    r1b = as_set(K.selectk_rowwise(t, 1, how="random", seed=1))
+    assert r1 == r1b and len(r1) == 2
+    rows = {a for a, _ in r1}
+    assert rows == {1, 2}
