@@ -2398,3 +2398,25 @@ def matrix_del(edges, i, j):
         return t.filter(pa.array(~((s == i) & (d == j))))
 
     return _ds(edges).map_batches(drop, batch_format="pyarrow")
+
+
+def mxm_update(c_edges, a_edges, b_edges, semiring: str = "plus_times",
+               *, mask=None, complement: bool = False,
+               value_mask: bool = False, accum: str | None = None,
+               replace: bool = False, mode: str = "auto",
+               stats: dict | None = None,
+               num_buckets: int = _DEFAULT_BUCKETS):
+    """The reference's central matrix update idiom
+    ``C(mask, accum, replace) << A.mxm(B)`` (core/base.py:192-260 applied
+    to a MatrixExpression) as one composition: the masked product runs in
+    the mode-selected mxm (the mask prunes INSIDE the product — dot mode
+    never materializes unmasked C), then the GrB masked-write truth table
+    lands it into C via merge_matrix. The same mask governs both steps,
+    which is exactly the reference semantics: T = A@B computed under the
+    mask, then C(M, accum, replace) << T."""
+    prod = mxm(a_edges, b_edges, semiring, num_buckets,
+               mask=mask, complement=complement, value_mask=value_mask,
+               mode=mode, stats=stats)
+    return merge_matrix(c_edges, prod, mask=mask, complement=complement,
+                        value_mask=value_mask, accum=accum, replace=replace,
+                        num_buckets=num_buckets)

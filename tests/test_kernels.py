@@ -828,3 +828,39 @@ def test_selectk_rowwise_first_last_random():
     assert r1 == r1b and len(r1) == 2
     rows = {a for a, _ in r1}
     assert rows == {1, 2}
+
+
+def test_mxm_update_masked_accum():
+    """C(M, plus) << A.mxm(B) — the reference's central matrix update
+    idiom (core/base.py:192-260): masked product + masked accum write."""
+    import pyarrow as pa
+
+    A = pa.table({"src": np.array([0, 0, 1], np.uint64),
+                  "dst": np.array([1, 2, 2], np.uint64),
+                  "w": np.array([2.0, 3.0, 4.0])})
+    B = pa.table({"src": np.array([1, 2, 2], np.uint64),
+                  "dst": np.array([5, 5, 6], np.uint64),
+                  "w": np.array([10.0, 100.0, 1000.0])})
+    C = pa.table({"src": np.array([0, 9], np.uint64),
+                  "dst": np.array([5, 9], np.uint64),
+                  "w": np.array([1.0, 7.0])})
+    M = pa.table({"src": np.array([0, 9], np.uint64),
+                  "dst": np.array([5, 9], np.uint64),
+                  "w": np.array([1.0, 1.0])})
+    # product under mask: only (0,5) = 2*10 + 3*100 = 320 survives M
+    out = K.to_table(K.mxm_update(C, A, B, "plus_times", mask=M,
+                                  accum="plus"), sort_by=None)
+    got = {(int(a), int(b)): c for a, b, c in
+           zip(out["src"].to_pylist(), out["dst"].to_pylist(),
+               out["w"].to_pylist())}
+    # (0,5): old 1 + product 320 = 321; (9,9): in-mask old with no new
+    # survives under accum (Z = C ⊙ T keeps the union pattern)
+    assert got == {(0, 5): 321.0, (9, 9): 7.0}
+    # replace with no accum: in-mask pattern = T's exactly, out-of-mask
+    # old dropped
+    out2 = K.to_table(K.mxm_update(C, A, B, "plus_times", mask=M,
+                                   replace=True), sort_by=None)
+    got2 = {(int(a), int(b)): c for a, b, c in
+            zip(out2["src"].to_pylist(), out2["dst"].to_pylist(),
+                out2["w"].to_pylist())}
+    assert got2 == {(0, 5): 320.0}

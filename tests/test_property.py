@@ -429,3 +429,56 @@ def test_mxv_value_mask_matches_oracle(m, v, mk, comp, vm):
         _mat_tbl(m), _vec_tbl(v), "plus_times", mask=mtbl,
         mask_complement=comp, mask_value=vm)))
     assert got == want
+
+
+@given(c=sparse_mat(), data=st.data(), acc=st.sampled_from([None, "plus"]),
+       rep=st.booleans(), vm=st.booleans(), comp=st.booleans())
+@_SETTINGS
+def test_assign_submatrix_masked_matches_dict_oracle(c, data, acc, rep, vm, comp):
+    """C(M, accum, replace)[rows, cols] << A with a value mask carrying
+    explicit zeros — GxB_subassign scope: the mask governs only the
+    region, outside-region C is untouched."""
+    rows = [1, 3, 5]
+    cols = [0, 2, 6]
+    sub = data.draw(st.dictionaries(
+        st.tuples(st.integers(0, 2), st.integers(0, 2)),
+        st.integers(1, 9), max_size=6))
+    mcells = data.draw(st.dictionaries(
+        st.tuples(st.sampled_from(rows), st.sampled_from(cols)),
+        st.integers(0, 2), max_size=9))
+    at = pa.table({
+        "src": np.array([k[0] for k in sub], np.uint64),
+        "dst": np.array([k[1] for k in sub], np.uint64),
+        "w": np.array([float(v) for v in sub.values()], np.float64),
+    })
+    mt = pa.table({
+        "src": np.array([k[0] for k in mcells], np.uint64),
+        "dst": np.array([k[1] for k in mcells], np.uint64),
+        "w": np.array([float(v) for v in mcells.values()], np.float64),
+    })
+    region = {(i, j) for i in rows for j in cols}
+    mapped = {(rows[p], cols[q]): float(v) for (p, q), v in sub.items()}
+    want = {k: float(v) for k, v in c.items() if k not in region}
+    for key in region:
+        in_o, in_n = key in c, key in mapped
+        allowed = key in mcells and (not vm or mcells[key] != 0)
+        if comp:
+            allowed = not allowed
+        in_n = in_n and allowed
+        if acc is None:
+            in_o = in_o and ((not allowed) or in_n)
+        if rep:
+            in_o = in_o and allowed
+        if not (in_o or in_n):
+            continue
+        if in_o and in_n and acc is not None:
+            want[key] = float(c[key]) + mapped[key]
+        elif in_n:
+            want[key] = mapped[key]
+        else:
+            want[key] = float(c[key])
+    got = _mat_dict(K.to_table(K.assign_submatrix(
+        _mat_tbl(c), np.array(rows, np.uint64), np.array(cols, np.uint64), at,
+        accum=acc, mask=mt, value_mask=vm, complement=comp, replace=rep),
+        sort_by=None))
+    assert got == want
