@@ -510,3 +510,41 @@ def media_features(media_ds, *, concurrency=(1, 4), batch_size: int = 256):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def _synth_video_dims(mid: int) -> tuple[int, int, int]:
+    """(w, h, n_frames) for the deterministic synth video id."""
+    return 8 + mid % 5, 6 + mid % 3, 2 + (mid * 3) % 5
+
+
+def synth_video_payload(mid: int) -> bytes:
+    w, h, nf = _synth_video_dims(mid)
+    frames = []
+    for f in range(nf):
+        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+        frames.append(((x * 3 + y * 5 + c * 7 + mid * 11 + f * 13) % 256)
+                      .astype(np.uint8))
+    return encode_rawv(frames)
+
+
+def synth_video_table(n: int = 12) -> pa.Table:
+    """n REAL multi-frame RAWV payloads — frame count and every pixel
+    recomputable from the id alone (SQL-oracle-checkable)."""
+    ids = np.arange(n, dtype=np.int64)
+    payloads, durs = [], []
+    for mid in ids:
+        mid = int(mid)
+        _, _, nf = _synth_video_dims(mid)
+        payloads.append(synth_video_payload(mid))
+        durs.append(nf * 1000)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(["video"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta_width": pa.array(np.asarray([_synth_video_dims(int(i))[0] for i in ids], np.int32)),
+            "meta_height": pa.array(np.asarray([_synth_video_dims(int(i))[1] for i in ids], np.int32)),
+            "meta_duration_ms": pa.array(np.asarray(durs, np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )

@@ -849,3 +849,36 @@ SELECT src, dst, round(w, 6) AS w FROM (
          row_number() OVER (PARTITION BY src ORDER BY dst ASC) AS rn
   FROM e
 ) WHERE rn <= 2 ORDER BY src, dst"""
+
+# video leg of the codec gate: frame count + Σ pixel over all frames,
+# recomputed from the id alone (pixel = (x*3+y*5+c*7+id*11+f*13)%256,
+# w = 8+id%5, h = 6+id%3, frames = 2+(id*3)%5)
+ORACLES["media_frames"] = """WITH ids AS (
+  SELECT unnest(generate_series(0, 11)) AS id),
+dims AS (SELECT id, 8 + id%5 AS w, 6 + id%3 AS h, 2 + (id*3)%5 AS nf FROM ids),
+px AS (
+  SELECT d.id, d.nf,
+         CAST(sum((X.xx*3 + Y.yy*5 + C.cc*7 + d.id*11 + F.ff*13) % 256)
+              AS BIGINT) AS s
+  FROM dims d,
+       LATERAL (SELECT unnest(generate_series(0, d.nf-1)) AS ff) F,
+       LATERAL (SELECT unnest(generate_series(0, d.w-1)) AS xx) X,
+       LATERAL (SELECT unnest(generate_series(0, d.h-1)) AS yy) Y,
+       LATERAL (SELECT unnest(generate_series(0, 2)) AS cc) C
+  GROUP BY 1, 2)
+SELECT id AS media_id, 'video' AS kind, CAST(nf AS BIGINT) AS n_units,
+       s AS sum_val
+FROM px ORDER BY media_id"""
+
+# C(M, plus) << A.mxm(A) with M = C's structure: product entries at C
+# positions accumulate into C; C entries without a product survive (the
+# accum union); product outside C is masked away
+ORACLES["mxm_update"] = f"""WITH {_E},
+p AS (
+  SELECT a.src AS src, b.dst AS dst, sum(a.w * b.w) AS pw
+  FROM e a JOIN e b ON a.dst = b.src
+  JOIN e m ON m.src = a.src AND m.dst = b.dst
+  GROUP BY 1, 2)
+SELECT e.src, e.dst, round(e.w + coalesce(p.pw, 0), 4) AS w
+FROM e LEFT JOIN p ON p.src = e.src AND p.dst = e.dst
+ORDER BY e.src, e.dst"""

@@ -1102,3 +1102,31 @@ def q_selectk_first(sf_dir):
 
 
 QUERIES["selectk_first"] = q_selectk_first
+
+
+def q_media_frames(sf_dir):
+    """Real RAWV multi-frame video decode through the actor-pool feature
+    stage: per-video frame count and total pixel sum, integer-exact
+    against a generate_series SQL oracle — the video leg of the codec
+    gate (media_features covers image/audio)."""
+    from raygraph.datapipe.media import media_features, synth_video_table
+
+    ds = _rd().from_arrow(synth_video_table(12))
+    t = K.to_table(media_features(ds, concurrency=(1, 2)), sort_by=None)
+    t = t.select(["media_id", "kind", "n_units", "sum_val"])
+    return t.sort_by([("media_id", "ascending")])
+
+
+def q_mxm_update(sf_dir):
+    """C(M, plus) << A.mxm(A) with M = C's own structure — the central
+    reference update idiom end-to-end: masked product (auto mode) +
+    masked accum write into C."""
+    E = _edges_dedup(sf_dir).materialize()
+    out = K.mxm_update(E, E, E, "plus_times", mask=E, accum="plus")
+    t = K.to_table(out, sort_by=None).select(["src", "dst", "w"])
+    t = _round_col(_int64_col(_int64_col(t, "src"), "dst"), "w", 4)
+    return t.sort_by([("src", "ascending"), ("dst", "ascending")])
+
+
+QUERIES["media_frames"] = q_media_frames
+QUERIES["mxm_update"] = q_mxm_update
