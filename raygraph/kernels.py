@@ -2150,11 +2150,11 @@ def vector_agg(x, names: list[str], col: str = "val") -> dict:
             "maxabs": pa.array([float(np.abs(a).max())]),
             "nnz": pa.array([int((a != 0).sum())], pa.int64()),
             "minval": pa.array([float(a[imin])]),
-            "minarg": pa.array([int(v[imin])], pa.int64()),
+            "minarg": pa.array([int(v[imin])], pa.uint64()),
             "maxval": pa.array([float(a[imax])]),
-            "maxarg": pa.array([int(v[imax])], pa.int64()),
-            "minidx": pa.array([int(v.min())], pa.int64()),
-            "maxidx": pa.array([int(v.max())], pa.int64()),
+            "maxarg": pa.array([int(v[imax])], pa.uint64()),
+            "minidx": pa.array([int(v.min())], pa.uint64()),
+            "maxidx": pa.array([int(v.max())], pa.uint64()),
             "firstval": pa.array([float(a[ifirst])]),
             "lastval": pa.array([float(a[ilast])]),
             "sumlog": pa.array([sumlog]),

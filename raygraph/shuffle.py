@@ -24,6 +24,24 @@ import pyarrow as pa
 
 
 def _split_by_part(tbl: pa.Table, P: int):
+    if not isinstance(tbl, pa.Table):
+        # blocks produced by pandas-format map_groups stages can surface
+        # as DataFrames from to_arrow_refs at high parallelism
+        import pandas as pd
+
+        if isinstance(tbl, pd.DataFrame):
+            tbl = pa.Table.from_pandas(tbl, preserve_index=False)
+        else:  # pragma: no cover - unknown block type
+            tbl = pa.table(tbl)
+    cols = tbl.column_names
+    if "part" not in cols:
+        # an EMPTY upstream block can lose its schema entirely (Ray
+        # map_groups emits zero-column empties; seen at high
+        # parallelism where some input block held no rows) — nothing to
+        # route. A non-empty block without ``part`` is a caller bug.
+        if len(tbl) == 0:
+            return [None] * P
+        raise KeyError(f"exchange input block lacks 'part' column: {cols}")
     part = np.asarray(tbl["part"].to_numpy(zero_copy_only=False))
     order = np.argsort(part, kind="stable")
     tbl = tbl.take(pa.array(order))
