@@ -107,6 +107,12 @@ def run_bench() -> dict:
             if hasattr(m, "free_caches"):
                 m.free_caches()
 
+    # quiet targets are tuned at 32 cpus; on the low-cpu scaling legs the
+    # same absolute target is unreachable (the job is legitimately slower),
+    # so scale it by 32/N — sub-linear actual scaling makes the scaled
+    # target generous there, which just means retry stops early.
+    qt_scale = max(1.0, 32.0 / NUM_CPUS)
+
     def staged(name: str, fn, n: int | None = None,
                quiet_target: float | None = None, quiet_budget: float = 0.0):
         """min-of-N samples; with quiet_target set, keep resampling (within
@@ -114,6 +120,8 @@ def run_bench() -> dict:
         target — so a stage whose steady-state best is known isn't recorded
         only at loud-window speed. The membw stamps make a budget-exhausted
         record self-evidencing (no quiet window occurred)."""
+        if quiet_target is not None:
+            quiet_target *= qt_scale
         samples, bws, result = [], [], None
 
         def one_sample():
@@ -152,13 +160,18 @@ def run_bench() -> dict:
             pages, concurrency=(1, max(4, NUM_CPUS - 2)))
         return extracted, links.materialize(), verts.materialize()
 
-    extracted, links, verts = staged("extract", do_extract)
+    # retry-until-quiet on the two largest e2e components (steady-state
+    # bests 18.5 s / 16.6 s, loud-window samples 5-7x that): the same
+    # treatment pagerank/symmetrize/cc/bfs already get, so the driver
+    # record reflects engine speed rather than which host window it hit.
+    extracted, links, verts = staged("extract", do_extract,
+                                     quiet_target=37.0, quiet_budget=240.0)
 
     def do_build():
         return build_graph(links, vertices_ds=verts, num_parts=P,
                            dup_op="plus", binarize=True)
 
-    g = staged("build", do_build)
+    g = staged("build", do_build, quiet_target=33.0, quiet_budget=180.0)
     q["extract_build"] = round(q["extract"] + q["build"], 3)
 
     def do_pagerank():
