@@ -53,7 +53,9 @@ def cmd_run(args):
 
     t0 = time.perf_counter()
     pages = rd.read_parquet(args.pages)
-    extracted, links, verts = edges_from_pages(pages, concurrency=(1, args.extract_actors))
+    urls = rd.read_parquet(args.pages, columns=["url"])
+    extracted, links, verts = edges_from_pages(
+        pages, concurrency=(1, args.extract_actors), urls_ds=urls)
     sym = args.algo in ("cc", "lpa", "triangles")
     g = build_graph(
         links,
