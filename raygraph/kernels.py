@@ -1706,33 +1706,88 @@ def _mxm_wedge(a_edges, b_edges, sr, num_buckets, mask, complement):
     )
 
 
+# Sparse-mask broadcast threshold for _mxm_dot: masks at or under this
+# many entries have their distinct row/col ids shipped once via ray.put
+# (≤64 MB per key array at the limit) and A/B prefiltered with a linear
+# searchsorted scan — no full-input shuffle at all. Module-level so tests
+# can pin it to 0 and exercise the exchange path on small fixtures.
+MXM_DOT_BROADCAST_MAX = 8_000_000
+
+
 def _mxm_dot(a_edges, b_edges, sr, mask, num_buckets):
     """Mask-driven dot-product mode: compute C ONLY at mask positions —
     the scale path when ``nnz(mask)·avg_rowdeg(A) ≪ wedge count`` (what
     SuiteSparse's masked-product mode selection picks for sparse masks;
     reference core/matrix.py:2206 + core/mask.py:131-200 semantics).
 
-    Two bucketed exchanges, neither wedge-bound:
-      1. bucket mask entries (i,j) and A rows (i,k) by mix64(i); per
-         bucket, fan each mask entry out across A's row-i adjacency →
+    When the mask has ≤ :data:`MXM_DOT_BROADCAST_MAX` entries, its
+    distinct row ids are broadcast once (``ray.put``) and A is
+    pre-filtered to ``src ∈ mask.i`` in one vectorized ``map_batches``
+    scan — a semi-join that never shuffles the full input; likewise B is
+    pre-filtered to ``src ∈ {k of the expanded queries}``. The exchanges
+    below then move only ``O(Σ_{(i,j)∈M} deg_A(i))`` rows. Partitioning
+    assumption: the broadcast regime IS the dot regime — a mask too
+    large to broadcast falls through to the full bucketed exchange, and
+    auto mode would usually have picked wedge mode for it anyway.
+
+    Three explicit hash exchanges (raw-task :func:`raygraph.shuffle.exchange`
+    — an integer-keyed routing problem; a ``groupby().map_groups`` here
+    pays Ray's full sort machinery, measured 10-27 s of pure sort
+    overhead per stage on a 139M-edge input), none wedge-bound:
+      1. route mask entries (i,j) and A rows (i,k) by mix64(i); per
+         part, fan each mask entry out across A's row-i adjacency →
          rows (j, i, k, a_ik). Volume = Σ_{(i,j)∈M} deg_A(i), logged by
          the caller via _match_cost — NOT Σ_k in·out over hubs.
-      2. bucket those rows AND B entries (k,j) by mix64(j); per bucket,
-         intersect on (j,k) with one vectorized dense-encoded
-         searchsorted, ⊗ the matched pairs, ⊕-reduce per (i,j). All k
-         contributions of a given (i,j) live in one j-bucket, so the
-         reduce completes here — no third shuffle.
+      2. route those rows AND B entries (k,j) by mix64(k) — the
+         CONTRACTION index, never j: web-graph dst ids are Zipf-hubbed
+         and a j-keyed part puts every row of a hub column into one
+         task (measured 28 s straggler), while out-degree (src) is
+         bounded for web pages. Per part, intersect on (k,j) with one
+         vectorized dense-encoded searchsorted, ⊗ the matched pairs,
+         partial-⊕ per (i,j).
+      3. route the (pre-combined) partials by pair-hash(i,j) and finish
+         the ⊕ — volume ≤ the matched-pair stream.
     """
+    import ray as _ray
+    import ray.data as _rd
+
+    from raygraph.shuffle import exchange, refs_to_dataset
+
     monoid = sr.monoid
     _empty = pa.table({"src": pa.array([], pa.uint64()),
                        "dst": pa.array([], pa.uint64()),
                        "w": pa.array([], pa.float64())})
+    P = int(num_buckets)
+
+    def _semijoin(keys_ref, col):
+        def fn(t: pa.Table) -> pa.Table:
+            keys = _ray.get(keys_ref)  # plasma read, zero-copy per task
+            if len(keys) == 0:
+                return t.slice(0, 0)
+            v = np.asarray(t[col].to_numpy(zero_copy_only=False),
+                           np.uint64)
+            pos = np.searchsorted(keys, v)
+            ok = (pos < len(keys)) & (
+                keys[np.minimum(pos, len(keys) - 1)] == v)
+            return t.filter(pa.array(ok))
+        return fn
+
+    # ---- stage 0 (sparse-mask fast path): broadcast-semijoin prefilter ----
+    mask = _ds(mask).materialize()
+    bcast = mask.count() <= MXM_DOT_BROADCAST_MAX
+    if bcast:
+        mis = [np.asarray(b["src"].to_numpy(zero_copy_only=False), np.uint64)
+               for b in mask.select_columns(["src"]).iter_batches(
+                   batch_format="pyarrow")]
+        mi = np.unique(np.concatenate(mis)) if mis else np.empty(0, np.uint64)
+        a_edges = _ds(a_edges).map_batches(_semijoin(_ray.put(mi), "src"),
+                                           batch_format="pyarrow")
 
     # ---- stage 1: attach A's row adjacency to each mask entry ----
     def tag_a(t: pa.Table) -> pa.Table:
         i = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
         return pa.table({
-            "bucket": (mix64(i) % np.uint64(num_buckets)).astype(np.int32),
+            "part": (mix64(i) % np.uint64(P)).astype(np.int32),
             "i": i,
             "jk": np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64),
             "x": np.asarray(t["w"].to_numpy(zero_copy_only=False), np.float64),
@@ -1742,15 +1797,12 @@ def _mxm_dot(a_edges, b_edges, sr, mask, num_buckets):
     def tag_m(t: pa.Table) -> pa.Table:
         i = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
         return pa.table({
-            "bucket": (mix64(i) % np.uint64(num_buckets)).astype(np.int32),
+            "part": (mix64(i) % np.uint64(P)).astype(np.int32),
             "i": i,
             "jk": np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64),
             "x": np.zeros(len(i), np.float64),
             "side": np.ones(len(i), np.int8),
         })
-
-    u1 = _ds(a_edges).map_batches(tag_a, batch_format="pyarrow").union(
-        _ds(mask).map_batches(tag_m, batch_format="pyarrow"))
 
     def expand(g: pa.Table) -> pa.Table:
         i = np.asarray(g["i"].to_numpy(zero_copy_only=False), np.uint64)
@@ -1758,7 +1810,7 @@ def _mxm_dot(a_edges, b_edges, sr, mask, num_buckets):
         x = np.asarray(g["x"].to_numpy(zero_copy_only=False), np.float64)
         side = np.asarray(g["side"].to_numpy(zero_copy_only=False), np.int8)
         ism = side == 1
-        empty = pa.table({"bucket": pa.array([], pa.int32()),
+        empty = pa.table({"part": pa.array([], pa.int32()),
                           "j": pa.array([], pa.uint64()),
                           "i": pa.array([], pa.uint64()),
                           "k": pa.array([], pa.uint64()),
@@ -1779,28 +1831,49 @@ def _mxm_dot(a_edges, b_edges, sr, mask, num_buckets):
         rep = np.repeat(np.arange(len(mi)), cnt)      # which mask entry
         offs = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
         src_a = np.repeat(left, cnt) + offs           # which A row
-        j_out = mj[rep]
+        k_out = ak[src_a]
         return pa.table({
-            "bucket": (mix64(j_out) % np.uint64(num_buckets)).astype(np.int32),
-            "j": j_out, "i": mi[rep], "k": ak[src_a], "x": aw[src_a],
+            "part": (mix64(k_out) % np.uint64(P)).astype(np.int32),
+            "j": mj[rep], "i": mi[rep], "k": k_out, "x": aw[src_a],
             "side": np.zeros(tot, np.int8),
         })
 
-    queries = u1.groupby("bucket").map_groups(expand, batch_format="pyarrow")
+    q_refs = exchange(
+        [_ds(a_edges).map_batches(tag_a, batch_format="pyarrow"),
+         mask.map_batches(tag_m, batch_format="pyarrow")],
+        P, expand)
+    queries = refs_to_dataset(q_refs)
+    if queries is None:
+        return _rd.from_arrow(_empty)
 
-    # ---- stage 2: intersect with B on (j,k), reduce per (i,j) ----
+    if bcast:
+        # second prefilter: B rows can match only k values that actually
+        # occur in the expanded queries — ship those once and scan B
+        # linearly (uniform src key, no full-table shuffle lost to hubs).
+        ks = [np.asarray(b["k"].to_numpy(zero_copy_only=False), np.uint64)
+              for b in queries.select_columns(["k"]).iter_batches(
+                  batch_format="pyarrow")]
+        uk = np.unique(np.concatenate(ks)) if ks else np.empty(0, np.uint64)
+        if len(uk) <= MXM_DOT_BROADCAST_MAX:
+            b_edges = _ds(b_edges).map_batches(
+                _semijoin(_ray.put(uk), "src"), batch_format="pyarrow")
+
+    # ---- stage 2: intersect with B on (k,j), partial ⊕ per (i,j) ----
     def tag_b(t: pa.Table) -> pa.Table:
-        j = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        k = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
         return pa.table({
-            "bucket": (mix64(j) % np.uint64(num_buckets)).astype(np.int32),
-            "j": j,
-            "i": np.zeros(len(j), np.uint64),
-            "k": np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64),
+            "part": (mix64(k) % np.uint64(P)).astype(np.int32),
+            "j": np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64),
+            "i": np.zeros(len(k), np.uint64),
+            "k": k,
             "x": np.asarray(t["w"].to_numpy(zero_copy_only=False), np.float64),
-            "side": np.ones(len(j), np.int8),
+            "side": np.ones(len(k), np.int8),
         })
 
-    u2 = queries.union(_ds(b_edges).map_batches(tag_b, batch_format="pyarrow"))
+    _partial_empty = pa.table({"part": pa.array([], pa.int32()),
+                               "src": pa.array([], pa.uint64()),
+                               "dst": pa.array([], pa.uint64()),
+                               "w": pa.array([], pa.float64())})
 
     def dot(g: pa.Table) -> pa.Table:
         j = np.asarray(g["j"].to_numpy(zero_copy_only=False), np.uint64)
@@ -1812,26 +1885,54 @@ def _mxm_dot(a_edges, b_edges, sr, mask, num_buckets):
         qj, qi, qk, qx = j[~isb], i[~isb], k[~isb], x[~isb]
         bj, bk, bx = j[isb], k[isb], x[isb]
         if len(qj) == 0 or len(bj) == 0:
-            return _empty
-        # dense-encode (j, k) within the bucket so the pair join is ONE
+            return _partial_empty
+        # dense-encode (k, j) within the part so the pair join is ONE
         # searchsorted over packed int64 keys (full-range uint64 ids
         # cannot pack directly)
         uj, inv_j = np.unique(np.concatenate([bj, qj]), return_inverse=True)
-        uk, inv_k = np.unique(np.concatenate([bk, qk]), return_inverse=True)
-        if len(uj) >= 2**31 or len(uk) >= 2**31:  # pragma: no cover
-            raise ValueError("_mxm_dot: bucket too large to pair-encode; "
+        uk2, inv_k = np.unique(np.concatenate([bk, qk]), return_inverse=True)
+        if len(uj) >= 2**31 or len(uk2) >= 2**31:  # pragma: no cover
+            raise ValueError("_mxm_dot: part too large to pair-encode; "
                              "raise num_buckets")
         nb = len(bj)
-        key_b = inv_j[:nb].astype(np.int64) * len(uk) + inv_k[:nb]
-        key_q = inv_j[nb:].astype(np.int64) * len(uk) + inv_k[nb:]
+        key_b = inv_k[:nb].astype(np.int64) * len(uj) + inv_j[:nb]
+        key_q = inv_k[nb:].astype(np.int64) * len(uj) + inv_j[nb:]
         order = np.argsort(key_b)
         key_b, bx_s = key_b[order], bx[order]
         pos = np.searchsorted(key_b, key_q)
         ok = (pos < len(key_b)) & (key_b[np.minimum(pos, len(key_b) - 1)] == key_q)
         if not ok.any():
-            return _empty
+            return _partial_empty
         val = np.asarray(sr.binary(qx[ok], bx_s[pos[ok]]), np.float64)
         ri, rj = qi[ok], qj[ok]
+        # in-part partial ⊕ per (i,j); contributions from other k-parts
+        # are combined in the (small) stage-3 exchange below
+        order = np.lexsort((rj, ri))
+        ri, rj, val = ri[order], rj[order], val[order]
+        new = np.r_[True, (ri[1:] != ri[:-1]) | (rj[1:] != rj[:-1])]
+        starts = np.flatnonzero(new)
+        ri, rj = ri[starts], rj[starts]
+        w = monoid.ufunc.reduceat(val, starts)
+        with np.errstate(over="ignore"):
+            pp = (mix64(ri * np.uint64(0x9E3779B97F4A7C15) ^ rj)
+                  % np.uint64(P)).astype(np.int32)
+        return pa.table({"part": pp, "src": ri, "dst": rj, "w": w})
+
+    p_refs = exchange(
+        [queries, _ds(b_edges).map_batches(tag_b, batch_format="pyarrow")],
+        P, dot)
+    partials = refs_to_dataset(p_refs)
+    if partials is None:
+        return _rd.from_arrow(_empty)
+
+    # ---- stage 3: ⊕-combine per (i,j) across k-parts (volume ≤ the
+    # matched-pair stream, already pre-combined per part) ----
+    def combine(g: pa.Table) -> pa.Table:
+        ri = np.asarray(g["src"].to_numpy(zero_copy_only=False), np.uint64)
+        rj = np.asarray(g["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        val = np.asarray(g["w"].to_numpy(zero_copy_only=False), np.float64)
+        if len(ri) == 0:
+            return _empty
         order = np.lexsort((rj, ri))
         ri, rj, val = ri[order], rj[order], val[order]
         new = np.r_[True, (ri[1:] != ri[:-1]) | (rj[1:] != rj[:-1])]
@@ -1839,7 +1940,9 @@ def _mxm_dot(a_edges, b_edges, sr, mask, num_buckets):
         return pa.table({"src": ri[starts], "dst": rj[starts],
                          "w": monoid.ufunc.reduceat(val, starts)})
 
-    return u2.groupby("bucket").map_groups(dot, batch_format="pyarrow")
+    out_refs = exchange([partials], P, combine)
+    out = refs_to_dataset(out_refs)
+    return out if out is not None else _rd.from_arrow(_empty)
 
 
 def mxm(a_edges, b_edges, semiring: str = "plus_times",

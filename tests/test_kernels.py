@@ -370,6 +370,34 @@ def test_mxm_masked_and_complement():
     assert len(got_m) + len(got_c) == full.num_rows
 
 
+def test_mxm_dot_broadcast_and_exchange_paths_agree():
+    """dot mode has two internal shapes — the broadcast-semijoin prefilter
+    (sparse masks) and the full bucketed exchange (masks too large to
+    broadcast). Pin the threshold to 0 to force the exchange path and
+    check both match wedge mode bit-for-bit."""
+    def as_dict(tbl):
+        df = tbl.to_pandas()
+        return {(int(r["src"]), int(r["dst"])): r["w"]
+                for _, r in df.iterrows()}
+
+    want = as_dict(K.to_table(
+        K.mxm(EDGES7, EDGES7, "plus_times", mask=EDGES7, mode="wedge"),
+        sort_by=None))
+    got_bcast = as_dict(K.to_table(
+        K.mxm(EDGES7, EDGES7, "plus_times", mask=EDGES7, mode="dot"),
+        sort_by=None))
+    assert got_bcast == want
+    old = K.MXM_DOT_BROADCAST_MAX
+    K.MXM_DOT_BROADCAST_MAX = 0
+    try:
+        got_exch = as_dict(K.to_table(
+            K.mxm(EDGES7, EDGES7, "plus_times", mask=EDGES7, mode="dot"),
+            sort_by=None))
+    finally:
+        K.MXM_DOT_BROADCAST_MAX = old
+    assert got_exch == want
+
+
 def test_diag_round_trip_and_inner_outer():
     v = _vec([1, 3], [2.0, 5.0])
     d = K.to_table(K.diag_matrix(v), sort_by=None)
