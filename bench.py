@@ -237,16 +237,13 @@ def run_bench() -> dict:
     from raygraph import kernels as _K
     from raygraph.util import mix64 as _mix64b
 
-    def _with_w(t):
-        import pyarrow as _pa
-        import numpy as _np
-
-        return _pa.table({"src": t["src"], "dst": t["dst"],
-                          "w": _np.ones(t.num_rows, _np.float64)})
-
     def do_mxm_dot_web():
-        lw = links.map_batches(_with_w, batch_format="pyarrow")
-
+        # links is already materialized and pattern-only; mxm treats a
+        # missing ``w`` column as weight-1.0 structure, so no +8 B/row
+        # all-ones copy of the 139M-edge table is ever derived (the
+        # earlier _with_w map re-executed on every lazy consumption —
+        # five full-table derivations across auto mode — and spilled
+        # the object store to disk exhaustion mid-bench).
         def to_mask(t):
             import numpy as _np
             import pyarrow as _pa
@@ -258,9 +255,9 @@ def run_bench() -> dict:
                         % _np.uint64(8192)) == 0
             return t.filter(_pa.array(keep))
 
-        mask = lw.map_batches(to_mask, batch_format="pyarrow").materialize()
+        mask = links.map_batches(to_mask, batch_format="pyarrow").materialize()
         stats = {"mask_nnz": mask.count()}
-        out = _K.mxm(lw, lw, "plus_times", mask=mask, mode="auto",
+        out = _K.mxm(links, links, "plus_times", mask=mask, mode="auto",
                      stats=stats).materialize()
         return out.count(), stats
 

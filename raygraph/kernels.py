@@ -36,6 +36,16 @@ from raygraph.util import mix64
 _DEFAULT_BUCKETS = 64
 
 
+def _wcol(t: "pa.Table") -> "np.ndarray":
+    """Edge weights of a batch; a table without a ``w`` column is a
+    pattern-only (GrB_BOOL structure) matrix — weight 1.0 everywhere.
+    Lets mxm/mxv consume binarized link tables directly instead of
+    forcing the caller to materialize a +8 B/row all-ones copy."""
+    if "w" in t.column_names:
+        return np.asarray(t["w"].to_numpy(zero_copy_only=False), np.float64)
+    return np.ones(t.num_rows, np.float64)
+
+
 def _ds(x):
     import ray.data as rd
 
@@ -1505,13 +1515,55 @@ def reshape_matrix(edges, ncols_old: int, ncols_new: int):
 
 
 def _match_cost(x, x_key: str, y, y_key: str,
-                num_buckets: int = _DEFAULT_BUCKETS) -> int:
+                num_buckets: int = _DEFAULT_BUCKETS,
+                x_count: int | None = None) -> int:
     """Exact Σ_k cx(k)·cy(k) over keys present on both sides — the cost
     model for mxm mode selection (wedge count / dot-mode intermediate
     rows). One bucketed co-group over per-batch pre-combined (key, count)
     partials; each bucket emits a single scalar, the driver sums ≤
     num_buckets rows. Metadata-scale: the shuffle carries counts, never
-    the edges themselves."""
+    the edges themselves.
+
+    When the caller knows x is small (``x_count`` ≤
+    :data:`MXM_DOT_BROADCAST_MAX`, e.g. x = a sparse mask), x's merged
+    (key, count) table is gathered once, broadcast via ``ray.put``, and
+    y is scanned in a single pass emitting ONE partial scalar per batch
+    — no exchange at all."""
+    if x_count is not None and x_count <= MXM_DOT_BROADCAST_MAX:
+        import ray as _ray
+
+        kparts, cparts = [], []
+        for b in _ds(x).select_columns([x_key]).iter_batches(
+                batch_format="pyarrow"):
+            k = np.asarray(b[x_key].to_numpy(zero_copy_only=False),
+                           np.uint64)
+            uk, cnt = np.unique(k, return_counts=True)
+            kparts.append(uk)
+            cparts.append(cnt.astype(np.int64))
+        if not kparts:
+            return 0
+        kx = np.concatenate(kparts)
+        order = np.argsort(kx)
+        kx, cx = kx[order], np.concatenate(cparts)[order]
+        starts = np.flatnonzero(np.r_[True, kx[1:] != kx[:-1]])
+        kx = kx[starts]
+        cx = np.add.reduceat(cx, starts)
+        ref = _ray.put((kx, cx))
+
+        def partial(t: pa.Table) -> pa.Table:
+            kxx, cxx = _ray.get(ref)
+            k = np.asarray(t[y_key].to_numpy(zero_copy_only=False),
+                           np.uint64)
+            uk, cnt = np.unique(k, return_counts=True)
+            pos = np.searchsorted(kxx, uk)
+            ok = (pos < len(kxx)) & (
+                kxx[np.minimum(pos, len(kxx) - 1)] == uk)
+            tot = int((cxx[pos[ok]] * cnt[ok]).sum())
+            return pa.table({"t": pa.array([tot], pa.int64())})
+
+        rows = _ds(y).map_batches(partial,
+                                  batch_format="pyarrow").take_all()
+        return int(sum(r["t"] for r in rows))
 
     def counts(ds, key_col: str, side: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -1519,14 +1571,12 @@ def _match_cost(x, x_key: str, y, y_key: str,
                            np.uint64)
             uk, cnt = np.unique(k, return_counts=True)
             return pa.table({
-                "bucket": (mix64(uk) % np.uint64(num_buckets)).astype(np.int32),
+                "part": (mix64(uk) % np.uint64(num_buckets)).astype(np.int32),
                 "k": uk, "c": cnt.astype(np.int64),
                 "side": np.full(len(uk), side, np.int8),
             })
 
         return _ds(ds).map_batches(fn, batch_format="pyarrow")
-
-    u = counts(x, x_key, 0).union(counts(y, y_key, 1))
 
     def agg(g: pa.Table) -> pa.Table:
         k = np.asarray(g["k"].to_numpy(zero_copy_only=False), np.uint64)
@@ -1551,8 +1601,18 @@ def _match_cost(x, x_key: str, y, y_key: str,
         total = int((cx[pos[ok]] * cy[ok]).sum())
         return pa.table({"t": pa.array([total], pa.int64())})
 
-    rows = u.groupby("bucket").map_groups(agg, batch_format="pyarrow").take_all()
-    return int(sum(r["t"] for r in rows))
+    # integer-keyed routing: the raw-task exchange instead of a Ray
+    # sort-shuffle — the per-batch count partials still total ~1 row per
+    # distinct key per block (hundreds of MB at 139M edges), which is
+    # real sort volume but only 64 trivially-summable packets here.
+    import ray as _ray
+
+    from raygraph.shuffle import exchange
+
+    refs = exchange([counts(x, x_key, 0), counts(y, y_key, 1)],
+                    num_buckets, agg)
+    return int(sum(int(t["t"][0].as_py())
+                   for t in _ray.get([r for r in refs if r is not None])))
 
 
 def _mxm_wedge(a_edges, b_edges, sr, num_buckets, mask, complement):
@@ -1573,7 +1633,7 @@ def _mxm_wedge(a_edges, b_edges, sr, num_buckets, mask, complement):
                     "bucket": (mix64(k) % np.uint64(num_buckets)).astype(np.int32),
                     "k": k,
                     "o": np.asarray(other.to_numpy(zero_copy_only=False), np.uint64),
-                    "w": np.asarray(t["w"].to_numpy(zero_copy_only=False), np.float64),
+                    "w": _wcol(t),
                     "side": np.full(t.num_rows, side, np.int8),
                 }
             )
@@ -1790,7 +1850,7 @@ def _mxm_dot(a_edges, b_edges, sr, mask, num_buckets):
             "part": (mix64(i) % np.uint64(P)).astype(np.int32),
             "i": i,
             "jk": np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64),
-            "x": np.asarray(t["w"].to_numpy(zero_copy_only=False), np.float64),
+            "x": _wcol(t),
             "side": np.zeros(len(i), np.int8),
         })
 
@@ -1866,7 +1926,7 @@ def _mxm_dot(a_edges, b_edges, sr, mask, num_buckets):
             "j": np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64),
             "i": np.zeros(len(k), np.uint64),
             "k": k,
-            "x": np.asarray(t["w"].to_numpy(zero_copy_only=False), np.float64),
+            "x": _wcol(t),
             "side": np.ones(len(k), np.int8),
         })
 
@@ -1991,7 +2051,8 @@ def mxm(a_edges, b_edges, semiring: str = "plus_times",
         # wedge rows = Σ_k din_A(k)·dout_B(k); dot rows = Σ_{(i,j)∈M} deg_A(i)
         mask = _ds(mask).materialize()  # consumed by estimate + product
         est_wedges = _match_cost(a_edges, "dst", b_edges, "src", num_buckets)
-        est_dot = _match_cost(mask, "src", a_edges, "src", num_buckets)
+        est_dot = _match_cost(mask, "src", a_edges, "src", num_buckets,
+                              x_count=mask.count())
         mode = "dot" if est_dot < est_wedges else "wedge"
         if stats is not None:
             stats.update({"mode": mode, "est_wedges": est_wedges,

@@ -398,6 +398,25 @@ def test_mxm_dot_broadcast_and_exchange_paths_agree():
     assert got_exch == want
 
 
+def test_mxm_pattern_only_inputs():
+    """Edge tables without a ``w`` column are pattern-only (weight 1.0) —
+    both execution modes and the mask side accept them."""
+    import pyarrow as pa
+
+    pat = EDGES7.select(["src", "dst"])
+    ones = pat.append_column("w", pa.array(np.ones(pat.num_rows)))
+    def as_set(tbl):
+        df = tbl.to_pandas()
+        return {(int(r["src"]), int(r["dst"]), r["w"]) for _, r in df.iterrows()}
+    want = as_set(K.to_table(
+        K.mxm(ones, ones, "plus_times", mask=ones, mode="wedge"), sort_by=None))
+    got_w = as_set(K.to_table(
+        K.mxm(pat, pat, "plus_times", mask=pat, mode="wedge"), sort_by=None))
+    got_d = as_set(K.to_table(
+        K.mxm(pat, pat, "plus_times", mask=pat, mode="dot"), sort_by=None))
+    assert got_w == want and got_d == want
+
+
 def test_diag_round_trip_and_inner_outer():
     v = _vec([1, 3], [2.0, 5.0])
     d = K.to_table(K.diag_matrix(v), sort_by=None)
