@@ -244,18 +244,45 @@ def run_bench() -> dict:
         # earlier _with_w map re-executed on every lazy consumption —
         # five full-table derivations across auto mode — and spilled
         # the object store to disk exhaustion mid-bench).
-        def to_mask(t):
-            import numpy as _np
-            import pyarrow as _pa
+        #
+        # The mask samples positions by VERTEX, not by edge: this corpus
+        # has catalog-style hub pages with ~400k outlinks, so an
+        # edge-sampled mask lands ~40% of its rows on hub srcs and
+        # Σ_{(i,j)∈M} deg_A(i) measures 3.0e9 — a ~100 GB intermediate in
+        # EITHER mode (the cost model correctly detects it: est_dot 3.0e9
+        # vs est_wedges 6.4e9). A C(M)<<A@B user mask names vertex pairs,
+        # so uniform-by-vertex is both the realistic and the
+        # dot-regime-defining shape: est_dot ≈ nnz(mask)·avg_deg.
+        def vert_sample(col, mod):
+            def fn(t):
+                import numpy as _np
+                import pyarrow as _pa
 
-            s = _np.asarray(t["src"].to_numpy(zero_copy_only=False), _np.uint64)
-            d = _np.asarray(t["dst"].to_numpy(zero_copy_only=False), _np.uint64)
-            with _np.errstate(over="ignore"):
-                keep = (_mix64b(s * _np.uint64(0x9E3779B97F4A7C15) ^ d)
-                        % _np.uint64(8192)) == 0
-            return t.filter(_pa.array(keep))
+                v = _np.unique(_np.asarray(
+                    t[col].to_numpy(zero_copy_only=False), _np.uint64))
+                v = v[(_mix64b(v) % _np.uint64(mod)) == 0]
+                return _pa.table({"v": v})
+            return fn
 
-        mask = links.map_batches(to_mask, batch_format="pyarrow").materialize()
+        import numpy as _np
+        import pyarrow as _pa
+        import ray.data as _rd
+
+        si = _np.unique(_np.concatenate([
+            _np.asarray(b["v"].to_numpy(zero_copy_only=False), _np.uint64)
+            for b in links.map_batches(vert_sample("src", 199),
+                                       batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")] or
+            [_np.empty(0, _np.uint64)]))
+        dj = _np.unique(_np.concatenate([
+            _np.asarray(b["v"].to_numpy(zero_copy_only=False), _np.uint64)
+            for b in links.map_batches(vert_sample("dst", 257),
+                                       batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")] or
+            [_np.empty(0, _np.uint64)]))
+        n = min(len(si), len(dj))
+        mask = _rd.from_arrow(_pa.table(
+            {"src": si[:n], "dst": dj[:n]})).materialize()
         stats = {"mask_nnz": mask.count()}
         out = _K.mxm(links, links, "plus_times", mask=mask, mode="auto",
                      stats=stats).materialize()

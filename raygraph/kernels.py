@@ -1618,10 +1618,27 @@ def _match_cost(x, x_key: str, y, y_key: str,
 def _mxm_wedge(a_edges, b_edges, sr, num_buckets, mask, complement):
     """Gustavson-style masked/unmasked product: join A ⋈ B on the
     contraction key k, locally ⊕-combine partials per (i,j), and apply
-    the (structural) mask inside the second shuffle's combine — the
+    the (structural) mask inside the second hop's combine — the
     unmasked C is never materialized, but the intermediate is
-    wedge-volume bound (use _mxm_dot when the mask is sparse)."""
+    wedge-volume bound (use _mxm_dot when the mask is sparse).
+
+    Both hops are raw-task hash exchanges (:func:`raygraph.shuffle.exchange`)
+    — integer-keyed routing; Ray's sort machinery added tens of seconds
+    of pure overhead per hop at 139M-edge scale."""
+    import ray.data as _rd
+
+    from raygraph.shuffle import exchange, refs_to_dataset
+
     monoid = sr.monoid
+    P = int(num_buckets)
+    _empty = pa.table({"src": pa.array([], pa.uint64()),
+                       "dst": pa.array([], pa.uint64()),
+                       "w": pa.array([], pa.float64())})
+
+    def pb_of(s: np.ndarray, d: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return (mix64(s * np.uint64(0x9E3779B97F4A7C15) ^ d)
+                    % np.uint64(P)).astype(np.int32)
 
     def tag(ds, side):
         def fn(t: pa.Table) -> pa.Table:
@@ -1630,7 +1647,7 @@ def _mxm_wedge(a_edges, b_edges, sr, num_buckets, mask, complement):
             other = t["src" if side == 0 else "dst"]
             return pa.table(
                 {
-                    "bucket": (mix64(k) % np.uint64(num_buckets)).astype(np.int32),
+                    "part": (mix64(k) % np.uint64(P)).astype(np.int32),
                     "k": k,
                     "o": np.asarray(other.to_numpy(zero_copy_only=False), np.uint64),
                     "w": _wcol(t),
@@ -1640,19 +1657,25 @@ def _mxm_wedge(a_edges, b_edges, sr, num_buckets, mask, complement):
 
         return _ds(ds).map_batches(fn, batch_format="pyarrow")
 
+    masked = mask is not None
+    _join_empty_cols = {"part": pa.array([], pa.int32()),
+                        "src": pa.array([], pa.uint64()),
+                        "dst": pa.array([], pa.uint64()),
+                        "w": pa.array([], pa.float64())}
+    if masked:
+        _join_empty_cols["kind"] = pa.array([], pa.int8())
+    _join_empty = pa.table(_join_empty_cols)
+
     def join(g: pa.Table) -> pa.Table:
         k = np.asarray(g["k"].to_numpy(zero_copy_only=False), np.uint64)
         o = np.asarray(g["o"].to_numpy(zero_copy_only=False), np.uint64)
         w = np.asarray(g["w"].to_numpy(zero_copy_only=False), np.float64)
         side = np.asarray(g["side"].to_numpy(zero_copy_only=False), np.int8)
-        empty = pa.table({"src": pa.array([], pa.uint64()),
-                          "dst": pa.array([], pa.uint64()),
-                          "w": pa.array([], pa.float64())})
         isb = side == 1
         ka, oa, wa = k[~isb], o[~isb], w[~isb]
         kb, ob, wb = k[isb], o[isb], w[isb]
         if len(ka) == 0 or len(kb) == 0:
-            return empty
+            return _join_empty
         # sorted-expansion join on k (≈2x a pandas hash merge at wedge
         # volumes, and no DataFrame materialization)
         order_b = np.argsort(kb, kind="stable")
@@ -1662,75 +1685,63 @@ def _mxm_wedge(a_edges, b_edges, sr, num_buckets, mask, complement):
         cnt = right - left
         tot = int(cnt.sum())
         if tot == 0:
-            return empty
+            return _join_empty
         rep = np.repeat(np.arange(len(ka)), cnt)
         offs = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
         bidx = np.repeat(left, cnt) + offs
         i = oa[rep]
         j = ob[bidx]
         val = np.asarray(sr.binary(wa[rep], wb[bidx]), np.float64)
-        # local ⊕-combine per (i, j) before the second shuffle
+        # local ⊕-combine per (i, j) before the second hop
         order = np.lexsort((j, i))
         i, j, val = i[order], j[order], val[order]
         new = np.r_[True, (i[1:] != i[:-1]) | (j[1:] != j[:-1])]
         starts = np.flatnonzero(new)
+        i, j = i[starts], j[starts]
         val = monoid.ufunc.reduceat(val, starts)
-        return pa.table({"src": i[starts], "dst": j[starts], "w": val})
+        cols = {"part": pb_of(i, j), "src": i, "dst": j, "w": val}
+        if masked:
+            cols["kind"] = np.zeros(len(i), np.int8)
+        return pa.table(cols)
 
-    u = tag(a_edges, 0).union(tag(b_edges, 1))
-
-    partial = u.groupby("bucket").map_groups(join, batch_format="pyarrow")
-
-    # final combine per (src,dst) — coarse-bucketed vectorized reduce
-    def pb_of(s: np.ndarray, d: np.ndarray) -> np.ndarray:
-        with np.errstate(over="ignore"):
-            return (mix64(s * np.uint64(0x9E3779B97F4A7C15) ^ d)
-                    % np.uint64(num_buckets)).astype(np.int32)
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
-        d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
-        t = t.append_column("_pb", pa.array(pb_of(s, d)))
-        if mask is not None:
-            t = t.append_column("kind", pa.array(np.zeros(t.num_rows, np.int8)))
-        return t
+    p_refs = exchange([tag(a_edges, 0), tag(b_edges, 1)], P, join)
+    partial = refs_to_dataset(p_refs)
+    if partial is None:
+        return _rd.from_arrow(_empty)
 
     def tag_mask(t: pa.Table) -> pa.Table:
         s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
         d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
         return pa.table({
+            "part": pb_of(s, d),
             "src": s, "dst": d,
             "w": np.zeros(len(s), np.float64),
-            "_pb": pb_of(s, d),
             "kind": np.ones(len(s), np.int8),
         })
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        s = g["src"].to_numpy(np.uint64)
-        d = g["dst"].to_numpy(np.uint64)
-        w = g["w"].to_numpy(np.float64)
+    def final(g: pa.Table) -> pa.Table:
+        s = np.asarray(g["src"].to_numpy(zero_copy_only=False), np.uint64)
+        d = np.asarray(g["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        w = np.asarray(g["w"].to_numpy(zero_copy_only=False), np.float64)
         if len(s) == 0:
-            return pd.DataFrame({"src": s, "dst": d, "w": w})
+            return _empty
         order = np.lexsort((d, s))
         s, d, w = s[order], d[order], w[order]
         new = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])]
         starts = np.flatnonzero(new)
-        return pd.DataFrame({"src": s[starts], "dst": d[starts],
-                             "w": monoid.ufunc.reduceat(w, starts)})
+        return pa.table({"src": s[starts], "dst": d[starts],
+                         "w": monoid.ufunc.reduceat(w, starts)})
 
-    def final_masked(g: pd.DataFrame) -> pd.DataFrame:
+    def final_masked(g: pa.Table) -> pa.Table:
         """Structural-mask reduce: a (src,dst) survives iff it has ≥1
         product row AND (has a mask row) != complement; mask rows carry
         no value."""
-        s = g["src"].to_numpy(np.uint64)
-        d = g["dst"].to_numpy(np.uint64)
-        w = g["w"].to_numpy(np.float64)
-        k = g["kind"].to_numpy(np.int8)
-        empty = pd.DataFrame({"src": np.empty(0, np.uint64),
-                              "dst": np.empty(0, np.uint64),
-                              "w": np.empty(0, np.float64)})
+        s = np.asarray(g["src"].to_numpy(zero_copy_only=False), np.uint64)
+        d = np.asarray(g["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        w = np.asarray(g["w"].to_numpy(zero_copy_only=False), np.float64)
+        k = np.asarray(g["kind"].to_numpy(zero_copy_only=False), np.int8)
         if len(s) == 0:
-            return empty
+            return _empty
         order = np.lexsort((d, s))
         s, d, w, k = s[order], d[order], w[order], k[order]
         new = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])]
@@ -1742,7 +1753,7 @@ def _mxm_wedge(a_edges, b_edges, sr, num_buckets, mask, complement):
         # reduce over product rows only (sorted order preserved)
         pm = k == 0
         if not pm.any():
-            return empty
+            return _empty
         sp, dp, wp = s[pm], d[pm], w[pm]
         pnew = np.r_[True, (sp[1:] != sp[:-1]) | (dp[1:] != dp[:-1])]
         pstarts = np.flatnonzero(pnew)
@@ -1750,20 +1761,16 @@ def _mxm_wedge(a_edges, b_edges, sr, num_buckets, mask, complement):
         # product groups appear in the same (s,d) order as groups with
         # n_prod>0 — align keep onto them
         keep_pg = keep[n_prod > 0]
-        return pd.DataFrame({"src": sp[pstarts][keep_pg],
-                             "dst": dp[pstarts][keep_pg],
-                             "w": vals[keep_pg]})
+        return pa.table({"src": sp[pstarts][keep_pg],
+                         "dst": dp[pstarts][keep_pg],
+                         "w": vals[keep_pg]})
 
-    tagged = partial.map_batches(add_bucket, batch_format="pyarrow")
-    if mask is None:
-        return tagged.groupby("_pb").map_groups(final, batch_format="pandas")
+    if not masked:
+        out = refs_to_dataset(exchange([partial], P, final))
+        return out if out is not None else _rd.from_arrow(_empty)
     mtag = _ds(mask).map_batches(tag_mask, batch_format="pyarrow")
-    return (
-        tagged.select_columns(["src", "dst", "w", "_pb", "kind"])
-        .union(mtag)
-        .groupby("_pb")
-        .map_groups(final_masked, batch_format="pandas")
-    )
+    out = refs_to_dataset(exchange([partial, mtag], P, final_masked))
+    return out if out is not None else _rd.from_arrow(_empty)
 
 
 # Sparse-mask broadcast threshold for _mxm_dot: masks at or under this
