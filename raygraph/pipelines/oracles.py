@@ -882,3 +882,32 @@ p AS (
 SELECT e.src, e.dst, round(e.w + coalesce(p.pw, 0), 4) AS w
 FROM e LEFT JOIN p ON p.src = e.src AND p.dst = e.dst
 ORDER BY e.src, e.dst"""
+
+# FC64 SpMV: complex product (w + i*n) * (re + i*im), grouped complex sum.
+# re/im component sums are separable; products written in numpy's exact
+# (ac - bd, ad + bc) form so both sides round identically.
+ORACLES["complex_mxv"] = f"""WITH {_E}, {_SUPP},
+sc AS (SELECT v, val AS re, CAST(v AS DOUBLE) / 100 AS im FROM sv)
+SELECT e.src AS v,
+       round(sum(e.w * sc.re - CAST(e.n AS DOUBLE) * sc.im), 4) AS re,
+       round(sum(e.w * sc.im + CAST(e.n AS DOUBLE) * sc.re), 4) AS im
+FROM e JOIN sc ON sc.v = e.dst GROUP BY 1 ORDER BY v"""
+
+ORACLES["complex_ewise"] = f"""WITH {_SUPP}, {_CUST},
+sc AS (SELECT v, val AS re, CAST(v AS DOUBLE) / 100 AS im FROM sv),
+cc AS (SELECT v, val AS re, (CAST(v AS DOUBLE) + 1) / 50 AS im FROM cv)
+SELECT sc.v AS v,
+       round(sc.re * cc.re - sc.im * cc.im, 4) AS re,
+       round(sc.re * cc.im + sc.im * cc.re, 4) AS im
+FROM sc JOIN cc ON cc.v = sc.v ORDER BY v"""
+
+# UDT (x:int-count, y:float-sum) ewise UDF: x adds, y multiplies
+ORACLES["udt_ewise"] = """WITH
+sa AS (SELECT s_suppkey % 211 AS v, count(*) AS x,
+              round(sum(s_acctbal), 6) AS y
+       FROM supplier GROUP BY 1),
+cb AS (SELECT c_custkey % 211 AS v, count(*) AS x,
+              round(sum(c_acctbal), 6) AS y
+       FROM customer GROUP BY 1)
+SELECT sa.v AS v, sa.x + cb.x AS x, round(sa.y * cb.y, 4) AS y
+FROM sa JOIN cb ON cb.v = sa.v ORDER BY v"""

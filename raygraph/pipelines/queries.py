@@ -1130,3 +1130,88 @@ def q_mxm_update(sf_dir):
 
 QUERIES["media_frames"] = q_media_frames
 QUERIES["mxm_update"] = q_mxm_update
+
+
+# ------------------------------------------------ complex / UDT (round 4) ----
+
+
+def _supplier_cvec(sf_dir):
+    """Supplier vector lifted to FC64: re = acctbal sum, im = v/100."""
+    t = _supplier_vec(sf_dir)
+    v = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.uint64)
+    val = np.asarray(t["val"].to_numpy(zero_copy_only=False), np.float64)
+    return pa.table({"v": v, "re": val, "im": v.astype(np.float64) / 100.0})
+
+
+def _customer_cvec(sf_dir):
+    t = _customer_vec(sf_dir)
+    v = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.uint64)
+    val = np.asarray(t["val"].to_numpy(zero_copy_only=False), np.float64)
+    return pa.table({"v": v, "re": val,
+                     "im": (v.astype(np.float64) + 1.0) / 50.0})
+
+
+def q_complex_mxv(sf_dir):
+    """FC64 SpMV (reference complex dtypes, core/dtypes.py:68-83): the g1
+    matrix lifted to complex (re = w, im = dup count n) times the complex
+    supplier vector, plus_times over complex128."""
+    from raygraph import multival as MV
+
+    def lift(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t["src"], "dst": t["dst"],
+            "re": t["w"],
+            "im": np.asarray(t["n"].to_numpy(zero_copy_only=False),
+                             np.float64),
+        })
+
+    ce = _edges_dedup(sf_dir).map_batches(lift, batch_format="pyarrow")
+    out = K.to_table(MV.mxv_c(ce, _supplier_cvec(sf_dir)), sort_by=None)
+    out = _round_col(_round_col(_int64_col(out, "v"), "re", 4), "im", 4)
+    return out.sort_by([("v", "ascending")])
+
+
+def q_complex_ewise(sf_dir):
+    """FC64 ewise_mult(times) of the supplier and customer complex
+    vectors — intersection join with one vectorized complex multiply —
+    then apply 'creal'/'cimag' splits the product back to columns."""
+    from raygraph import multival as MV
+
+    out = MV.ewise_mult_c(_supplier_cvec(sf_dir), _customer_cvec(sf_dir),
+                          "times")
+    t = K.to_table(out, sort_by=None)
+    t = _round_col(_round_col(_int64_col(t, "v"), "re", 4), "im", 4)
+    return t.sort_by([("v", "ascending")])
+
+
+def q_udt_ewise(sf_dir):
+    """UDT struct values (reference dtypes.register_new, numpy structured
+    dtypes): vectors with a 2-field struct value (x = row count,
+    y = acctbal sum) combined by a UDF ewise op (x adds, y multiplies)."""
+    from raygraph import multival as MV
+
+    def uvec(table, key, val):
+        t = pq.read_table(f"{sf_dir}/{table}.parquet", columns=[key, val])
+        v = (np.asarray(t[key].to_numpy(zero_copy_only=False)) % MOD).astype(np.uint64)
+        x = np.asarray(t[val].to_numpy(zero_copy_only=False), np.float64)
+        order = np.argsort(v, kind="stable")
+        v, x = v[order], x[order]
+        starts = np.flatnonzero(np.r_[True, v[1:] != v[:-1]])
+        cnt = np.diff(np.r_[starts, len(v)]).astype(np.float64)
+        return pa.table({"v": v[starts], "x": cnt,
+                         "y": np.round(np.add.reduceat(x, starts), 6)})
+
+    a = uvec("supplier", "s_suppkey", "s_acctbal")
+    b = uvec("customer", "c_custkey", "c_acctbal")
+
+    def fn(da, db):
+        return {"x": da["x"] + db["x"], "y": da["y"] * db["y"]}
+
+    t = K.to_table(MV.ewise_udt(a, b, fn, ("x", "y")), sort_by=None)
+    t = _round_col(_int64_col(_int64_col(t, "v"), "x"), "y", 4)
+    return t.sort_by([("v", "ascending")])
+
+
+QUERIES["complex_mxv"] = q_complex_mxv
+QUERIES["complex_ewise"] = q_complex_ewise
+QUERIES["udt_ewise"] = q_udt_ewise

@@ -1,0 +1,163 @@
+"""Complex (FC64) and UDT struct-value kernels vs numpy dict oracles."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raygraph import multival as MV
+from raygraph.kernels import to_table
+
+
+def _cvec(rng, n, idspace=200):
+    v = np.sort(rng.choice(idspace, size=n, replace=False)).astype(np.uint64)
+    return pa.table({
+        "v": v,
+        "re": np.round(rng.normal(size=n), 6),
+        "im": np.round(rng.normal(size=n), 6),
+    })
+
+
+def _as_dict(t: pa.Table) -> dict:
+    v = t["v"].to_numpy(zero_copy_only=False)
+    z = (t["re"].to_numpy(zero_copy_only=False)
+         + 1j * t["im"].to_numpy(zero_copy_only=False))
+    return dict(zip(v.tolist(), z.tolist()))
+
+
+@pytest.mark.parametrize("op", ["plus", "times", "minus"])
+def test_ewise_add_c_union_semantics(op):
+    rng = np.random.default_rng(7)
+    a, b = _cvec(rng, 60), _cvec(rng, 45)
+    got = _as_dict(to_table(MV.ewise_add_c(a, b, op)))
+    da, db = _as_dict(a), _as_dict(b)
+    f = {"plus": lambda x, y: x + y, "times": lambda x, y: x * y,
+         "minus": lambda x, y: x - y}[op]
+    want = {}
+    for k in set(da) | set(db):
+        if k in da and k in db:
+            want[k] = f(da[k], db[k])
+        else:
+            want[k] = da.get(k, db.get(k))
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+def test_ewise_mult_c_intersection():
+    rng = np.random.default_rng(11)
+    a, b = _cvec(rng, 50), _cvec(rng, 50)
+    got = _as_dict(to_table(MV.ewise_mult_c(a, b, "times")))
+    da, db = _as_dict(a), _as_dict(b)
+    want = {k: da[k] * db[k] for k in set(da) & set(db)}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+def test_apply_c_complex_and_real_results():
+    rng = np.random.default_rng(13)
+    a = _cvec(rng, 40)
+    da = _as_dict(a)
+    conj = _as_dict(to_table(MV.apply_c(a, "conj")))
+    assert conj == {k: np.conjugate(z) for k, z in da.items()}
+    t = to_table(MV.apply_c(a, "abs"))
+    assert t.column_names == ["v", "val"]
+    got = dict(zip(t["v"].to_numpy(zero_copy_only=False).tolist(),
+                   t["val"].to_numpy(zero_copy_only=False).tolist()))
+    for k, z in da.items():
+        assert got[k] == pytest.approx(abs(z), abs=1e-12)
+    arg = to_table(MV.apply_c(a, "carg"))
+    gota = dict(zip(arg["v"].to_numpy(zero_copy_only=False).tolist(),
+                    arg["val"].to_numpy(zero_copy_only=False).tolist()))
+    for k, z in da.items():
+        assert gota[k] == pytest.approx(np.angle(z), abs=1e-12)
+
+
+@pytest.mark.parametrize("num_buckets", [3, 64])
+def test_mxv_c_vs_dense_numpy(num_buckets):
+    rng = np.random.default_rng(17)
+    n = 64
+    nnz = 400
+    src = rng.integers(0, n, nnz).astype(np.uint64)
+    dst = rng.integers(0, n, nnz).astype(np.uint64)
+    re = np.round(rng.normal(size=nnz), 6)
+    im = np.round(rng.normal(size=nnz), 6)
+    edges = pa.table({"src": src, "dst": dst, "re": re, "im": im})
+    vec = _cvec(rng, 40, idspace=n)
+    A = np.zeros((n, n), np.complex128)
+    # duplicate (src,dst) entries sum, matching from_coo dup_op=plus
+    np.add.at(A, (src, dst), re + 1j * im)
+    x = np.zeros(n, np.complex128)
+    xm = np.zeros(n, bool)
+    for k, z in _as_dict(vec).items():
+        x[k], xm[k] = z, True
+    want_full = A[:, xm] @ x[xm]
+    rows_with_match = np.zeros(n, bool)
+    np.logical_or.at(rows_with_match, src[xm[dst]], True)
+    got = to_table(MV.mxv_c(edges, vec, num_buckets=num_buckets))
+    gd = _as_dict(got)
+    assert set(gd) == set(np.flatnonzero(rows_with_match).tolist())
+    for k, z in gd.items():
+        assert z == pytest.approx(want_full[k], abs=1e-9)
+
+
+def test_reduce_scalar_c():
+    rng = np.random.default_rng(19)
+    a = _cvec(rng, 30)
+    da = _as_dict(a)
+    got = MV.reduce_scalar_c(a)
+    assert got == pytest.approx(sum(da.values()), abs=1e-9)
+
+
+def test_ewise_udt_intersection_and_union():
+    rng = np.random.default_rng(23)
+    n = 50
+
+    def uvec(m):
+        v = np.sort(rng.choice(150, size=m, replace=False)).astype(np.uint64)
+        return pa.table({"v": v,
+                         "x": rng.integers(0, 100, m).astype(np.float64),
+                         "y": np.round(rng.normal(size=m), 6)})
+
+    a, b = uvec(n), uvec(n - 10)
+
+    def fn(da, db):
+        return {"x": da["x"] + db["x"], "y": da["y"] * db["y"]}
+
+    def tod(t):
+        return {int(r["v"]): (r["x"], r["y"])
+                for r in t.to_pylist()}
+
+    da, db = tod(a), tod(b)
+    got = tod(to_table(MV.ewise_udt(a, b, fn, ("x", "y"))))
+    want = {k: (da[k][0] + db[k][0], da[k][1] * db[k][1])
+            for k in set(da) & set(db)}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+    gotu = tod(to_table(MV.ewise_udt(a, b, fn, ("x", "y"), union=True)))
+    assert set(gotu) == set(da) | set(db)
+    for k in gotu:
+        if k in da and k in db:
+            assert gotu[k] == pytest.approx(want[k], abs=1e-12)
+        else:
+            assert gotu[k] == pytest.approx(da.get(k, db.get(k)), abs=1e-12)
+
+
+def test_apply_udt():
+    rng = np.random.default_rng(29)
+    v = np.arange(20, dtype=np.uint64)
+    t = pa.table({"v": v,
+                  "x": rng.integers(1, 9, 20).astype(np.float64),
+                  "y": rng.normal(size=20)})
+
+    out = to_table(MV.apply_udt(
+        t, lambda d: {"norm": np.hypot(d["x"], d["y"])},
+        ("x", "y"), ("norm",)))
+    got = dict(zip(out["v"].to_numpy(zero_copy_only=False).tolist(),
+                   out["norm"].to_numpy(zero_copy_only=False).tolist()))
+    x = t["x"].to_numpy(zero_copy_only=False)
+    y = t["y"].to_numpy(zero_copy_only=False)
+    for i in range(20):
+        assert got[i] == pytest.approx(float(np.hypot(x[i], y[i])), abs=1e-12)
