@@ -259,3 +259,95 @@ def vector_from_pairs(pairs, *, dup_op: str = "raise") -> pa.Table:
         return pa.table({"v": v, "val": x})
     k, s = local_combine(MONOID[dup_op], v, x)
     return pa.table({"v": k, "val": s})
+
+
+# ------------------------------------------- pydata-sparse / awkward ----
+# (reference io.py to_pydata_sparse/from_pydata_sparse and
+# to_awkward/from_awkward, graphblas/io/_sparse.py + _awkward.py —
+# import-gated like the scipy/networkx bridges above; driver-sized)
+
+
+def to_pydata_sparse(edges: pa.Table, *, n: int | None = None):
+    """Edge table -> sparse.COO (pydata/sparse)."""
+    try:
+        import sparse
+    except ImportError as e:  # pragma: no cover - sparse absent
+        raise ImportError("pydata 'sparse' is not installed in this "
+                          "environment") from e
+    src = np.asarray(edges["src"].to_numpy(zero_copy_only=False), np.uint64)
+    dst = np.asarray(edges["dst"].to_numpy(zero_copy_only=False), np.uint64)
+    w = (np.asarray(edges["w"].to_numpy(zero_copy_only=False), np.float64)
+         if "w" in edges.column_names else np.ones(len(src)))
+    if n is None:
+        n = int(max(src.max(), dst.max())) + 1 if len(src) else 0
+    return sparse.COO(np.stack([src, dst]).astype(np.intp), w,
+                      shape=(n, n))
+
+
+def from_pydata_sparse(m) -> pa.Table:
+    """sparse.COO / GCXS -> (src, dst, w) edge table."""
+    coo = m.tocoo() if hasattr(m, "tocoo") else m
+    return pa.table({"src": np.asarray(coo.coords[0], np.uint64),
+                     "dst": np.asarray(coo.coords[1], np.uint64),
+                     "w": np.asarray(coo.data, np.float64)})
+
+
+def vector_to_awkward(vec: pa.Table):
+    """Vector -> awkward record array {indices, values}."""
+    try:
+        import awkward as ak
+    except ImportError as e:  # pragma: no cover - awkward absent
+        raise ImportError("awkward is not installed in this "
+                          "environment") from e
+    return ak.Array({
+        "indices": np.asarray(vec["v"].to_numpy(zero_copy_only=False),
+                              np.uint64),
+        "values": np.asarray(vec["val"].to_numpy(zero_copy_only=False)),
+    })
+
+
+def vector_from_awkward(arr) -> pa.Table:
+    """awkward {indices, values} record array -> (v, val) table."""
+    import numpy as _np
+
+    return pa.table({
+        "v": _np.asarray(arr["indices"], _np.uint64),
+        "val": _np.asarray(arr["values"]),
+    })
+
+
+def matrix_to_awkward(edges: pa.Table):
+    """Matrix -> awkward ragged rows {row, cols, vals} (CSR-shaped)."""
+    try:
+        import awkward as ak
+    except ImportError as e:  # pragma: no cover - awkward absent
+        raise ImportError("awkward is not installed in this "
+                          "environment") from e
+    src = np.asarray(edges["src"].to_numpy(zero_copy_only=False), np.uint64)
+    dst = np.asarray(edges["dst"].to_numpy(zero_copy_only=False), np.uint64)
+    w = (np.asarray(edges["w"].to_numpy(zero_copy_only=False), np.float64)
+         if "w" in edges.column_names else np.ones(len(src)))
+    order = np.lexsort((dst, src))
+    src, dst, w = src[order], dst[order], w[order]
+    starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+    offsets = np.r_[starts, len(src)].astype(np.int64)
+    return ak.Array({
+        "row": src[starts],
+        "cols": ak.unflatten(dst, np.diff(offsets)),
+        "vals": ak.unflatten(w, np.diff(offsets)),
+    })
+
+
+def matrix_from_awkward(arr) -> pa.Table:
+    """awkward ragged {row, cols, vals} -> (src, dst, w) table."""
+    import awkward as ak
+    import numpy as _np
+
+    counts = ak.num(arr["cols"])
+    src = _np.repeat(_np.asarray(arr["row"], _np.uint64),
+                     _np.asarray(counts, _np.int64))
+    return pa.table({
+        "src": src,
+        "dst": _np.asarray(ak.flatten(arr["cols"]), _np.uint64),
+        "w": _np.asarray(ak.flatten(arr["vals"]), _np.float64),
+    })

@@ -122,3 +122,37 @@ def test_from_dense_nan_missing_value():
     # non-NaN missing_value still works
     t2 = io.matrix_from_dense(np.array([[0.0, 2.0]]), missing_value=0.0)
     assert t2.num_rows == 1 and t2["w"].to_pylist() == [2.0]
+
+
+def test_pydata_sparse_bridge_gated():
+    edges = pa.table({"src": np.array([0, 1], np.uint64),
+                      "dst": np.array([1, 2], np.uint64),
+                      "w": np.array([2.0, 3.0])})
+    try:
+        import sparse  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError):
+            io.to_pydata_sparse(edges)
+        return
+    m = io.to_pydata_sparse(edges)
+    back = io.from_pydata_sparse(m)
+    assert back.sort_by("src").equals(edges)
+
+
+def test_awkward_bridge_gated():
+    vec = pa.table({"v": np.array([1, 4], np.uint64),
+                    "val": np.array([0.5, 2.5])})
+    edges = pa.table({"src": np.array([0, 0, 2], np.uint64),
+                      "dst": np.array([1, 3, 2], np.uint64),
+                      "w": np.array([1.0, 2.0, 3.0])})
+    try:
+        import awkward  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError):
+            io.vector_to_awkward(vec)
+        with pytest.raises(ImportError):
+            io.matrix_to_awkward(edges)
+        return
+    assert io.vector_from_awkward(io.vector_to_awkward(vec)).equals(vec)
+    back = io.matrix_from_awkward(io.matrix_to_awkward(edges))
+    assert back.sort_by("src").equals(edges)
