@@ -167,13 +167,13 @@ def run_bench() -> dict:
     # treatment pagerank/symmetrize/cc/bfs already get, so the driver
     # record reflects engine speed rather than which host window it hit.
     extracted, links, verts = staged("extract", do_extract,
-                                     quiet_target=37.0, quiet_budget=240.0)
+                                     quiet_target=28.0, quiet_budget=300.0)
 
     def do_build():
         return build_graph(links, vertices_ds=verts, num_parts=P,
                            dup_op="plus", binarize=True)
 
-    g = staged("build", do_build, quiet_target=33.0, quiet_budget=180.0)
+    g = staged("build", do_build, quiet_target=26.0, quiet_budget=240.0)
     q["extract_build"] = round(q["extract"] + q["build"], 3)
 
     def do_pagerank():
@@ -188,7 +188,7 @@ def run_bench() -> dict:
     # a window within 2x of it appears (r3's driver record caught only
     # loud windows at 1.7 GB/s membw; the stamps make a miss self-evident)
     slices, info = staged("pagerank", do_pagerank, n=repeats + 1,
-                          quiet_target=18.0, quiet_budget=180.0)
+                          quiet_target=13.0, quiet_budget=200.0)
     headline = q["extract_build"] + q["pagerank"]
 
     pr_meta = {
@@ -306,7 +306,7 @@ def run_bench() -> dict:
                 quiet_target=9.6, quiet_budget=150.0)
     # cc must not double-count symmetrize (quiet-retry: steady best 6.9 s)
     f, cci = staged("cc", lambda: connected_components(gs, mode="fused"),
-                    quiet_target=13.8, quiet_budget=60.0)
+                    quiet_target=10.5, quiet_budget=90.0)
     pr_meta["cc_rounds"] = cci["iters"]
 
     # release the symmetric graph before BFS runs on the directed one
@@ -326,7 +326,7 @@ def run_bench() -> dict:
                 key=lambda p: degs[p].max() if len(degs[p]) else -1)
     src_v = int(ids[pbest][int(np.argmax(degs[pbest]))])
     dist, bfsi = staged("bfs", lambda: bfs_levels(g, src_v, mode="frontier"),
-                        quiet_target=5.0, quiet_budget=30.0)
+                        quiet_target=4.2, quiet_budget=45.0)
     pr_meta["bfs_rounds"] = bfsi["iters"]
     pr_meta["bfs_edges_traversed"] = bfsi["edges_traversed"]
     pr_meta["bfs_dnnz"] = bfsi["iters"] * g.nnz  # what full relaxation would touch
