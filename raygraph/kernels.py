@@ -26,6 +26,8 @@ handling for raw COO reduce paths).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -33,7 +35,12 @@ import pyarrow as pa
 from raygraph.ops import BINARY, MONOID, SEMIRING, UNARY
 from raygraph.util import mix64
 
-_DEFAULT_BUCKETS = 64
+# Global engine config (reference gb.config, §2.5): the tuning knobs are
+# env-overridable GRAFT_* variables resolved at import (the same pattern
+# graph.py uses for GRAFT_BROADCAST_VERTS_MAX) — a cluster operator
+# re-tunes partitioning/broadcast thresholds per deployment without
+# touching call sites.
+_DEFAULT_BUCKETS = int(os.environ.get("GRAFT_NUM_BUCKETS", "64"))
 
 
 def _wcol(t: "pa.Table") -> "np.ndarray":
@@ -412,7 +419,7 @@ def transpose(edges):
 # above this many vector elements the broadcast fast path is refused and
 # the vector rides the bucketed co-group shuffle instead (~32 MB of
 # (ids, vals) per task fetch at the limit)
-_BROADCAST_MAX = 2_000_000
+_BROADCAST_MAX = int(os.environ.get("GRAFT_MXV_BROADCAST_MAX", "2000000"))
 
 
 def mxv(edges, vec, semiring: str = "plus_times", *, salt: int = 0,
@@ -1778,7 +1785,8 @@ def _mxm_wedge(a_edges, b_edges, sr, num_buckets, mask, complement):
 # (≤64 MB per key array at the limit) and A/B prefiltered with a linear
 # searchsorted scan — no full-input shuffle at all. Module-level so tests
 # can pin it to 0 and exercise the exchange path on small fixtures.
-MXM_DOT_BROADCAST_MAX = 8_000_000
+MXM_DOT_BROADCAST_MAX = int(
+    os.environ.get("GRAFT_MXM_DOT_BROADCAST_MAX", "8000000"))
 
 
 def _mxm_dot(a_edges, b_edges, sr, mask, num_buckets):

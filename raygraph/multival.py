@@ -26,10 +26,8 @@ from typing import Callable
 import numpy as np
 import pyarrow as pa
 
-from raygraph.kernels import _ds
+from raygraph.kernels import _DEFAULT_BUCKETS, _ds
 from raygraph.util import mix64
-
-_DEFAULT_BUCKETS = 64
 
 
 # ------------------------------------------------- generic k-column cogroup --

@@ -161,3 +161,53 @@ def test_apply_udt():
     y = t["y"].to_numpy(zero_copy_only=False)
     for i in range(20):
         assert got[i] == pytest.approx(float(np.hypot(x[i], y[i])), abs=1e-12)
+
+
+# ------------------------------------------------------ property tests ----
+
+
+def test_property_complex_ewise_vs_brute_force():
+    """Randomized trials: ewise add/mult over FC64 vs a dict oracle,
+    across bucket counts (partition-invariance included)."""
+    rng = np.random.default_rng(31)
+    for trial in range(8):
+        na, nb = rng.integers(0, 30, 2)
+        a, b = _cvec(rng, int(na), 60), _cvec(rng, int(nb), 60)
+        da, db = _as_dict(a), _as_dict(b)
+        nbk = int(rng.choice([1, 7, 64]))
+        got_u = _as_dict(to_table(MV.ewise_add_c(a, b, "plus",
+                                                 num_buckets=nbk)))
+        want_u = {k: da.get(k, 0) + db.get(k, 0) if (k in da and k in db)
+                  else da.get(k, db.get(k))
+                  for k in set(da) | set(db)}
+        assert set(got_u) == set(want_u)
+        for k in want_u:
+            assert got_u[k] == pytest.approx(want_u[k], abs=1e-12)
+        got_i = _as_dict(to_table(MV.ewise_mult_c(a, b, "times",
+                                                  num_buckets=nbk)))
+        want_i = {k: da[k] * db[k] for k in set(da) & set(db)}
+        assert set(got_i) == set(want_i)
+        for k in want_i:
+            assert got_i[k] == pytest.approx(want_i[k], abs=1e-12)
+
+
+def test_property_mxv_c_conjugate_symmetry():
+    """A Hermitian-lift identity: (A x)* == conj(A) conj(x) — catches
+    any re/im column swap or sign slip in the complex multiply."""
+    rng = np.random.default_rng(37)
+    n, nnz = 32, 150
+    edges = pa.table({
+        "src": rng.integers(0, n, nnz).astype(np.uint64),
+        "dst": rng.integers(0, n, nnz).astype(np.uint64),
+        "re": rng.normal(size=nnz), "im": rng.normal(size=nnz)})
+    vec = _cvec(rng, 20, idspace=n)
+    lhs = _as_dict(to_table(MV.apply_c(MV.mxv_c(edges, vec), "conj")))
+    cedges = pa.table({"src": edges["src"], "dst": edges["dst"],
+                       "re": edges["re"],
+                       "im": pa.array(-edges["im"].to_numpy(
+                           zero_copy_only=False))})
+    rhs = _as_dict(to_table(MV.mxv_c(cedges, to_table(
+        MV.apply_c(vec, "conj"), sort_by=None))))
+    assert set(lhs) == set(rhs)
+    for k in lhs:
+        assert lhs[k] == pytest.approx(rhs[k], abs=1e-9)
