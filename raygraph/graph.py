@@ -404,33 +404,36 @@ def _build_broadcast(edges_ds, verts, P, *, dup_op, binarize, symmetrize,
     def prep(t: pa.Table) -> pa.Table:
         src = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
         dst = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
-        if "w" in t.column_names:
-            w = np.asarray(t["w"].to_numpy(zero_copy_only=False), np.float64)
-        else:
-            w = np.ones(len(src), np.float64)
+        # weightless input (binarized link tables): do NOT synthesize
+        # 8 B/row of literal ones through the exchange — the reducer
+        # re-derives implicit unit weights after routing
+        has_w = "w" in t.column_names
+        w = (np.asarray(t["w"].to_numpy(zero_copy_only=False), np.float64)
+             if has_w else None)
         if symmetrize:
             src, dst = np.r_[src, dst], np.r_[dst, src]
-            w = np.r_[w, w]
+            w = np.r_[w, w] if has_w else None
         if drop_self:
             keep = src != dst
-            src, dst, w = src[keep], dst[keep], w[keep]
-        return pa.table(
-            {
-                "part": pa.array(part_of(src, P), pa.int32()),
-                "src": pa.array(src, pa.uint64()),
-                "dst": pa.array(dst, pa.uint64()),
-                "w": pa.array(w, pa.float64()),
-            }
-        )
+            src, dst = src[keep], dst[keep]
+            w = w[keep] if has_w else None
+        cols = {
+            "part": pa.array(part_of(src, P), pa.int32()),
+            "src": pa.array(src, pa.uint64()),
+            "dst": pa.array(dst, pa.uint64()),
+        }
+        if has_w:
+            cols["w"] = pa.array(w, pa.float64())
+        return pa.table(cols)
 
     tagged = edges_ds.map_batches(prep, batch_format="pyarrow")
 
-    def csr_fast(g: pa.Table) -> pa.Table:
-        part = int(g["part"][0].as_py())
+    def csr_fast(g: pa.Table, part: int) -> pa.Table:
         ids = ray.get(ids_refs[part])
         es = np.asarray(g["src"].to_numpy(zero_copy_only=False), np.uint64)
         ed = np.asarray(g["dst"].to_numpy(zero_copy_only=False), np.uint64)
-        ew = np.asarray(g["w"].to_numpy(zero_copy_only=False), np.float64)
+        ew = (np.asarray(g["w"].to_numpy(zero_copy_only=False), np.float64)
+              if "w" in g.column_names else np.ones(len(es), np.float64))
         if check_src:
             ok, _ = _member_mask(ids, es)
             es, ed, ew = es[ok], ed[ok], ew[ok]
@@ -446,7 +449,7 @@ def _build_broadcast(edges_ds, verts, P, *, dup_op, binarize, symmetrize,
         edp, edpos = edp[ok_d], edpos[ok_d]
         return _emit_block_table(part, ids, es, ed, ew, edp, edpos, dup_op, binarize)
 
-    block_refs = exchange([tagged], P, csr_fast)
+    block_refs = exchange([tagged], P, csr_fast, part_kwarg="part")
     timings["csr"] = _time.perf_counter() - _t1
 
     # parts with vertices but no out-edges still need their block row

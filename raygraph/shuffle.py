@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 
-def _split_by_part(tbl: pa.Table, P: int):
+def _split_by_part(tbl: pa.Table, P: int, drop_part: bool = False):
     if not isinstance(tbl, pa.Table):
         # blocks produced by pandas-format map_groups stages can surface
         # as DataFrames from to_arrow_refs at high parallelism
@@ -46,6 +46,10 @@ def _split_by_part(tbl: pa.Table, P: int):
     order = np.argsort(part, kind="stable")
     tbl = tbl.take(pa.array(order))
     part = part[order]
+    if drop_part:
+        # the routing key is constant per packet — don't ship 4 B/row of
+        # it through the object store; wave 2 knows its own q
+        tbl = tbl.drop_columns(["part"])
     out = [None] * P
     if len(part):
         starts = np.flatnonzero(np.r_[True, part[1:] != part[:-1]])
@@ -55,25 +59,35 @@ def _split_by_part(tbl: pa.Table, P: int):
     return out
 
 
-def exchange(datasets: list, P: int, fn, *, fn_kwargs: dict | None = None) -> list:
+def exchange(datasets: list, P: int, fn, *, fn_kwargs: dict | None = None,
+             part_kwarg: str | None = None) -> list:
     """Route rows of ``datasets`` (all carrying an int ``part`` column) to
     their partition and apply ``fn(part_table) -> pa.Table`` per partition.
     Returns a list of ObjectRefs to the result tables (empty parts skipped,
-    their slot is None)."""
+    their slot is None).
+
+    ``part_kwarg``: when set, the ``part`` column is DROPPED from every
+    packet before it ships (wave 2 already knows its own partition index)
+    and ``fn`` receives the index as ``fn(tbl, <part_kwarg>=q)`` — 4 B/row
+    less exchange traffic for fns that don't need per-row part values."""
     import ray
 
     fn_kwargs = fn_kwargs or {}
+    drop_part = part_kwarg is not None
 
     split = ray.remote(num_returns=P)(
-        lambda t: tuple(_split_by_part(t, P))
-    ) if P > 1 else ray.remote(lambda t: _split_by_part(t, P)[0])
+        lambda t: tuple(_split_by_part(t, P, drop_part))
+    ) if P > 1 else ray.remote(lambda t: _split_by_part(t, P, drop_part)[0])
 
     @ray.remote(num_returns=2)
-    def apply(*packets):
+    def apply(q, *packets):
         tables = [p for p in packets if p is not None and p.num_rows > 0]
         if not tables:
             return None, 0
-        out = fn(pa.concat_tables(tables, promote_options="permissive"), **fn_kwargs)
+        kw = dict(fn_kwargs)
+        if part_kwarg is not None:
+            kw[part_kwarg] = q
+        out = fn(pa.concat_tables(tables, promote_options="permissive"), **kw)
         return out, (out.num_rows if out is not None else 0)
 
     block_refs: list = []
@@ -85,7 +99,7 @@ def exchange(datasets: list, P: int, fn, *, fn_kwargs: dict | None = None) -> li
         splits = [[s] for s in splits]
     out_refs, n_refs = [], []
     for q in range(P):
-        o, n = apply.remote(*[s[q] for s in splits])
+        o, n = apply.remote(q, *[s[q] for s in splits])
         out_refs.append(o)
         n_refs.append(n)
     # only the tiny per-part row counts come back to the driver; the result
