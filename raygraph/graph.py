@@ -663,6 +663,10 @@ def symmetrize_graph(g: "Graph", *, dup_op: str = "first", binarize: bool = True
     def _cols(tbl, names):
         return {c: np.asarray(tbl[c][0].values) for c in names}
 
+    # binarize discards every weight at emit time — don't ship 8 B/edge
+    # of them through the exchange (same slimming as the build path)
+    ship_w = not binarize
+
     def _reverse_split(tbl, P):
         """Reversed-edge packets by new owner (= old dst_part)."""
         b = _cols(tbl, ("src_pos", "indptr", "dst_part", "dst_pos", "w"))
@@ -676,8 +680,9 @@ def symmetrize_graph(g: "Graph", *, dup_op: str = "first", binarize: bool = True
             ends = np.r_[starts[1:], len(dp_s)]
             for s, e in zip(starts, ends):
                 sel = order[s:e]
-                # (new src_pos, new dst_pos, w); new dst_part = sender const
-                out[int(dp_s[s])] = (dpos[sel], sp_exp[sel], w[sel])
+                # (new src_pos, new dst_pos[, w]); new dst_part = sender
+                out[int(dp_s[s])] = (dpos[sel], sp_exp[sel]) + (
+                    (w[sel],) if ship_w else ())
         return tuple(out) if P > 1 else out[0]
 
     rev = ray.remote(num_returns=P)(_reverse_split) if P > 1 else ray.remote(_reverse_split)
@@ -695,7 +700,8 @@ def symmetrize_graph(g: "Graph", *, dup_op: str = "first", binarize: bool = True
                 sp.append(np.asarray(pk[0], np.int64))
                 dp.append(np.full(len(pk[0]), p, np.int32))
                 dpos.append(np.asarray(pk[1], np.int64))
-                w.append(np.asarray(pk[2], np.float64))
+                w.append(np.asarray(pk[2], np.float64) if len(pk) > 2
+                         else np.ones(len(pk[0]), np.float64))
         return _emit_block_pos(q, ids, np.concatenate(sp), np.concatenate(dp),
                                np.concatenate(dpos), np.concatenate(w),
                                dup_op, binarize, drop_self)
