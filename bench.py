@@ -173,7 +173,7 @@ def run_bench() -> dict:
         return build_graph(links, vertices_ds=verts, num_parts=P,
                            dup_op="plus", binarize=True)
 
-    g = staged("build", do_build, quiet_target=26.0, quiet_budget=240.0)
+    g = staged("build", do_build, quiet_target=18.0, quiet_budget=240.0)
     q["extract_build"] = round(q["extract"] + q["build"], 3)
 
     def do_pagerank():
