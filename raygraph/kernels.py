@@ -32,7 +32,23 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from raygraph.ops import BINARY, MONOID, SEMIRING, UNARY
+from raygraph.ops import BINARY, MONOID, SEMIRING, UNARY, PositionalMul
+
+
+def _mul_vals(sr, a_vals, b_vals, *, fi, fj, si, sj) -> np.ndarray:
+    """Apply a semiring's ⊗ to matched operand pairs.
+
+    ``a_vals``/``b_vals`` are the FIRST/SECOND operand values in the
+    reference's argument order (f(a, b) — matrix-then-vector for mxv,
+    vector-then-matrix for vxm, A-then-B for mxm; reference
+    matrix.py:2163, vector.py:1259).  ``fi/fj/si/sj`` are the positional
+    index arrays (or scalar 0) for that site, consumed only when ⊗ is a
+    :class:`raygraph.ops.PositionalMul` (SuiteSparse ``firsti``-family
+    positional semirings, reference core/operator/base.py:44-90)."""
+    mul = sr.binary
+    if isinstance(mul, PositionalMul):
+        return mul.pick(len(a_vals), fi=fi, fj=fj, si=si, sj=sj)
+    return np.asarray(mul(a_vals, b_vals), np.float64)
 from raygraph.util import mix64
 
 # Global engine config (reference gb.config, §2.5): the tuning knobs are
@@ -477,6 +493,9 @@ def _mxv_cogroup(edges, vec, sr, *, gather_on, reduce_on, salt, num_buckets,
     from raygraph.ops import local_combine
 
     monoid = sr.monoid
+    # vxm gathers on src: the vector is then the FIRST ⊗ operand
+    # (reference vector.py:1259 f(u_i, a_ij) vs matrix.py:2163 f(a_ij, u_j))
+    vec_first = gather_on == "src"
 
     def tag_edges(t: pa.Table) -> pa.Table:
         g = np.asarray(t[gather_on].to_numpy(zero_copy_only=False), np.uint64)
@@ -515,8 +534,12 @@ def _mxv_cogroup(edges, vec, sr, *, gather_on, reduce_on, salt, num_buckets,
             return _EMPTY_VV
         pos = np.searchsorted(vk, ek)
         ok = (pos < len(vk)) & (vk[np.minimum(pos, len(vk) - 1)] == ek)
-        val = np.asarray(sr.binary(ew[ok], vv[pos[ok]]), np.float64)
-        kk, cv = local_combine(monoid, ey[ok], val)
+        ekk, eyy, vvv = ek[ok], ey[ok], vv[pos[ok]]
+        if vec_first:  # vxm: f(u_i, a_ij) — vector is the FIRST operand
+            val = _mul_vals(sr, vvv, ew[ok], fi=0, fj=ekk, si=ekk, sj=eyy)
+        else:          # mxv: f(a_ij, u_j)
+            val = _mul_vals(sr, ew[ok], vvv, fi=eyy, fj=ekk, si=ekk, sj=0)
+        kk, cv = local_combine(monoid, eyy, val)
         return pa.table({"v": kk, "val": cv})
 
     contrib = u.groupby("bucket").map_groups(join, batch_format="pyarrow")
@@ -555,6 +578,7 @@ def _mxv_impl(edges, vec, semiring, *, gather_on, reduce_on, salt,
     from raygraph.ops import local_combine
 
     monoid = sr.monoid
+    vec_first = gather_on == "src"  # vxm: vector is the FIRST ⊗ operand
 
     def scatter(t: pa.Table) -> pa.Table:
         ids, vals = ray.get(ref)
@@ -565,9 +589,12 @@ def _mxv_impl(edges, vec, semiring, *, gather_on, reduce_on, salt,
             return pa.table({"v": pa.array([], pa.uint64()), "val": pa.array([], pa.float64())})
         pos = np.searchsorted(ids, g)
         ok = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == g)
-        r, w, pos = r[ok], w[ok], pos[ok]
+        r, w, g, pos = r[ok], w[ok], g[ok], pos[ok]
         xv = vals[np.minimum(pos, len(vals) - 1)]
-        val = np.asarray(sr.binary(w, xv), np.float64)
+        if vec_first:  # vxm: f(u_i, a_ij)
+            val = _mul_vals(sr, xv, w, fi=0, fj=g, si=g, sj=r)
+        else:          # mxv: f(a_ij, u_j)
+            val = _mul_vals(sr, w, xv, fi=r, fj=g, si=g, sj=0)
         k, v = local_combine(monoid, r, val)  # per-batch combiner
         return pa.table({"v": k, "val": v})
 
@@ -1698,7 +1725,9 @@ def _mxm_wedge(a_edges, b_edges, sr, num_buckets, mask, complement):
         bidx = np.repeat(left, cnt) + offs
         i = oa[rep]
         j = ob[bidx]
-        val = np.asarray(sr.binary(wa[rep], wb[bidx]), np.float64)
+        # f(a_ik, b_kj) with k = ka[rep] (positional firstj/secondi)
+        val = _mul_vals(sr, wa[rep], wb[bidx],
+                        fi=i, fj=ka[rep], si=ka[rep], sj=j)
         # local ⊕-combine per (i, j) before the second hop
         order = np.lexsort((j, i))
         i, j, val = i[order], j[order], val[order]
@@ -1978,8 +2007,9 @@ def _mxm_dot(a_edges, b_edges, sr, mask, num_buckets):
         ok = (pos < len(key_b)) & (key_b[np.minimum(pos, len(key_b) - 1)] == key_q)
         if not ok.any():
             return _partial_empty
-        val = np.asarray(sr.binary(qx[ok], bx_s[pos[ok]]), np.float64)
-        ri, rj = qi[ok], qj[ok]
+        ri, rj, rk = qi[ok], qj[ok], qk[ok]
+        # f(a_ik, b_kj) at mask positions (dot mode)
+        val = _mul_vals(sr, qx[ok], bx_s[pos[ok]], fi=ri, fj=rk, si=rk, sj=rj)
         # in-part partial ⊕ per (i,j); contributions from other k-parts
         # are combined in the (small) stage-3 exchange below
         order = np.lexsort((rj, ri))
@@ -2108,6 +2138,9 @@ def inner(a, b, semiring: str = "plus_times") -> float | None:
     """v.inner(w, semiring) -> scalar (reference vector.py:1609): ⊗ on the
     intersection, global ⊕ reduce."""
     sr = SEMIRING[semiring]
+    if isinstance(sr.binary, PositionalMul):
+        raise NotImplementedError(
+            "positional semirings are supported in mxv/vxm/mxm, not inner")
     mul_name = sr.binary_name or "times"
     prod = ewise_mult(a, b, op_name=mul_name)
     return reduce_scalar(prod, sr.monoid.name, col="val")

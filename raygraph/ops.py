@@ -219,6 +219,39 @@ register_semiring("lxor_land", "lxor", "land")
 register_semiring("bxor_band", "bxor", "band")
 
 
+@dataclass(frozen=True)
+class PositionalMul:
+    """Positional ⊗: the product value is an INDEX of the operands, not
+    their stored values (reference graphblas/core/operator/base.py:44-90 —
+    the SuiteSparse positional semirings ``{min,max,plus,times,any} ×
+    {firsti,firstj,secondi,secondj}[1]``).  A kernel product site calls
+    :meth:`pick` with the four index arrays (or scalar 0) that play
+    first-operand-row / first-operand-col / second-operand-row /
+    second-operand-col *at that site* — for ``mxm`` ``f(a_ik, b_kj)``
+    these are ``(i, k, k, j)``; for ``mxv`` ``f(a_ij, u_j)`` with u as an
+    n×1 column, ``(i, j, j, 0)``; for ``vxm`` ``f(u_i, a_ij)`` with u' as
+    a 1×n row, ``(0, i, i, j)``.  Values themselves are ignored, so
+    pattern-only inputs are enough."""
+
+    which: str  # firsti | firstj | secondi | secondj
+    offset: int = 0
+
+    def pick(self, n: int, *, fi, fj, si, sj) -> np.ndarray:
+        src = {"firsti": fi, "firstj": fj,
+               "secondi": si, "secondj": sj}[self.which]
+        out = np.broadcast_to(np.asarray(src, np.float64), (n,))
+        return out + self.offset if self.offset else out.copy()
+
+
+for _m in ("plus", "min", "max", "any", "times"):
+    for _p in ("firsti", "firstj", "secondi", "secondj"):
+        for _off in (0, 1):
+            _nm = f"{_m}_{_p}" + ("1" if _off else "")
+            SEMIRING[_nm] = Semiring(_nm, MONOID[_m],
+                                     PositionalMul(_p, _off),
+                                     _p + ("1" if _off else ""))
+
+
 def segmented_reduce(ufunc: np.ufunc, values: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
     """Reduce ``values`` over segments given by sorted segment start offsets."""
     if len(values) == 0:

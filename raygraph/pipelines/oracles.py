@@ -911,3 +911,17 @@ cb AS (SELECT c_custkey % 211 AS v, count(*) AS x,
        FROM customer GROUP BY 1)
 SELECT sa.v AS v, sa.x + cb.x AS x, round(sa.y * cb.y, 4) AS y
 FROM sa JOIN cb ON cb.v = sa.v ORDER BY v"""
+
+ORACLES["mxv_positional"] = f"""WITH {_E}, {_SUPP}
+SELECT e.src AS v, round(CAST(min(e.dst) AS DOUBLE), 6) AS val
+FROM e JOIN sv ON sv.v = e.dst GROUP BY 1 ORDER BY v"""
+
+ORACLES["vxm_min_first"] = f"""WITH {_E}, {_SUPP}
+SELECT e.dst AS v, round(min(sv.val), 6) AS val
+FROM e JOIN sv ON sv.v = e.src GROUP BY 1 ORDER BY v"""
+
+ORACLES["mxm_positional"] = f"""WITH {_E}
+SELECT a.src AS src, b.dst AS dst,
+       round(CAST(sum(a.dst + 1) AS DOUBLE), 4) AS w
+FROM e a JOIN e b ON a.dst = b.src
+GROUP BY 1, 2 ORDER BY src, dst"""

@@ -1215,3 +1215,38 @@ def q_udt_ewise(sf_dir):
 QUERIES["complex_mxv"] = q_complex_mxv
 QUERIES["complex_ewise"] = q_complex_ewise
 QUERIES["udt_ewise"] = q_udt_ewise
+
+
+def q_mxv_positional(sf_dir):
+    """Positional semiring min_secondi (reference core/operator/base.py:44-90
+    SuiteSparse GxB positional family): w[i] = min_j j over stored A[i,j]
+    with v[j] present — the ⊗ product is the vector element's INDEX, not
+    its value (the BFS parent-tree building block)."""
+    out = K.mxv(_edges_dedup(sf_dir), _supplier_vec(sf_dir), "min_secondi")
+    return _vv_out(out)
+
+
+def q_vxm_min_first(sf_dir):
+    """vxm with the non-commutative ⊗ `first`: f(u_i, a_ij) = u_i — the
+    VECTOR is the first operand in vxm (reference vector.py:1259), so
+    w[j] = min_i v[i] over in-neighbors i of j present in v.  Locks the
+    vxm operand order (a flipped implementation returns edge weights)."""
+    out = K.vxm(_supplier_vec(sf_dir), _edges_dedup(sf_dir), "min_first")
+    return _vv_out(out)
+
+
+def q_mxm_positional(sf_dir):
+    """Positional mxm plus_firstj1: C[i,j] = Σ_k (k+1) over wedges
+    A[i,k]∧B[k,j] — the product is the CONTRACTION index (1-based), so
+    pattern-only inputs suffice (reference positional semirings,
+    core/operator/base.py:44-90)."""
+    e = _edges_dedup(sf_dir).materialize()
+    out = K.mxm(e, e, "plus_firstj1")
+    t = K.to_table(out, sort_by=None).select(["src", "dst", "w"])
+    t = _round_col(_int64_col(_int64_col(t, "src"), "dst"), "w", 4)
+    return t.sort_by([("src", "ascending"), ("dst", "ascending")])
+
+
+QUERIES["mxv_positional"] = q_mxv_positional
+QUERIES["vxm_min_first"] = q_vxm_min_first
+QUERIES["mxm_positional"] = q_mxm_positional

@@ -911,3 +911,93 @@ def test_mxm_update_masked_accum():
             zip(out2["src"].to_pylist(), out2["dst"].to_pylist(),
                 out2["w"].to_pylist())}
     assert got2 == {(0, 5): 320.0}
+
+
+# ------------------------------------------------- positional semirings ----
+# reference core/operator/base.py:44-90: SuiteSparse GxB positional
+# {min,max,plus,times,any} x {firsti,firstj,secondi,secondj}[1]
+
+
+def test_vxm_noncommutative_operand_order():
+    # vxm is f(u_i, a_ij) — the VECTOR is the first operand (reference
+    # vector.py:1259). Regression: a flipped implementation returns
+    # a_ij - u_i instead of u_i - a_ij.
+    from raygraph.ops import register_semiring
+
+    register_semiring("min_minus", "min", "minus")
+    edges = fx.edge_table([0], [1], [3.0])
+    vec = _vec([0], [10.0])
+    for dist in ("cogroup", "broadcast"):
+        got = _as_dict(K.vxm(vec, edges, "min_minus", distribute=dist))
+        assert got == {1: 7.0}
+        # mxv direction: f(a_ij, u_j) = a - u on the transposed edge
+        got_m = _as_dict(K.mxv(fx.edge_table([1], [0], [3.0]),
+                               vec, "min_minus", distribute=dist))
+        assert got_m == {1: -7.0}
+
+
+def _pos_oracle_mxv(which, off):
+    A = fx.a7_dense()
+    vset = set(fx.V7_IDX.astype(int))
+    out = {}
+    for i in range(7):
+        for j in range(7):
+            if A[i, j] == 0 or j not in vset:
+                continue
+            val = {"firsti": i, "firstj": j, "secondi": j, "secondj": 0}[which] + off
+            out[i] = min(out.get(i, np.inf), float(val))
+    return out
+
+
+@pytest.mark.parametrize("which,off", [("firsti", 0), ("firstj", 1),
+                                       ("secondi", 0), ("secondj", 1)])
+def test_mxv_positional_all_kinds(which, off):
+    name = f"min_{which}" + ("1" if off else "")
+    for dist in ("cogroup", "broadcast"):
+        got = _as_dict(K.mxv(EDGES7, V7, name, distribute=dist))
+        assert got == _pos_oracle_mxv(which, off), (name, dist)
+
+
+def test_vxm_positional_first_is_vector():
+    # vxm f(u_i, a_ij): firstj = i (u' is a 1xn row), secondj = j
+    want_fj = {}
+    want_sj = {}
+    vset = fx.V7_IDX.astype(int)
+    A = fx.a7_dense()
+    for i in vset:
+        for j in range(7):
+            if A[i, j] == 0:
+                continue
+            want_fj[j] = max(want_fj.get(j, -np.inf), float(i))
+            want_sj[j] = max(want_sj.get(j, -np.inf), float(j))
+    assert _as_dict(K.vxm(V7, EDGES7, "max_firstj")) == want_fj
+    assert _as_dict(K.vxm(V7, EDGES7, "max_secondj")) == want_sj
+
+
+def test_mxm_positional_wedge_and_dot_agree():
+    # plus_secondi1: C[i,j] = sum_k (k+1) over wedges — contraction index
+    A = fx.a7_dense() != 0
+    C = {}
+    for i in range(7):
+        for j in range(7):
+            s = sum(k + 1 for k in range(7) if A[i, k] and A[k, j])
+            if s:
+                C[(i, j)] = float(s)
+    wedge = K.to_table(K.mxm(EDGES7, EDGES7, "plus_secondi1"))
+    got_w = {(s, d): w for s, d, w in zip(wedge["src"].to_pylist(),
+                                          wedge["dst"].to_pylist(),
+                                          wedge["w"].to_pylist())}
+    assert got_w == C
+    # dot mode at a full mask must agree with wedge mode
+    mask = fx.edge_table(*zip(*C.keys()), np.ones(len(C)))
+    dot = K.to_table(K.mxm(EDGES7, EDGES7, "plus_secondi1",
+                           mask=rd.from_arrow(mask), mode="dot"))
+    got_d = {(s, d): w for s, d, w in zip(dot["src"].to_pylist(),
+                                          dot["dst"].to_pylist(),
+                                          dot["w"].to_pylist())}
+    assert got_d == C
+
+
+def test_inner_rejects_positional():
+    with pytest.raises(NotImplementedError):
+        K.inner(V7, V7, "plus_firsti")
