@@ -111,6 +111,76 @@ for _n, _f in {
 }.items():
     register_binary(_n, _f)
 
+
+def _bshift(x, k):
+    """GxB_BSHIFT: shift x left by k bits (negative k = right shift)."""
+    x = np.asarray(x, np.uint64)
+    k = np.asarray(k, np.int64)
+    kn = np.where(k >= 0, k, -k).astype(np.uint64)
+    left = np.left_shift(x, np.minimum(kn, 63))
+    right = np.right_shift(x, np.minimum(kn, 63))
+    out = np.where(k >= 0, left, right)
+    return np.where(np.abs(k) > 63, np.uint64(0), out)
+
+
+_comb_ufunc = np.frompyfunc(__import__("math").comb, 2, 1)
+_erf_ufunc = np.frompyfunc(__import__("math").erf, 1, 1)
+_erfc_ufunc = np.frompyfunc(__import__("math").erfc, 1, 1)
+_lgamma_ufunc = np.frompyfunc(__import__("math").lgamma, 1, 1)
+_tgamma_ufunc = np.frompyfunc(__import__("math").gamma, 1, 1)
+
+# named tails of the reference op families (reference
+# core/operator/binary.py:336-368 bget/bset/bclr/bshift/ldexp/lxnor,
+# graphblas/binary/__init__.py:16-24 udf-extras binom/rpow/rfloordiv).
+# binom/erf/erfc/lgamma/tgamma go through math.* per element (the
+# reference equally JITs a scalar Python UDF for its extras); they are
+# convenience ops, not hot-path kernels.
+for _n, _f in {
+    "bget": lambda x, k: (np.asarray(x, np.uint64)
+                          >> np.asarray(k, np.uint64)) & np.uint64(1),
+    "bset": lambda x, k: np.asarray(x, np.uint64)
+                          | (np.uint64(1) << np.asarray(k, np.uint64)),
+    "bclr": lambda x, k: np.asarray(x, np.uint64)
+                          & ~(np.uint64(1) << np.asarray(k, np.uint64)),
+    "bshift": _bshift,
+    "ldexp": np.ldexp,
+    "lxnor": lambda a, b: np.equal(np.asarray(a, bool), np.asarray(b, bool)),
+    "rpow": lambda a, b: np.power(b, a),
+    "rfloordiv": lambda a, b: np.floor_divide(b, a),
+    "binom": lambda n, k: _comb_ufunc(np.asarray(n, np.int64),
+                                      np.asarray(k, np.int64)).astype(np.float64),
+}.items():
+    register_binary(_n, _f)
+
+
+def isclose(rel_tol: float = 1e-7, abs_tol: float = 0.0):
+    """Parameterized comparison factory (reference
+    core/operator/binary.py:244 ``_isclose``): returns a registerable
+    binary ``f(a, b) -> bool`` with the math.isclose contract."""
+
+    def _f(a, b):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        return np.abs(a - b) <= np.maximum(
+            rel_tol * np.maximum(np.abs(a), np.abs(b)), abs_tol)
+
+    return _f
+
+
+register_binary("isclose", isclose())
+
+# ss-only unary tail (reference core/operator/base.py:21-35): erf family
+# via math.* (scipy is absent in this container), frexp via np.frexp.
+for _n, _f in {
+    "erf": lambda x: _erf_ufunc(np.asarray(x, np.float64)).astype(np.float64),
+    "erfc": lambda x: _erfc_ufunc(np.asarray(x, np.float64)).astype(np.float64),
+    "lgamma": lambda x: _lgamma_ufunc(np.asarray(x, np.float64)).astype(np.float64),
+    "tgamma": lambda x: _tgamma_ufunc(np.asarray(x, np.float64)).astype(np.float64),
+    "frexpx": lambda x: np.frexp(np.asarray(x, np.float64))[0],
+    "frexpe": lambda x: np.frexp(np.asarray(x, np.float64))[1].astype(np.float64),
+}.items():
+    register_unary(_n, _f)
+
 # --------------------------------------------------------------- monoid ----
 
 

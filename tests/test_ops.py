@@ -95,3 +95,50 @@ def test_xor_family_monoids():
         x = bools if name == "lxor" else ints.astype(np.uint64)
         np.testing.assert_array_equal(
             m.ufunc(x, np.full(len(x), m.identity, x.dtype)), x)
+
+
+def test_binary_bitwise_tail():
+    import math
+    from raygraph.ops import BINARY
+
+    x = np.array([0b1011, 0b0100, 2**63], np.uint64)
+    k = np.array([1, 2, 62], np.uint64)
+    assert BINARY["bget"](x, k).tolist() == [1, 1, 0]
+    assert BINARY["bset"](x, k).tolist() == [0b1011, 0b0100, 2**63 + 2**62]
+    assert BINARY["bclr"](x, k).tolist() == [0b1001, 0, 2**63]
+    # bshift: negative k shifts right, |k|>63 zeroes
+    xs = np.array([8, 8, 1, 1], np.uint64)
+    ks = np.array([2, -2, 64, -64], np.int64)
+    from raygraph.ops import _bshift
+    assert _bshift(xs, ks).tolist() == [32, 2, 0, 0]
+    assert BINARY["lxnor"](np.array([1, 0, 1]), np.array([1, 1, 0])).tolist() == [
+        True, False, False]
+    assert BINARY["rpow"](np.array([2.0]), np.array([3.0]))[0] == 9.0
+    assert BINARY["rfloordiv"](np.array([2.0]), np.array([7.0]))[0] == 3.0
+    assert BINARY["binom"](np.array([5]), np.array([2]))[0] == 10.0
+    assert BINARY["ldexp"](np.array([1.5]), np.array([3]))[0] == 12.0
+
+
+def test_isclose_parameterized():
+    from raygraph.ops import isclose
+
+    f = isclose(rel_tol=0.1)
+    assert f(np.array([100.0]), np.array([109.0]))[0]
+    assert not f(np.array([100.0]), np.array([112.0]))[0]
+    g = isclose(rel_tol=0.0, abs_tol=5.0)
+    assert g(np.array([1.0]), np.array([5.5]))[0]
+    assert not g(np.array([1.0]), np.array([6.5]))[0]
+
+
+def test_unary_special_tail():
+    import math
+    from raygraph.ops import UNARY
+
+    x = np.array([0.5, 1.0, 2.5])
+    for name, ref in [("erf", math.erf), ("erfc", math.erfc),
+                      ("lgamma", math.lgamma), ("tgamma", math.gamma)]:
+        got = UNARY[name](x)
+        assert got.dtype == np.float64
+        assert np.allclose(got, [ref(v) for v in x])
+    m, e = UNARY["frexpx"](x), UNARY["frexpe"](x)
+    assert np.allclose(m * np.exp2(e), x)
