@@ -925,3 +925,22 @@ SELECT a.src AS src, b.dst AS dst,
        round(CAST(sum(a.dst + 1) AS DOUBLE), 4) AS w
 FROM e a JOIN e b ON a.dst = b.src
 GROUP BY 1, 2 ORDER BY src, dst"""
+
+ORACLES["bfs_parents"] = f"""WITH RECURSIVE {_E}, {_EBIN},
+reach(v, d) AS (
+  SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+  UNION
+  SELECT eb.dst, reach.d + 1
+  FROM reach JOIN ebin eb ON eb.src = reach.v
+  WHERE reach.d < 64
+),
+dist AS (SELECT v, min(d) AS d FROM reach GROUP BY v)
+SELECT v, parent FROM (
+  SELECT d2.v AS v, CAST(min(eb.src) AS BIGINT) AS parent
+  FROM ebin eb
+  JOIN dist d1 ON d1.v = eb.src
+  JOIN dist d2 ON d2.v = eb.dst
+  WHERE d1.d + 1 = d2.d
+  GROUP BY 1
+  UNION ALL SELECT CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+) ORDER BY v"""

@@ -1250,3 +1250,43 @@ def q_mxm_positional(sf_dir):
 QUERIES["mxv_positional"] = q_mxv_positional
 QUERIES["vxm_min_first"] = q_vxm_min_first
 QUERIES["mxm_positional"] = q_mxm_positional
+
+
+def q_bfs_parents(sf_dir):
+    """BFS parent tree from source 1 (reference notebooks' BFS +
+    LAGraph parent-BFS semantics): level-L parents are
+    ``vxm(frontier_{L-1}, A, min_firstj, mask=frontier_L)`` — the
+    positional ⊗ emits the in-neighbor's INDEX, the min ⊕ breaks ties
+    to the smallest parent id, and the output mask confines the write
+    to the newly-discovered level.  parent[source] = source."""
+    from raygraph.algorithms.paths import bfs_levels
+
+    g = _g1_graph(sf_dir, binarize=True)
+    dist, _ = bfs_levels(g, 1)
+    t = g.to_vertex_table(dist, "dist")
+    dv = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.uint64)
+    dd = np.asarray(t["dist"].to_numpy(zero_copy_only=False))
+    keep = np.isfinite(dd)
+    dv, dd = dv[keep], dd[keep].astype(np.int64)
+
+    E = _edges_dedup(sf_dir).materialize()
+    outs = [pa.table({"v": pa.array([1], pa.int64()),
+                      "parent": pa.array([1], pa.int64())})]
+    for lvl in range(1, int(dd.max()) + 1):
+        prev = pa.table({"v": dv[dd == lvl - 1],
+                         "val": np.ones(int((dd == lvl - 1).sum()), np.float64)})
+        cur = pa.table({"v": dv[dd == lvl],
+                        "val": np.ones(int((dd == lvl).sum()), np.float64)})
+        if cur.num_rows == 0:
+            break
+        p = K.to_table(K.vxm(prev, E, "min_firstj", mask=cur), sort_by=None)
+        outs.append(pa.table({
+            "v": pa.array(np.asarray(p["v"].to_numpy(zero_copy_only=False),
+                                     np.int64)),
+            "parent": pa.array(np.asarray(p["val"].to_numpy(zero_copy_only=False)
+                                          ).astype(np.int64)),
+        }))
+    return pa.concat_tables(outs).sort_by([("v", "ascending")])
+
+
+QUERIES["bfs_parents"] = q_bfs_parents
