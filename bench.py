@@ -359,8 +359,14 @@ def run_bench() -> dict:
         # both graphs (identical work modulo the skew)
         return pagerank(gg, tol=0.0, itermax=10, mode="fused", check_every=99)
 
+    def cc8(gg):
+        # fixed low cap: both graphs run the same bounded superstep count
+        # (uniform/hub 10M-edge graphs converge in <=8 FastSV rounds)
+        return connected_components(gg, itermax=8, mode="fused")
+
     gu = staged("skew_build_uniform", lambda: synth_graph(False))
     _, pu = staged("pagerank_uniform_10m", lambda: pr10(gu), n=repeats + 1)
+    _, cu = staged("cc_uniform_10m", lambda: cc8(gu), n=repeats + 1)
     gu.free_caches()
     gu = None
     gsk = staged("skew_build_hub", lambda: synth_graph(True))
@@ -371,10 +377,19 @@ def run_bench() -> dict:
     _, psk = staged("pagerank_skew_10m", lambda: pr10(gsk), n=repeats + 1,
                     quiet_target=1.5 * q["pagerank_uniform_10m"],
                     quiet_budget=90.0)
+    _, csk = staged("cc_skew_10m", lambda: cc8(gsk), n=repeats + 1,
+                    quiet_target=1.5 * q["cc_uniform_10m"],
+                    quiet_budget=90.0)
     gsk.free_caches()
     gsk = None
     pr_meta["skew_over_uniform"] = round(
         q["pagerank_skew_10m"] / max(q["pagerank_uniform_10m"], 1e-9), 3)
+    # per-iteration CC ratio (iteration counts can differ by graph shape)
+    pr_meta["cc_iters_uniform"] = cu["iters"]
+    pr_meta["cc_iters_skew"] = csk["iters"]
+    pr_meta["cc_skew_over_uniform_per_iter"] = round(
+        (q["cc_skew_10m"] / max(csk["iters"], 1))
+        / max(q["cc_uniform_10m"] / max(cu["iters"], 1), 1e-9), 3)
 
     # ---- operator-family queries over the testdata tables
     # the 139M-edge CSR blocks are dead weight now: release them so the
