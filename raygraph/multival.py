@@ -222,6 +222,27 @@ def ewise_mult_c(a, b, op_name: str = "times",
                      num_buckets=num_buckets)
 
 
+def cmplx(a, b, num_buckets: int = _DEFAULT_BUCKETS):
+    """``binary.cmplx`` (reference core/operator/binary.py:336-368):
+    build an FC64 vector from two REAL vectors — re from ``a``, im from
+    ``b``, defined on the intersection (it is a binary ⊗)."""
+
+    def widen(x, col):
+        def m(t: pa.Table) -> pa.Table:
+            v = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.uint64)
+            val = np.asarray(t["val"].to_numpy(zero_copy_only=False),
+                             np.float64)
+            z = np.zeros(len(v))
+            return pa.table({"v": v, "re": val if col == "re" else z,
+                             "im": val if col == "im" else z})
+
+        return _ds(x).map_batches(m, batch_format="pyarrow")
+
+    return ewise_udt(widen(a, "re"), widen(b, "im"),
+                     lambda da, db: {"re": da["re"], "im": db["im"]},
+                     ("re", "im"), union=False, num_buckets=num_buckets)
+
+
 def apply_c(x, op_name: str, *, key: str = "v"):
     """Complex apply: conj / abs / creal / cimag / carg / exp / sqrt /
     ainv / minv (reference FC64 unary family).  Real-valued results come

@@ -211,3 +211,22 @@ def test_property_mxv_c_conjugate_symmetry():
     assert set(lhs) == set(rhs)
     for k in lhs:
         assert lhs[k] == pytest.approx(rhs[k], abs=1e-9)
+
+
+def test_cmplx_constructor():
+    # binary.cmplx: FC64 from two real vectors, intersection semantics
+    import pyarrow as pa
+
+    a = pa.table({"v": np.array([1, 2, 3], np.uint64),
+                  "val": np.array([1.5, 2.5, 3.5])})
+    b = pa.table({"v": np.array([2, 3, 4], np.uint64),
+                  "val": np.array([-1.0, 0.25, 9.0])})
+    t = to_table(MV.cmplx(a, b))
+    got = {v: complex(r, i) for v, r, i in zip(t["v"].to_pylist(),
+                                               t["re"].to_pylist(),
+                                               t["im"].to_pylist())}
+    assert got == {2: 2.5 - 1j, 3: 3.5 + 0.25j}
+    # round-trips through the complex apply family
+    mag = to_table(MV.apply_c(MV.cmplx(a, b), "abs"))
+    gm = {v: m for v, m in zip(mag["v"].to_pylist(), mag["val"].to_pylist())}
+    assert gm == pytest.approx({2: abs(2.5 - 1j), 3: abs(3.5 + 0.25j)})
