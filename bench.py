@@ -406,7 +406,8 @@ def run_bench() -> dict:
                  "doc_sample_per_lang", "doc_len_quantiles",
                  "events_tumbling", "events_asof_prev", "agg_stats",
                  "mxm_masked", "mxm_masked_dot", "dedup_clusters",
-                 "media_features", "repeated_ngrams", "extract_submatrix"):
+                 "media_features", "repeated_ngrams", "extract_submatrix",
+                 "mxv_positional", "bfs_parents"):
         t = time.perf_counter()
         out = QUERIES[name](SF_DIR)
         if hasattr(out, "materialize"):
