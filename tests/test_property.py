@@ -482,3 +482,60 @@ def test_assign_submatrix_masked_matches_dict_oracle(c, data, acc, rep, vm, comp
         accum=acc, mask=mt, value_mask=vm, complement=comp, replace=rep),
         sort_by=None))
     assert got == want
+
+
+_POS_MONOIDS = {"min": min, "max": max, "plus": lambda a, b: a + b}
+
+
+@_SETTINGS
+@given(m=sparse_mat(), v=sparse_vec(max_id=7),
+       mon=st.sampled_from(sorted(_POS_MONOIDS)),
+       which=st.sampled_from(["firsti", "firstj", "secondi", "secondj"]),
+       off=st.sampled_from([0, 1]))
+def test_mxv_positional_matches_dict_oracle(m, v, mon, which, off):
+    # mxv f(a_ij, u_j): firsti=i, firstj=j, secondi=j, secondj=0
+    add = _POS_MONOIDS[mon]
+    name = f"{mon}_{which}" + ("1" if off else "")
+    want: dict = {}
+    for (i, j), _a in m.items():
+        if j in v:
+            x = float({"firsti": i, "firstj": j,
+                       "secondi": j, "secondj": 0}[which] + off)
+            want[i] = x if i not in want else add(want[i], x)
+    got = _as_dict(K.to_table(K.mxv(_mat_tbl(m), _vec_tbl(v), name)))
+    assert got == want
+
+
+@_SETTINGS
+@given(m=sparse_mat(), v=sparse_vec(max_id=7),
+       which=st.sampled_from(["firsti", "firstj", "secondi", "secondj"]))
+def test_vxm_positional_matches_dict_oracle(m, v, which):
+    # vxm f(u_i, a_ij), u' a 1xn row: firsti=0, firstj=i, secondi=i, secondj=j
+    want: dict = {}
+    for (i, j), _a in m.items():
+        if i in v:
+            x = float({"firsti": 0, "firstj": i,
+                       "secondi": i, "secondj": j}[which])
+            want[j] = x if j not in want else min(want[j], x)
+    got = _as_dict(K.to_table(K.vxm(_vec_tbl(v), _mat_tbl(m), f"min_{which}")))
+    assert got == want
+
+
+@_SETTINGS
+@given(a=sparse_mat(max_nnz=12), b=sparse_mat(max_nnz=12),
+       which=st.sampled_from(["firsti", "firstj", "secondi", "secondj"]))
+def test_mxm_positional_matches_dict_oracle(a, b, which):
+    # mxm f(a_ik, b_kj): firsti=i, firstj=k, secondi=k, secondj=j
+    want: dict = {}
+    for (i, k), _x in a.items():
+        for (k2, j), _y in b.items():
+            if k != k2:
+                continue
+            val = float({"firsti": i, "firstj": k,
+                         "secondi": k, "secondj": j}[which])
+            want[(i, j)] = val if (i, j) not in want else want[(i, j)] + val
+    t = K.to_table(K.mxm(_mat_tbl(a), _mat_tbl(b), f"plus_{which}"))
+    got = {(s, d): w for s, d, w in zip(t["src"].to_pylist(),
+                                        t["dst"].to_pylist(),
+                                        t["w"].to_pylist())}
+    assert got == want
