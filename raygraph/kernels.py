@@ -1545,6 +1545,65 @@ def reshape_matrix(edges, ncols_old: int, ncols_new: int):
     return _ds(edges).map_batches(fn, batch_format="pyarrow")
 
 
+def split_matrix(edges, row_cuts, col_cuts):
+    """Tile a matrix into a grid (reference ``gb.ss.split``,
+    core/ss/matrix.py:281): ``row_cuts``/``col_cuts`` are the tile
+    HEIGHTS/WIDTHS (SuiteSparse ``Tiles`` convention).  Returns ONE
+    Dataset tagged ``(tr, tc, src, dst, w)`` with tile-LOCAL indices —
+    a pure elementwise searchsorted per batch, no shuffle; per-tile
+    tables are a filter away (scale-safe: the grid never materializes
+    on the driver)."""
+    r_off = np.concatenate([[0], np.cumsum(np.asarray(row_cuts, np.uint64))]
+                           ).astype(np.uint64)
+    c_off = np.concatenate([[0], np.cumsum(np.asarray(col_cuts, np.uint64))]
+                           ).astype(np.uint64)
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        tr = (np.searchsorted(r_off, s, "right") - 1).astype(np.int32)
+        tc = (np.searchsorted(c_off, d, "right") - 1).astype(np.int32)
+        return pa.table({"tr": tr, "tc": tc,
+                         "src": s - r_off[tr], "dst": d - c_off[tc],
+                         "w": _wcol(t)})
+
+    return _ds(edges).map_batches(fn, batch_format="pyarrow")
+
+
+def concat_matrix(tiles, row_cuts, col_cuts):
+    """Inverse of :func:`split_matrix` (reference ``gb.ss.concat``,
+    core/ss/matrix.py:363): ``tiles`` is the tagged Dataset (or a list
+    of ``(tr, tc, table)``); global indices restored by adding the tile
+    offsets — elementwise, no shuffle."""
+    r_off = np.concatenate([[0], np.cumsum(np.asarray(row_cuts, np.uint64))]
+                           ).astype(np.uint64)
+    c_off = np.concatenate([[0], np.cumsum(np.asarray(col_cuts, np.uint64))]
+                           ).astype(np.uint64)
+    if isinstance(tiles, list):
+        parts = []
+        for tr, tc, t in tiles:
+            n = t.num_rows
+            parts.append(pa.table({
+                "tr": np.full(n, tr, np.int32), "tc": np.full(n, tc, np.int32),
+                "src": np.asarray(t["src"].to_numpy(zero_copy_only=False),
+                                  np.uint64),
+                "dst": np.asarray(t["dst"].to_numpy(zero_copy_only=False),
+                                  np.uint64),
+                "w": _wcol(t)}))
+        import ray.data as _rd
+        tiles = _rd.from_arrow(pa.concat_tables(parts))
+
+    def fn(t: pa.Table) -> pa.Table:
+        tr = np.asarray(t["tr"].to_numpy(zero_copy_only=False), np.int64)
+        tc = np.asarray(t["tc"].to_numpy(zero_copy_only=False), np.int64)
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        return pa.table({"src": s + r_off[tr], "dst": d + c_off[tc],
+                         "w": _wcol(t)})
+
+    return _ds(tiles).map_batches(fn, batch_format="pyarrow")
+
+
 # ------------------------------------------------------- remaining surface ----
 
 

@@ -1001,3 +1001,40 @@ def test_mxm_positional_wedge_and_dot_agree():
 def test_inner_rejects_positional():
     with pytest.raises(NotImplementedError):
         K.inner(V7, V7, "plus_firsti")
+
+
+def test_split_concat_roundtrip():
+    # gb.ss.split/concat (reference ss/matrix.py:281,363): tile heights/
+    # widths, tile-local indices, concat restores the original
+    cuts_r, cuts_c = [3, 4], [2, 5]
+    tiled = K.to_table(K.split_matrix(EDGES7, cuts_r, cuts_c))
+    A = fx.a7_dense()
+    r_off, c_off = [0, 3], [0, 2]
+    for tr, tc, s, d, w in zip(tiled["tr"].to_pylist(), tiled["tc"].to_pylist(),
+                               tiled["src"].to_pylist(), tiled["dst"].to_pylist(),
+                               tiled["w"].to_pylist()):
+        gi, gj = r_off[tr] + s, c_off[tc] + d
+        assert A[gi, gj] == w
+        assert s < cuts_r[tr] and d < cuts_c[tc]
+    assert tiled.num_rows == int((A != 0).sum())
+    # round trip through the list-of-tables form too
+    tiles = []
+    for tr in range(2):
+        for tc in range(2):
+            import pyarrow.compute as pc
+            sub = tiled.filter(pc.and_(pc.equal(tiled["tr"], tr),
+                                       pc.equal(tiled["tc"], tc)))
+            tiles.append((tr, tc, sub.select(["src", "dst", "w"])))
+    back = K.to_table(K.concat_matrix(tiles, cuts_r, cuts_c))
+    got = {(s, d): w for s, d, w in zip(back["src"].to_pylist(),
+                                        back["dst"].to_pylist(),
+                                        back["w"].to_pylist())}
+    want = {(i, j): float(A[i, j]) for i, j in zip(*np.nonzero(A))}
+    assert got == want
+    # dataset-form concat inverts split directly
+    back2 = K.to_table(K.concat_matrix(K.split_matrix(EDGES7, cuts_r, cuts_c),
+                                       cuts_r, cuts_c))
+    got2 = {(s, d): w for s, d, w in zip(back2["src"].to_pylist(),
+                                         back2["dst"].to_pylist(),
+                                         back2["w"].to_pylist())}
+    assert got2 == want
