@@ -351,3 +351,17 @@ def matrix_from_awkward(arr) -> pa.Table:
         "dst": _np.asarray(ak.flatten(arr["cols"]), _np.uint64),
         "w": _np.asarray(ak.flatten(arr["vals"]), _np.float64),
     })
+
+
+def matrix_from_scalar(s: float, nrows: int, ncols: int) -> pa.Table:
+    """Constant (iso-valued full) matrix (reference ``Matrix.from_scalar``,
+    core/matrix.py:1398 region): every cell holds ``s``.  Small-scale
+    constructor — a dense nrows x ncols table; the reference's iso
+    compression is an in-memory optimization our Arrow tables don't
+    need at this size (SURVEY §1.3)."""
+    return matrix_from_dense(np.full((int(nrows), int(ncols)), float(s)))
+
+
+def vector_from_scalar(s: float, size: int) -> pa.Table:
+    """Constant full vector (reference ``Vector.from_scalar``)."""
+    return vector_from_dense(np.full(int(size), float(s)))

@@ -2230,6 +2230,31 @@ def outer(a, b, op_name: str = "times", num_buckets: int = _DEFAULT_BUCKETS):
     return _ds(a).map_batches(fn, batch_format="pyarrow")
 
 
+def resize_matrix(edges, nrows: int, ncols: int):
+    """``A.resize(nrows, ncols)`` (reference matrix.py:494): shrinking
+    truncates entries outside the new shape; growing is a no-op on the
+    stored entries (shape is metadata in the edge-table model).  One
+    elementwise filter, no shuffle."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        keep = (s < np.uint64(nrows)) & (d < np.uint64(ncols))
+        return t.filter(pa.array(keep))
+
+    return _ds(edges).map_batches(fn, batch_format="pyarrow")
+
+
+def resize_vector(vec, size: int):
+    """``v.resize(size)`` — truncate entries at or beyond ``size``."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.uint64)
+        return t.filter(pa.array(v < np.uint64(size)))
+
+    return _ds(vec).map_batches(fn, batch_format="pyarrow")
+
+
 def reposition(vec, offset: int):
     """Shift indices by a constant (reference vector.py:1695)."""
 

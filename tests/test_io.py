@@ -156,3 +156,12 @@ def test_awkward_bridge_gated():
     assert io.vector_from_awkward(io.vector_to_awkward(vec)).equals(vec)
     back = io.matrix_from_awkward(io.matrix_to_awkward(edges))
     assert back.sort_by("src").equals(edges)
+
+
+def test_from_scalar_constructors():
+    from raygraph.io import matrix_from_scalar, vector_from_scalar
+
+    m = matrix_from_scalar(2.5, 2, 3)
+    assert m.num_rows == 6 and set(m["w"].to_pylist()) == {2.5}
+    v = vector_from_scalar(-1.0, 4)
+    assert v.num_rows == 4 and set(v["val"].to_pylist()) == {-1.0}

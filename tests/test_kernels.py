@@ -1038,3 +1038,15 @@ def test_split_concat_roundtrip():
                                          back2["dst"].to_pylist(),
                                          back2["w"].to_pylist())}
     assert got2 == want
+
+
+def test_resize_truncates():
+    # reference matrix.py:494: shrink drops out-of-bounds entries; grow
+    # keeps everything (shape is metadata here)
+    t = K.to_table(K.resize_matrix(EDGES7, 4, 3))
+    A = fx.a7_dense()
+    want = {(i, j) for i, j in zip(*np.nonzero(A)) if i < 4 and j < 3}
+    assert {(s, d) for s, d in zip(t["src"].to_pylist(), t["dst"].to_pylist())} == want
+    assert K.to_table(K.resize_matrix(EDGES7, 100, 100)).num_rows == int((A != 0).sum())
+    vt = K.to_table(K.resize_vector(V7, 4))
+    assert set(vt["v"].to_pylist()) == {int(i) for i in fx.V7_IDX if i < 4}
