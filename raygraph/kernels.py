@@ -2230,6 +2230,60 @@ def outer(a, b, op_name: str = "times", num_buckets: int = _DEFAULT_BUCKETS):
     return _ds(a).map_batches(fn, batch_format="pyarrow")
 
 
+def _selectk_keys(v: np.ndarray, x: np.ndarray, how: str, seed: int):
+    """lexsort keys (major last) for a selectk ordering."""
+    if how == "largest":
+        return (v, -x)
+    if how == "smallest":
+        return (v, x)
+    if how == "first":
+        return (v,)
+    if how == "last":
+        return (np.iinfo(np.uint64).max - v,)
+    if how == "random":
+        return (mix64(v ^ np.uint64(seed)),)
+    raise ValueError(f"selectk_vector: unknown how={how!r}")
+
+
+def selectk_vector(vec, k: int, *, how: str = "largest", seed: int = 0):
+    """k elements of a VECTOR (reference ``Vector.ss.selectk``,
+    core/ss/vector.py:1407).  ``how`` ∈ largest | smallest (by value,
+    ties to ascending index) | first | last (stored order = ascending
+    index) | random (deterministic mix64(v ^ seed) rank).  Per-batch
+    partial top-k inside map_batches, then one driver-side merge over
+    ≤ k·num_blocks survivors — k is small by contract (the reference
+    materializes a k-element vector too)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.uint64)
+        x = np.asarray(t["val"].to_numpy(zero_copy_only=False), np.float64)
+        order = np.lexsort(_selectk_keys(v, x, how, seed))[:k]
+        return pa.table({"v": v[order], "val": x[order]})
+
+    t = to_table(_ds(vec).map_batches(partial, batch_format="pyarrow"),
+                 sort_by=None)
+    v = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.uint64)
+    x = np.asarray(t["val"].to_numpy(zero_copy_only=False), np.float64)
+    order = np.lexsort(_selectk_keys(v, x, how, seed))[:k]
+    order = order[np.argsort(v[order], kind="stable")]  # ascending index out
+    return pa.table({"v": v[order], "val": x[order]})
+
+
+def compactify_vector(vec, k: int, *, how: str = "first", seed: int = 0):
+    """``Vector.ss.compactify`` (reference core/ss/vector.py:1456): keep
+    k elements in the chosen order and REINDEX them to 0..k-1 (the
+    reference's dense-prefix semantics).  Built on
+    :func:`selectk_vector`; full-vector compactify is ``extract`` of
+    everything + a prefix-scan rank (see scan_vector) — this is the
+    k-bounded form the reference notebooks use."""
+    t = selectk_vector(vec, k, how=how, seed=seed)
+    v = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.uint64)
+    x = np.asarray(t["val"].to_numpy(zero_copy_only=False), np.float64)
+    order = np.lexsort(_selectk_keys(v, x, how, seed))
+    return pa.table({"v": np.arange(len(v), dtype=np.uint64),
+                     "val": x[order]})
+
+
 def resize_matrix(edges, nrows: int, ncols: int):
     """``A.resize(nrows, ncols)`` (reference matrix.py:494): shrinking
     truncates entries outside the new shape; growing is a no-op on the

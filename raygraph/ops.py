@@ -123,11 +123,26 @@ def _bshift(x, k):
     return np.where(np.abs(k) > 63, np.uint64(0), out)
 
 
-_comb_ufunc = np.frompyfunc(__import__("math").comb, 2, 1)
-_erf_ufunc = np.frompyfunc(__import__("math").erf, 1, 1)
-_erfc_ufunc = np.frompyfunc(__import__("math").erfc, 1, 1)
-_lgamma_ufunc = np.frompyfunc(__import__("math").lgamma, 1, 1)
-_tgamma_ufunc = np.frompyfunc(__import__("math").gamma, 1, 1)
+def _scalar_unary(fn):
+    """Elementwise lift of a scalar math.* function — a plain closure
+    (cloudpickle-safe in map_batches; np.frompyfunc ufuncs are not
+    picklable)."""
+
+    def f(x):
+        x = np.asarray(x, np.float64)
+        return np.fromiter((fn(float(v)) for v in x.ravel()),
+                           np.float64, count=x.size).reshape(x.shape)
+
+    return f
+
+
+def _binom(n, k):
+    import math
+
+    n = np.asarray(n, np.int64).ravel()
+    k = np.asarray(k, np.int64).ravel()
+    return np.fromiter((math.comb(int(a), int(b)) for a, b in zip(n, k)),
+                       np.float64, count=len(n))
 
 # named tails of the reference op families (reference
 # core/operator/binary.py:336-368 bget/bset/bclr/bshift/ldexp/lxnor,
@@ -147,8 +162,7 @@ for _n, _f in {
     "lxnor": lambda a, b: np.equal(np.asarray(a, bool), np.asarray(b, bool)),
     "rpow": lambda a, b: np.power(b, a),
     "rfloordiv": lambda a, b: np.floor_divide(b, a),
-    "binom": lambda n, k: _comb_ufunc(np.asarray(n, np.int64),
-                                      np.asarray(k, np.int64)).astype(np.float64),
+    "binom": _binom,
 }.items():
     register_binary(_n, _f)
 
@@ -172,10 +186,10 @@ register_binary("isclose", isclose())
 # ss-only unary tail (reference core/operator/base.py:21-35): erf family
 # via math.* (scipy is absent in this container), frexp via np.frexp.
 for _n, _f in {
-    "erf": lambda x: _erf_ufunc(np.asarray(x, np.float64)).astype(np.float64),
-    "erfc": lambda x: _erfc_ufunc(np.asarray(x, np.float64)).astype(np.float64),
-    "lgamma": lambda x: _lgamma_ufunc(np.asarray(x, np.float64)).astype(np.float64),
-    "tgamma": lambda x: _tgamma_ufunc(np.asarray(x, np.float64)).astype(np.float64),
+    "erf": _scalar_unary(__import__("math").erf),
+    "erfc": _scalar_unary(__import__("math").erfc),
+    "lgamma": _scalar_unary(__import__("math").lgamma),
+    "tgamma": _scalar_unary(__import__("math").gamma),
     "frexpx": lambda x: np.frexp(np.asarray(x, np.float64))[0],
     "frexpe": lambda x: np.frexp(np.asarray(x, np.float64))[1].astype(np.float64),
 }.items():

@@ -1050,3 +1050,29 @@ def test_resize_truncates():
     assert K.to_table(K.resize_matrix(EDGES7, 100, 100)).num_rows == int((A != 0).sum())
     vt = K.to_table(K.resize_vector(V7, 4))
     assert set(vt["v"].to_pylist()) == {int(i) for i in fx.V7_IDX if i < 4}
+
+
+def test_selectk_vector_modes():
+    # reference Vector.ss.selectk (ss/vector.py:1407)
+    vec = _vec([3, 9, 1, 7, 5], [2.0, 8.0, 8.0, 1.0, 4.0])
+    big = K.selectk_vector(vec, 2, how="largest")
+    assert dict(zip(big["v"].to_pylist(), big["val"].to_pylist())) == {1: 8.0, 9: 8.0}
+    small = K.selectk_vector(vec, 2, how="smallest")
+    assert dict(zip(small["v"].to_pylist(), small["val"].to_pylist())) == {7: 1.0, 3: 2.0}
+    first = K.selectk_vector(vec, 3, how="first")
+    assert first["v"].to_pylist() == [1, 3, 5]
+    last = K.selectk_vector(vec, 2, how="last")
+    assert last["v"].to_pylist() == [7, 9]
+    r1 = K.selectk_vector(vec, 2, how="random", seed=4)
+    r2 = K.selectk_vector(vec, 2, how="random", seed=4)
+    assert r1.equals(r2) and r1.num_rows == 2
+
+
+def test_compactify_vector_reindexes():
+    vec = _vec([3, 9, 1], [5.0, 7.0, 6.0])
+    c = K.compactify_vector(vec, 3, how="first")  # stored order: 1,3,9
+    assert c["v"].to_pylist() == [0, 1, 2]
+    assert c["val"].to_pylist() == [6.0, 5.0, 7.0]
+    c2 = K.compactify_vector(vec, 2, how="largest")
+    assert c2["v"].to_pylist() == [0, 1]
+    assert c2["val"].to_pylist() == [7.0, 6.0]
