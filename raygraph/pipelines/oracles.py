@@ -944,3 +944,10 @@ SELECT v, parent FROM (
   GROUP BY 1
   UNION ALL SELECT CAST(1 AS BIGINT), CAST(1 AS BIGINT)
 ) ORDER BY v"""
+
+ORACLES["selectk_vector"] = f"""WITH {_SUPP}
+SELECT v, round(val, 6) AS val FROM sv
+ORDER BY val DESC, v ASC LIMIT 3"""
+
+ORACLES["split_concat"] = f"""WITH {_E}
+SELECT src, dst, round(w, 6) AS w FROM e ORDER BY src, dst"""

@@ -1290,3 +1290,28 @@ def q_bfs_parents(sf_dir):
 
 
 QUERIES["bfs_parents"] = q_bfs_parents
+
+
+def q_selectk_vector(sf_dir):
+    """Vector.ss.selectk largest-3 (reference ss/vector.py:1407): top-k
+    by value, ties to ascending index; per-batch partial top-k then one
+    driver merge of <= k x blocks survivors."""
+    out = K.selectk_vector(_supplier_vec(sf_dir), 3, how="largest")
+    return _round_col(_int64_col(out, "v"), "val", 6)
+
+
+def q_split_concat(sf_dir):
+    """gb.ss.split -> concat round-trip (reference ss/matrix.py:281,363):
+    tile the g1 edge table into a 2x2 grid (tile-local indices), then
+    concat restores the original matrix exactly — both directions are
+    elementwise, no shuffle."""
+    e = _edges_dedup(sf_dir)
+    cuts = [128, MOD - 128]
+    back = K.concat_matrix(K.split_matrix(e, cuts, cuts), cuts, cuts)
+    t = K.to_table(back, sort_by=None).select(["src", "dst", "w"])
+    t = _round_col(_int64_col(_int64_col(t, "src"), "dst"), "w", 6)
+    return t.sort_by([("src", "ascending"), ("dst", "ascending")])
+
+
+QUERIES["selectk_vector"] = q_selectk_vector
+QUERIES["split_concat"] = q_split_concat
