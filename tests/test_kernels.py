@@ -1076,3 +1076,16 @@ def test_compactify_vector_reindexes():
     c2 = K.compactify_vector(vec, 2, how="largest")
     assert c2["v"].to_pylist() == [0, 1]
     assert c2["val"].to_pylist() == [7.0, 6.0]
+
+
+def test_mxv_positional_with_output_mask():
+    # positional product + structural/complement output mask pushdown
+    # interact orthogonally
+    want_all = _pos_oracle_mxv("secondi", 0)
+    keys = sorted(want_all)
+    mask = _vec(keys[::2], np.ones(len(keys[::2])))
+    got = _as_dict(K.mxv(EDGES7, V7, "min_secondi", mask=mask))
+    assert got == {k: want_all[k] for k in keys[::2]}
+    got_c = _as_dict(K.mxv(EDGES7, V7, "min_secondi", mask=mask,
+                           mask_complement=True))
+    assert got_c == {k: want_all[k] for k in keys[1::2]}
