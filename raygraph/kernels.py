@@ -2168,25 +2168,37 @@ def mxm(a_edges, b_edges, semiring: str = "plus_times",
     return _mxm_wedge(a_edges, b_edges, sr, num_buckets, mask, complement)
 
 
-def diag_matrix(vec):
-    """Vector -> diagonal edge table (reference Matrix.diag, matrix.py:735)."""
+def diag_matrix(vec, k: int = 0):
+    """Vector -> diagonal edge table (reference Matrix.diag, matrix.py:735;
+    ``gb.ss.diag`` off-diagonal offset k: element i lands at
+    (i, i+k) for k >= 0 and (i-k, i) for k < 0, SuiteSparse GxB_Matrix_diag
+    semantics)."""
 
     def fn(t: pa.Table) -> pa.Table:
         v = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.uint64)
         w = np.asarray(t["val"].to_numpy(zero_copy_only=False), np.float64)
-        return pa.table({"src": v, "dst": v, "w": w})
+        if k >= 0:
+            return pa.table({"src": v, "dst": v + np.uint64(k), "w": w})
+        return pa.table({"src": v + np.uint64(-k), "dst": v, "w": w})
 
     return _ds(vec).map_batches(fn, batch_format="pyarrow")
 
 
-def diag_extract(edges):
-    """Matrix diagonal -> vector (reference Vector.diag, vector.py:620)."""
+def diag_extract(edges, k: int = 0):
+    """Matrix k-th diagonal -> vector (reference Vector.diag,
+    vector.py:620): entry at (i, i+k) [k >= 0] or (i-k, i) [k < 0]
+    becomes vector element i."""
 
     def fn(t: pa.Table) -> pa.Table:
         s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
         d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
-        keep = s == d
-        return pa.table({"v": s[keep],
+        if k >= 0:
+            keep = d == s + np.uint64(k)
+            idx = s[keep]
+        else:
+            keep = s == d + np.uint64(-k)
+            idx = d[keep]
+        return pa.table({"v": idx,
                          "val": np.asarray(t["w"].to_numpy(zero_copy_only=False),
                                            np.float64)[keep]})
 

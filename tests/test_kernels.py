@@ -1089,3 +1089,17 @@ def test_mxv_positional_with_output_mask():
     got_c = _as_dict(K.mxv(EDGES7, V7, "min_secondi", mask=mask,
                            mask_complement=True))
     assert got_c == {k: want_all[k] for k in keys[1::2]}
+
+
+def test_diag_offset_roundtrip():
+    # gb.ss.diag off-diagonal k (reference ss/_core.py:24): element i at
+    # (i, i+k) for k>=0, (i-k, i) for k<0; extract inverts
+    vec = _vec([0, 2, 5], [1.0, 2.0, 3.0])
+    for k in (0, 2, -3):
+        m = K.to_table(K.diag_matrix(vec, k))
+        s, d = m["src"].to_pylist(), m["dst"].to_pylist()
+        for i, (a, b) in enumerate(zip(s, d)):
+            assert (b - a if k >= 0 else a - b) == abs(k)
+        back = K.to_table(K.diag_extract(m, k))
+        assert dict(zip(back["v"].to_pylist(), back["val"].to_pylist())) == \
+            {0: 1.0, 2: 2.0, 5: 3.0}
