@@ -48,7 +48,9 @@ def _mul_vals(sr, a_vals, b_vals, *, fi, fj, si, sj) -> np.ndarray:
     mul = sr.binary
     if isinstance(mul, PositionalMul):
         return mul.pick(len(a_vals), fi=fi, fj=fj, si=si, sj=sj)
-    return np.asarray(mul(a_vals, b_vals), np.float64)
+    # native dtype, no float64 force: int64 operands stay int64-exact
+    # above 2^53 (matrix dtype fidelity, reference get_typed_op)
+    return np.asarray(mul(a_vals, b_vals))
 from raygraph.util import mix64
 
 # Global engine config (reference gb.config, §2.5): the tuning knobs are
@@ -59,14 +61,27 @@ from raygraph.util import mix64
 _DEFAULT_BUCKETS = int(os.environ.get("GRAFT_NUM_BUCKETS", "64"))
 
 
-def _wcol(t: "pa.Table") -> "np.ndarray":
+def _wcol(t: "pa.Table", dt=None) -> "np.ndarray":
     """Edge weights of a batch; a table without a ``w`` column is a
     pattern-only (GrB_BOOL structure) matrix — weight 1.0 everywhere.
     Lets mxm/mxv consume binarized link tables directly instead of
-    forcing the caller to materialize a +8 B/row all-ones copy."""
+    forcing the caller to materialize a +8 B/row all-ones copy.
+    ``dt`` casts to the operator's promoted value dtype (resolved
+    schema-level at the entry point so every batch of a stage emits the
+    SAME Arrow type); None preserves the stored dtype exactly."""
     if "w" in t.column_names:
-        return np.asarray(t["w"].to_numpy(zero_copy_only=False), np.float64)
-    return np.ones(t.num_rows, np.float64)
+        a = np.asarray(t["w"].to_numpy(zero_copy_only=False))
+        return a if dt is None else np.asarray(a, dt)
+    return np.ones(t.num_rows, np.float64 if dt is None else dt)
+
+
+def _sr_out_dtype(sr, dt) -> np.dtype:
+    """Result dtype of a semiring over inputs of dtype ``dt``: positional
+    ⊗ emits uint64 indices; otherwise numpy promotion of ⊗ (the ⊕ monoid
+    is closed over its input dtype)."""
+    if isinstance(sr.binary, PositionalMul):
+        return np.dtype(np.uint64)
+    return np.asarray(sr.binary(np.zeros(0, dt), np.zeros(0, dt))).dtype
 
 
 def _ds(x):
@@ -184,6 +199,7 @@ def reduce_rowwise_agg(edges, names: list[str],
     bad = set(names) - allowed
     if bad:
         raise KeyError(f"reduce_rowwise_agg: unsupported {sorted(bad)}")
+    wdt = _val_dtype_of(edges, "w")  # min/max stay int64-exact above 2^53
 
     def tag(t: pa.Table) -> pa.Table:
         s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
@@ -191,18 +207,21 @@ def reduce_rowwise_agg(edges, names: list[str],
             "bucket": (mix64(s) % np.uint64(num_buckets)).astype(np.int32),
             "src": s,
             "dst": np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64),
-            "w": np.asarray(t["w"].to_numpy(zero_copy_only=False), np.float64),
+            "w": np.asarray(
+                np.asarray(t["w"].to_numpy(zero_copy_only=False)), wdt),
         })
 
     def stats(g: pa.Table) -> pa.Table:
         s = np.asarray(g["src"].to_numpy(zero_copy_only=False), np.uint64)
         d = np.asarray(g["dst"].to_numpy(zero_copy_only=False), np.uint64)
-        w = np.asarray(g["w"].to_numpy(zero_copy_only=False), np.float64)
+        w = np.asarray(g["w"].to_numpy(zero_copy_only=False), wdt)
         cols: dict = {"v": pa.array([], pa.uint64())}
         if len(s) == 0:
             for n in names:
-                cols[n] = pa.array([], pa.int64() if n in
-                                   ("count", "argmin", "argmax") else pa.float64())
+                cols[n] = pa.array(
+                    [], pa.int64() if n in ("count", "argmin", "argmax")
+                    else pa.float64() if n == "mean"
+                    else pa.from_numpy_dtype(wdt))
             return pa.table(cols)
         order = np.lexsort((d, w, s))   # group-first row = argmin (dst ties)
         ss, dd, ww = s[order], d[order], w[order]
@@ -213,7 +232,7 @@ def reduce_rowwise_agg(edges, names: list[str],
         if "count" in names:
             out["count"] = counts.astype(np.int64)
         if "mean" in names:
-            out["mean"] = np.add.reduceat(ww, starts) / counts
+            out["mean"] = np.add.reduceat(ww.astype(np.float64), starts) / counts
         if "min" in names:
             out["min"] = ww[starts]                     # sorted ascending
         if "max" in names:
@@ -221,7 +240,10 @@ def reduce_rowwise_agg(edges, names: list[str],
         if "argmin" in names:
             out["argmin"] = dd[starts].astype(np.int64)
         if "argmax" in names:
-            omax = np.lexsort((d, -w, s))
+            # descending-value key: ~w reverses order exactly for ints
+            # (bit complement), -w for floats — no float64 round-trip
+            dk = np.invert(w) if w.dtype.kind in "iub" else -w
+            omax = np.lexsort((d, dk, s))
             sm, dm = s[omax], d[omax]
             mstarts = np.flatnonzero(np.r_[True, sm[1:] != sm[:-1]])
             out["argmax"] = dm[mstarts].astype(np.int64)
@@ -305,6 +327,13 @@ def apply_positional(x, which: str, *, thunk: int = 0):
             idx = np.asarray(t[col].to_numpy(zero_copy_only=False), np.int64)
             return pa.table({"src": t["src"], "dst": t["dst"],
                              "w": idx + np.int64(thunk)})
+        if which == "diagindex":
+            # value = j - i + thunk (reference
+            # core/operator/indexunary.py:102-110 DIAGINDEX semantics)
+            i = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.int64)
+            j = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.int64)
+            return pa.table({"src": t["src"], "dst": t["dst"],
+                             "w": j - i + np.int64(thunk)})
         if which == "index":
             idx = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.int64)
             return pa.table({"v": t["v"], "val": idx + np.int64(thunk)})
@@ -482,7 +511,8 @@ def vxm(vec, edges, semiring: str = "plus_times", *, salt: int = 0,
 
 
 def _mxv_cogroup(edges, vec, sr, *, gather_on, reduce_on, salt, num_buckets,
-                 mask=None, mask_complement=False, mask_value=False):
+                 mask=None, mask_complement=False, mask_value=False,
+                 dt=np.float64):
     """Shuffle-join form of mxv: no driver materialization of either side.
 
     Tag edges with bucket = mix64(gather key) % B and the vector with
@@ -493,6 +523,7 @@ def _mxv_cogroup(edges, vec, sr, *, gather_on, reduce_on, salt, num_buckets,
     from raygraph.ops import local_combine
 
     monoid = sr.monoid
+    out_dt = _sr_out_dtype(sr, dt)
     # vxm gathers on src: the vector is then the FIRST ⊗ operand
     # (reference vector.py:1259 f(u_i, a_ij) vs matrix.py:2163 f(a_ij, u_j))
     vec_first = gather_on == "src"
@@ -500,7 +531,7 @@ def _mxv_cogroup(edges, vec, sr, *, gather_on, reduce_on, salt, num_buckets,
     def tag_edges(t: pa.Table) -> pa.Table:
         g = np.asarray(t[gather_on].to_numpy(zero_copy_only=False), np.uint64)
         r = np.asarray(t[reduce_on].to_numpy(zero_copy_only=False), np.uint64)
-        w = np.asarray(t["w"].to_numpy(zero_copy_only=False), np.float64)
+        w = _wcol(t, dt)
         return pa.table({
             "bucket": (mix64(g) % np.uint64(num_buckets)).astype(np.int32),
             "k": g, "y": r, "x": w,
@@ -509,7 +540,8 @@ def _mxv_cogroup(edges, vec, sr, *, gather_on, reduce_on, salt, num_buckets,
 
     def tag_vec(t: pa.Table) -> pa.Table:
         v = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.uint64)
-        val = np.asarray(t["val"].to_numpy(zero_copy_only=False), np.float64)
+        val = np.asarray(
+            np.asarray(t["val"].to_numpy(zero_copy_only=False)), dt)
         return pa.table({
             "bucket": (mix64(v) % np.uint64(num_buckets)).astype(np.int32),
             "k": v, "y": np.zeros(len(v), np.uint64), "x": val,
@@ -523,7 +555,7 @@ def _mxv_cogroup(edges, vec, sr, *, gather_on, reduce_on, salt, num_buckets,
     def join(g: pa.Table) -> pa.Table:
         k = np.asarray(g["k"].to_numpy(zero_copy_only=False), np.uint64)
         y = np.asarray(g["y"].to_numpy(zero_copy_only=False), np.uint64)
-        x = np.asarray(g["x"].to_numpy(zero_copy_only=False), np.float64)
+        x = np.asarray(g["x"].to_numpy(zero_copy_only=False), dt)
         side = np.asarray(g["side"].to_numpy(zero_copy_only=False), np.int8)
         isv = side == 1
         vk, vv = k[isv], x[isv]
@@ -531,7 +563,7 @@ def _mxv_cogroup(edges, vec, sr, *, gather_on, reduce_on, salt, num_buckets,
         vk, vv = vk[order], vv[order]
         ek, ey, ew = k[~isv], y[~isv], x[~isv]
         if len(vk) == 0 or len(ek) == 0:
-            return _EMPTY_VV
+            return _empty_vv(out_dt)
         pos = np.searchsorted(vk, ek)
         ok = (pos < len(vk)) & (vk[np.minimum(pos, len(vk) - 1)] == ek)
         ekk, eyy, vvv = ek[ok], ey[ok], vv[pos[ok]]
@@ -560,6 +592,12 @@ def _mxv_impl(edges, vec, semiring, *, gather_on, reduce_on, salt,
     import ray
 
     sr = SEMIRING[semiring]
+    # promoted input dtype, resolved once schema-level (reference typed-op
+    # resolution, core/operator/utils.py get_typed_op): int64 weights stay
+    # int64-exact above 2^53 through ⊗, the per-batch ⊕-combine and the
+    # dtype-preserving salted_aggregate
+    dt = np.result_type(_val_dtype_of(edges, "w"), _val_dtype_of(vec))
+    out_dt = _sr_out_dtype(sr, dt)
     if distribute == "auto":
         small = isinstance(vec, pa.Table) and vec.num_rows <= _BROADCAST_MAX
         distribute = "broadcast" if small else "cogroup"
@@ -568,10 +606,11 @@ def _mxv_impl(edges, vec, semiring, *, gather_on, reduce_on, salt,
                             reduce_on=reduce_on, salt=salt,
                             num_buckets=num_buckets, mask=mask,
                             mask_complement=mask_complement,
-                            mask_value=mask_value)
+                            mask_value=mask_value, dt=dt)
     vt = to_table(vec)
     vs = np.asarray(vt["v"].to_numpy(zero_copy_only=False), np.uint64)
-    vv = np.asarray(vt["val"].to_numpy(zero_copy_only=False))
+    vv = np.asarray(
+        np.asarray(vt["val"].to_numpy(zero_copy_only=False)), dt)
     order = np.argsort(vs)
     ref = ray.put((vs[order], vv[order]))
 
@@ -584,9 +623,9 @@ def _mxv_impl(edges, vec, semiring, *, gather_on, reduce_on, salt,
         ids, vals = ray.get(ref)
         g = np.asarray(t[gather_on].to_numpy(zero_copy_only=False), np.uint64)
         r = np.asarray(t[reduce_on].to_numpy(zero_copy_only=False), np.uint64)
-        w = np.asarray(t["w"].to_numpy(zero_copy_only=False), np.float64)
+        w = _wcol(t, dt)
         if len(ids) == 0 or len(g) == 0:
-            return pa.table({"v": pa.array([], pa.uint64()), "val": pa.array([], pa.float64())})
+            return _empty_vv(out_dt)
         pos = np.searchsorted(ids, g)
         ok = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == g)
         r, w, g, pos = r[ok], w[ok], g[ok], pos[ok]
@@ -970,12 +1009,13 @@ def _gather_matrix_axis(ds, index: np.ndarray, key_col: str,
     vector ``extract`` (kernels.py:680) — the edge side never broadcasts
     and never leaves its bucket."""
     other_col = "dst" if key_col == "src" else "src"
+    dt = _val_dtype_of(ds, "w")
     idx = np.asarray(index, np.uint64)
     index_tbl = pa.table({
         "bucket": (mix64(idx) % np.uint64(num_buckets)).astype(np.int32),
         "k": idx,
         "o": np.zeros(len(idx), np.uint64),
-        "w": np.zeros(len(idx), np.float64),
+        "w": np.zeros(len(idx), dt),
         "pos": np.arange(len(idx), dtype=np.int64),
         "side": np.full(len(idx), 1, np.int8),
     })
@@ -986,7 +1026,8 @@ def _gather_matrix_axis(ds, index: np.ndarray, key_col: str,
             "bucket": (mix64(k) % np.uint64(num_buckets)).astype(np.int32),
             "k": k,
             "o": np.asarray(t[other_col].to_numpy(zero_copy_only=False), np.uint64),
-            "w": np.asarray(t["w"].to_numpy(zero_copy_only=False), np.float64),
+            "w": np.asarray(
+                np.asarray(t["w"].to_numpy(zero_copy_only=False)), dt),
             "pos": np.full(len(k), -1, np.int64),
             "side": np.zeros(len(k), np.int8),
         })
@@ -999,7 +1040,7 @@ def _gather_matrix_axis(ds, index: np.ndarray, key_col: str,
     def join(g: pa.Table) -> pa.Table:
         k = np.asarray(g["k"].to_numpy(zero_copy_only=False), np.uint64)
         o = np.asarray(g["o"].to_numpy(zero_copy_only=False), np.uint64)
-        w = np.asarray(g["w"].to_numpy(zero_copy_only=False), np.float64)
+        w = np.asarray(g["w"].to_numpy(zero_copy_only=False), dt)
         pos = np.asarray(g["pos"].to_numpy(zero_copy_only=False), np.int64)
         side = np.asarray(g["side"].to_numpy(zero_copy_only=False), np.int8)
         isv = side == 1
@@ -1009,7 +1050,7 @@ def _gather_matrix_axis(ds, index: np.ndarray, key_col: str,
         ek, eo, ew = k[~isv], o[~isv], w[~isv]
         empty = pa.table({key_col: pa.array([], pa.uint64()),
                           other_col: pa.array([], pa.uint64()),
-                          "w": pa.array([], pa.float64())})
+                          "w": pa.array(np.empty(0, dt))})
         if len(ik) == 0 or len(ek) == 0:
             return empty
         left = np.searchsorted(ik, ek, "left")
@@ -1049,6 +1090,8 @@ def merge_matrix(old, new, *, mask=None, complement: bool = False,
     sides; each side must be entry-unique per (src,dst) — duplicate rows
     within a side raise instead of silently miscombining (ADVICE r3)."""
     op = BINARY[accum] if accum else None
+    dt = np.result_type(_val_dtype_of(old, "w"), _val_dtype_of(new, "w"))
+    out_dt = _op_result_dtype(op, dt) if op is not None else dt
 
     def tag(ds, side: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -1062,10 +1105,10 @@ def merge_matrix(old, new, *, mask=None, complement: bool = False,
                 if value_mask:
                     keep = w != 0
                     s, d = s[keep], d[keep]
-                w = np.zeros(len(s), np.float64)
+                w = np.zeros(len(s), dt)
             else:
-                w = np.asarray(t["w"].to_numpy(zero_copy_only=False),
-                               np.float64)
+                w = np.asarray(
+                    np.asarray(t["w"].to_numpy(zero_copy_only=False)), dt)
             with np.errstate(over="ignore"):
                 bk = (mix64(s * np.uint64(0x9E3779B97F4A7C15) ^ d)
                       % np.uint64(num_buckets)).astype(np.int32)
@@ -1081,11 +1124,9 @@ def merge_matrix(old, new, *, mask=None, complement: bool = False,
     def join(g: pa.Table) -> pa.Table:
         s = np.asarray(g["src"].to_numpy(zero_copy_only=False), np.uint64)
         d = np.asarray(g["dst"].to_numpy(zero_copy_only=False), np.uint64)
-        w = np.asarray(g["w"].to_numpy(zero_copy_only=False), np.float64)
+        w = np.asarray(g["w"].to_numpy(zero_copy_only=False), dt)
         side = np.asarray(g["side"].to_numpy(zero_copy_only=False), np.int8)
-        empty = pa.table({"src": pa.array([], pa.uint64()),
-                          "dst": pa.array([], pa.uint64()),
-                          "w": pa.array([], pa.float64())})
+        empty = _empty_edges(out_dt)
         if len(s) == 0:
             return empty
         order = np.lexsort((side, d, s))
@@ -1107,7 +1148,7 @@ def merge_matrix(old, new, *, mask=None, complement: bool = False,
                     "must be unique per key (pre-combine with "
                     "salted_aggregate / from_coo dup_op first)")
             hx = per > 0
-            vx = np.zeros(ngroups, np.float64)
+            vx = np.zeros(ngroups, dt)
             vx[gid[m]] = w[m]  # ≤1 row per group for sides 0/1
             has.append(hx)
             vals.append(vx)
@@ -1125,7 +1166,7 @@ def merge_matrix(old, new, *, mask=None, complement: bool = False,
         keep = in_o | in_n
         if not keep.any():
             return empty
-        out = np.where(in_n, vals[1], vals[0])
+        out = np.where(in_n, vals[1], vals[0]).astype(out_dt, copy=False)
         if op is not None:
             both = in_o & in_n
             if both.any():
@@ -1171,13 +1212,21 @@ def assign_submatrix(c_edges, rows: np.ndarray, cols: np.ndarray, a_edges,
                          "(GrB assign requires unique rows/cols)")
     rset = np.sort(rows)
     cset = np.sort(cols)
+    # one promoted value dtype across C and A so every union branch emits
+    # the same Arrow schema (int64 stays int64-exact when both sides are)
+    dt = np.result_type(_val_dtype_of(c_edges, "w"),
+                        _val_dtype_of(a_edges, "w"))
+
+    def _wdt(t: pa.Table):
+        return np.asarray(
+            np.asarray(t["w"].to_numpy(zero_copy_only=False)), dt)
 
     def remap(t: pa.Table) -> pa.Table:
         p = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.int64)
         q = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.int64)
         if (p >= len(rows)).any() or (q >= len(cols)).any():
             raise IndexError("assign_submatrix: A position out of range")
-        return pa.table({"src": rows[p], "dst": cols[q], "w": t["w"]})
+        return pa.table({"src": rows[p], "dst": cols[q], "w": _wdt(t)})
 
     def in_region(t: pa.Table) -> np.ndarray:
         s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
@@ -1188,11 +1237,14 @@ def assign_submatrix(c_edges, rows: np.ndarray, cols: np.ndarray, a_edges,
         cin = (ci < len(cset)) & (cset[np.minimum(ci, len(cset) - 1)] == d)
         return sin & cin
 
+    def _norm(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["src"], "dst": t["dst"], "w": _wdt(t)})
+
     def keep_outside(t: pa.Table) -> pa.Table:
-        return t.filter(pa.array(~in_region(t))).select(["src", "dst", "w"])
+        return _norm(t.filter(pa.array(~in_region(t))))
 
     def keep_inside(t: pa.Table) -> pa.Table:
-        return t.filter(pa.array(in_region(t))).select(["src", "dst", "w"])
+        return _norm(t.filter(pa.array(in_region(t))))
 
     mapped = _ds(a_edges).map_batches(remap, batch_format="pyarrow")
     outside = _ds(c_edges).map_batches(keep_outside, batch_format="pyarrow")
@@ -1282,6 +1334,7 @@ def selectk_rowwise(edges, k: int, *, largest: bool = True,
         return ranked.map_batches(keep, batch_format="pyarrow")
     if how not in ("first", "last", "random"):
         raise ValueError(f"selectk_rowwise: unknown how {how!r}")
+    wdt = _val_dtype_of(edges, "w")
 
     def tag(t: pa.Table) -> pa.Table:
         s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
@@ -1289,13 +1342,14 @@ def selectk_rowwise(edges, k: int, *, largest: bool = True,
             "bucket": (mix64(s) % np.uint64(num_buckets)).astype(np.int32),
             "src": s,
             "dst": np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64),
-            "w": np.asarray(t["w"].to_numpy(zero_copy_only=False), np.float64),
+            "w": np.asarray(
+                np.asarray(t["w"].to_numpy(zero_copy_only=False)), wdt),
         })
 
     def pick(g: pa.Table) -> pa.Table:
         src = np.asarray(g["src"].to_numpy(zero_copy_only=False), np.uint64)
         dst = np.asarray(g["dst"].to_numpy(zero_copy_only=False), np.uint64)
-        w = np.asarray(g["w"].to_numpy(zero_copy_only=False), np.float64)
+        w = np.asarray(g["w"].to_numpy(zero_copy_only=False), wdt)
         if len(src) == 0:
             return pa.table({"src": src, "dst": dst, "w": w})
         if how == "first":
@@ -1329,20 +1383,25 @@ def sort_rowwise(edges, *, ascending: bool = True,
     so a power-law row-degree distribution costs the same as a uniform
     one (the whole bucket sorts as one array)."""
 
+    wdt = _val_dtype_of(edges, "w")
+
     def tag(t: pa.Table) -> pa.Table:
         s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
         b = (mix64(s) % np.uint64(num_buckets)).astype(np.int32)
         return pa.table({
             "bucket": b, "src": s,
             "dst": np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64),
-            "w": np.asarray(t["w"].to_numpy(zero_copy_only=False), np.float64),
+            "w": np.asarray(
+                np.asarray(t["w"].to_numpy(zero_copy_only=False)), wdt),
         })
 
     def srt(g: pd.DataFrame) -> pa.Table:
         src = g["src"].to_numpy(np.uint64)
         dst = g["dst"].to_numpy(np.uint64)
-        w = g["w"].to_numpy(np.float64)
-        order = np.lexsort((dst, w if ascending else -w, src))
+        w = g["w"].to_numpy(wdt)
+        dk = w if ascending else (
+            np.invert(w) if w.dtype.kind in "iub" else -w)
+        order = np.lexsort((dst, dk, src))
         src, dst, w = src[order], dst[order], w[order]
         new = np.r_[True, src[1:] != src[:-1]] if len(src) else np.zeros(0, bool)
         starts = np.flatnonzero(new)
@@ -1561,6 +1620,13 @@ def split_matrix(edges, row_cuts, col_cuts):
     def fn(t: pa.Table) -> pa.Table:
         s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
         d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        # tiles must cover the matrix (reference gb.ss.split errors on
+        # entries at/beyond sum(cuts) — an uncovered entry would land in
+        # a silent phantom tile otherwise; ADVICE r4)
+        if len(s) and (s.max() >= r_off[-1] or d.max() >= c_off[-1]):
+            raise ValueError(
+                "split_matrix: entry index beyond sum(row_cuts)/sum(col_cuts)"
+                " — tiles must cover the matrix (gb.ss.split semantics)")
         tr = (np.searchsorted(r_off, s, "right") - 1).astype(np.int32)
         tc = (np.searchsorted(c_off, d, "right") - 1).astype(np.int32)
         return pa.table({"tr": tr, "tc": tc,
@@ -1724,9 +1790,10 @@ def _mxm_wedge(a_edges, b_edges, sr, num_buckets, mask, complement):
 
     monoid = sr.monoid
     P = int(num_buckets)
-    _empty = pa.table({"src": pa.array([], pa.uint64()),
-                       "dst": pa.array([], pa.uint64()),
-                       "w": pa.array([], pa.float64())})
+    dt = np.result_type(_val_dtype_of(a_edges, "w"),
+                        _val_dtype_of(b_edges, "w"))
+    out_dt = _sr_out_dtype(sr, dt)
+    _empty = _empty_edges(out_dt)
 
     def pb_of(s: np.ndarray, d: np.ndarray) -> np.ndarray:
         with np.errstate(over="ignore"):
@@ -1743,7 +1810,7 @@ def _mxm_wedge(a_edges, b_edges, sr, num_buckets, mask, complement):
                     "part": (mix64(k) % np.uint64(P)).astype(np.int32),
                     "k": k,
                     "o": np.asarray(other.to_numpy(zero_copy_only=False), np.uint64),
-                    "w": _wcol(t),
+                    "w": _wcol(t, dt),
                     "side": np.full(t.num_rows, side, np.int8),
                 }
             )
@@ -1754,7 +1821,7 @@ def _mxm_wedge(a_edges, b_edges, sr, num_buckets, mask, complement):
     _join_empty_cols = {"part": pa.array([], pa.int32()),
                         "src": pa.array([], pa.uint64()),
                         "dst": pa.array([], pa.uint64()),
-                        "w": pa.array([], pa.float64())}
+                        "w": pa.array(np.empty(0, out_dt))}
     if masked:
         _join_empty_cols["kind"] = pa.array([], pa.int8())
     _join_empty = pa.table(_join_empty_cols)
@@ -1762,7 +1829,7 @@ def _mxm_wedge(a_edges, b_edges, sr, num_buckets, mask, complement):
     def join(g: pa.Table) -> pa.Table:
         k = np.asarray(g["k"].to_numpy(zero_copy_only=False), np.uint64)
         o = np.asarray(g["o"].to_numpy(zero_copy_only=False), np.uint64)
-        w = np.asarray(g["w"].to_numpy(zero_copy_only=False), np.float64)
+        w = np.asarray(g["w"].to_numpy(zero_copy_only=False), dt)
         side = np.asarray(g["side"].to_numpy(zero_copy_only=False), np.int8)
         isb = side == 1
         ka, oa, wa = k[~isb], o[~isb], w[~isb]
@@ -1810,14 +1877,14 @@ def _mxm_wedge(a_edges, b_edges, sr, num_buckets, mask, complement):
         return pa.table({
             "part": pb_of(s, d),
             "src": s, "dst": d,
-            "w": np.zeros(len(s), np.float64),
+            "w": np.zeros(len(s), out_dt),
             "kind": np.ones(len(s), np.int8),
         })
 
     def final(g: pa.Table) -> pa.Table:
         s = np.asarray(g["src"].to_numpy(zero_copy_only=False), np.uint64)
         d = np.asarray(g["dst"].to_numpy(zero_copy_only=False), np.uint64)
-        w = np.asarray(g["w"].to_numpy(zero_copy_only=False), np.float64)
+        w = np.asarray(g["w"].to_numpy(zero_copy_only=False), out_dt)
         if len(s) == 0:
             return _empty
         order = np.lexsort((d, s))
@@ -1833,7 +1900,7 @@ def _mxm_wedge(a_edges, b_edges, sr, num_buckets, mask, complement):
         no value."""
         s = np.asarray(g["src"].to_numpy(zero_copy_only=False), np.uint64)
         d = np.asarray(g["dst"].to_numpy(zero_copy_only=False), np.uint64)
-        w = np.asarray(g["w"].to_numpy(zero_copy_only=False), np.float64)
+        w = np.asarray(g["w"].to_numpy(zero_copy_only=False), out_dt)
         k = np.asarray(g["kind"].to_numpy(zero_copy_only=False), np.int8)
         if len(s) == 0:
             return _empty
@@ -1917,9 +1984,10 @@ def _mxm_dot(a_edges, b_edges, sr, mask, num_buckets):
     from raygraph.shuffle import exchange, refs_to_dataset
 
     monoid = sr.monoid
-    _empty = pa.table({"src": pa.array([], pa.uint64()),
-                       "dst": pa.array([], pa.uint64()),
-                       "w": pa.array([], pa.float64())})
+    dt = np.result_type(_val_dtype_of(a_edges, "w"),
+                        _val_dtype_of(b_edges, "w"))
+    out_dt = _sr_out_dtype(sr, dt)
+    _empty = _empty_edges(out_dt)
     P = int(num_buckets)
 
     def _semijoin(keys_ref, col):
@@ -1953,7 +2021,7 @@ def _mxm_dot(a_edges, b_edges, sr, mask, num_buckets):
             "part": (mix64(i) % np.uint64(P)).astype(np.int32),
             "i": i,
             "jk": np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64),
-            "x": _wcol(t),
+            "x": _wcol(t, dt),
             "side": np.zeros(len(i), np.int8),
         })
 
@@ -1963,21 +2031,21 @@ def _mxm_dot(a_edges, b_edges, sr, mask, num_buckets):
             "part": (mix64(i) % np.uint64(P)).astype(np.int32),
             "i": i,
             "jk": np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64),
-            "x": np.zeros(len(i), np.float64),
+            "x": np.zeros(len(i), dt),
             "side": np.ones(len(i), np.int8),
         })
 
     def expand(g: pa.Table) -> pa.Table:
         i = np.asarray(g["i"].to_numpy(zero_copy_only=False), np.uint64)
         jk = np.asarray(g["jk"].to_numpy(zero_copy_only=False), np.uint64)
-        x = np.asarray(g["x"].to_numpy(zero_copy_only=False), np.float64)
+        x = np.asarray(g["x"].to_numpy(zero_copy_only=False), dt)
         side = np.asarray(g["side"].to_numpy(zero_copy_only=False), np.int8)
         ism = side == 1
         empty = pa.table({"part": pa.array([], pa.int32()),
                           "j": pa.array([], pa.uint64()),
                           "i": pa.array([], pa.uint64()),
                           "k": pa.array([], pa.uint64()),
-                          "x": pa.array([], pa.float64()),
+                          "x": pa.array(np.empty(0, dt)),
                           "side": pa.array([], pa.int8())})
         mi, mj = i[ism], jk[ism]
         ai, ak, aw = i[~ism], jk[~ism], x[~ism]
@@ -2029,20 +2097,20 @@ def _mxm_dot(a_edges, b_edges, sr, mask, num_buckets):
             "j": np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64),
             "i": np.zeros(len(k), np.uint64),
             "k": k,
-            "x": _wcol(t),
+            "x": _wcol(t, dt),
             "side": np.ones(len(k), np.int8),
         })
 
     _partial_empty = pa.table({"part": pa.array([], pa.int32()),
                                "src": pa.array([], pa.uint64()),
                                "dst": pa.array([], pa.uint64()),
-                               "w": pa.array([], pa.float64())})
+                               "w": pa.array(np.empty(0, out_dt))})
 
     def dot(g: pa.Table) -> pa.Table:
         j = np.asarray(g["j"].to_numpy(zero_copy_only=False), np.uint64)
         i = np.asarray(g["i"].to_numpy(zero_copy_only=False), np.uint64)
         k = np.asarray(g["k"].to_numpy(zero_copy_only=False), np.uint64)
-        x = np.asarray(g["x"].to_numpy(zero_copy_only=False), np.float64)
+        x = np.asarray(g["x"].to_numpy(zero_copy_only=False), dt)
         side = np.asarray(g["side"].to_numpy(zero_copy_only=False), np.int8)
         isb = side == 1
         qj, qi, qk, qx = j[~isb], i[~isb], k[~isb], x[~isb]
@@ -2094,7 +2162,7 @@ def _mxm_dot(a_edges, b_edges, sr, mask, num_buckets):
     def combine(g: pa.Table) -> pa.Table:
         ri = np.asarray(g["src"].to_numpy(zero_copy_only=False), np.uint64)
         rj = np.asarray(g["dst"].to_numpy(zero_copy_only=False), np.uint64)
-        val = np.asarray(g["w"].to_numpy(zero_copy_only=False), np.float64)
+        val = np.asarray(g["w"].to_numpy(zero_copy_only=False), out_dt)
         if len(ri) == 0:
             return _empty
         order = np.lexsort((rj, ri))
@@ -2176,7 +2244,7 @@ def diag_matrix(vec, k: int = 0):
 
     def fn(t: pa.Table) -> pa.Table:
         v = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.uint64)
-        w = np.asarray(t["val"].to_numpy(zero_copy_only=False), np.float64)
+        w = np.asarray(t["val"].to_numpy(zero_copy_only=False))
         if k >= 0:
             return pa.table({"src": v, "dst": v + np.uint64(k), "w": w})
         return pa.table({"src": v + np.uint64(-k), "dst": v, "w": w})
@@ -2199,8 +2267,8 @@ def diag_extract(edges, k: int = 0):
             keep = s == d + np.uint64(-k)
             idx = d[keep]
         return pa.table({"v": idx,
-                         "val": np.asarray(t["w"].to_numpy(zero_copy_only=False),
-                                           np.float64)[keep]})
+                         "val": np.asarray(
+                             t["w"].to_numpy(zero_copy_only=False))[keep]})
 
     return _ds(edges).map_batches(fn, batch_format="pyarrow")
 
@@ -2224,19 +2292,22 @@ def outer(a, b, op_name: str = "times", num_buckets: int = _DEFAULT_BUCKETS):
     vectors only (documented reference behavior is equally dense)."""
     bt = to_table(b)
     bv = np.asarray(bt["v"].to_numpy(zero_copy_only=False), np.uint64)
-    bx = np.asarray(bt["val"].to_numpy(zero_copy_only=False), np.float64)
+    bx = np.asarray(bt["val"].to_numpy(zero_copy_only=False))
     op = BINARY[op_name]
+    dt = np.result_type(_val_dtype_of(a), bx.dtype)
+    out_dt = _op_result_dtype(op, dt)
     import ray
 
-    ref = ray.put((bv, bx))
+    ref = ray.put((bv, np.asarray(bx, dt)))
 
     def fn(t: pa.Table) -> pa.Table:
         rv, rx = ray.get(ref)
         av = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.uint64)
-        ax = np.asarray(t["val"].to_numpy(zero_copy_only=False), np.float64)
+        ax = np.asarray(
+            np.asarray(t["val"].to_numpy(zero_copy_only=False)), dt)
         src = np.repeat(av, len(rv))
         dst = np.tile(rv, len(av))
-        w = np.asarray(op(np.repeat(ax, len(rx)), np.tile(rx, len(ax))), np.float64)
+        w = np.asarray(op(np.repeat(ax, len(rx)), np.tile(rx, len(ax))), out_dt)
         return pa.table({"src": src, "dst": dst, "w": w})
 
     return _ds(a).map_batches(fn, batch_format="pyarrow")
@@ -2245,7 +2316,9 @@ def outer(a, b, op_name: str = "times", num_buckets: int = _DEFAULT_BUCKETS):
 def _selectk_keys(v: np.ndarray, x: np.ndarray, how: str, seed: int):
     """lexsort keys (major last) for a selectk ordering."""
     if how == "largest":
-        return (v, -x)
+        # descending-value key without a float64 round-trip: bit
+        # complement reverses order exactly for int/uint/bool
+        return (v, np.invert(x) if x.dtype.kind in "iub" else -x)
     if how == "smallest":
         return (v, x)
     if how == "first":
@@ -2268,14 +2341,14 @@ def selectk_vector(vec, k: int, *, how: str = "largest", seed: int = 0):
 
     def partial(t: pa.Table) -> pa.Table:
         v = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.uint64)
-        x = np.asarray(t["val"].to_numpy(zero_copy_only=False), np.float64)
+        x = np.asarray(t["val"].to_numpy(zero_copy_only=False))
         order = np.lexsort(_selectk_keys(v, x, how, seed))[:k]
         return pa.table({"v": v[order], "val": x[order]})
 
     t = to_table(_ds(vec).map_batches(partial, batch_format="pyarrow"),
                  sort_by=None)
     v = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.uint64)
-    x = np.asarray(t["val"].to_numpy(zero_copy_only=False), np.float64)
+    x = np.asarray(t["val"].to_numpy(zero_copy_only=False))
     order = np.lexsort(_selectk_keys(v, x, how, seed))[:k]
     order = order[np.argsort(v[order], kind="stable")]  # ascending index out
     return pa.table({"v": v[order], "val": x[order]})
@@ -2290,7 +2363,7 @@ def compactify_vector(vec, k: int, *, how: str = "first", seed: int = 0):
     k-bounded form the reference notebooks use."""
     t = selectk_vector(vec, k, how=how, seed=seed)
     v = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.uint64)
-    x = np.asarray(t["val"].to_numpy(zero_copy_only=False), np.float64)
+    x = np.asarray(t["val"].to_numpy(zero_copy_only=False))
     order = np.lexsort(_selectk_keys(v, x, how, seed))
     return pa.table({"v": np.arange(len(v), dtype=np.uint64),
                      "val": x[order]})

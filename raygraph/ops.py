@@ -150,13 +150,19 @@ def _binom(n, k):
 # binom/erf/erfc/lgamma/tgamma go through math.* per element (the
 # reference equally JITs a scalar Python UDF for its extras); they are
 # convenience ops, not hot-path kernels.
+def _bitk(k):
+    """Bit position masked to [0, 63] (GxB k%64 semantics) — unclamped
+    ``1 << k`` / ``x >> k`` with k >= 64 hits numpy's platform-dependent
+    shift behavior, inconsistent with _bshift's explicit clamp."""
+    return np.asarray(k, np.uint64) % np.uint64(64)
+
+
 for _n, _f in {
-    "bget": lambda x, k: (np.asarray(x, np.uint64)
-                          >> np.asarray(k, np.uint64)) & np.uint64(1),
+    "bget": lambda x, k: (np.asarray(x, np.uint64) >> _bitk(k)) & np.uint64(1),
     "bset": lambda x, k: np.asarray(x, np.uint64)
-                          | (np.uint64(1) << np.asarray(k, np.uint64)),
+                          | (np.uint64(1) << _bitk(k)),
     "bclr": lambda x, k: np.asarray(x, np.uint64)
-                          & ~(np.uint64(1) << np.asarray(k, np.uint64)),
+                          & ~(np.uint64(1) << _bitk(k)),
     "bshift": _bshift,
     "ldexp": np.ldexp,
     "lxnor": lambda a, b: np.equal(np.asarray(a, bool), np.asarray(b, bool)),
@@ -321,10 +327,14 @@ class PositionalMul:
     offset: int = 0
 
     def pick(self, n: int, *, fi, fj, si, sj) -> np.ndarray:
+        # uint64, NOT float64: operand indices are full-range splitmix64
+        # vertex ids here, and a float64 carry silently loses precision
+        # above 2^53 (the reference types its positional ops INT32/INT64;
+        # our id space is uint64, so uint64 is the exact carry)
         src = {"firsti": fi, "firstj": fj,
                "secondi": si, "secondj": sj}[self.which]
-        out = np.broadcast_to(np.asarray(src, np.float64), (n,))
-        return out + self.offset if self.offset else out.copy()
+        out = np.broadcast_to(np.asarray(src, np.uint64), (n,))
+        return out + np.uint64(self.offset) if self.offset else out.copy()
 
 
 for _m in ("plus", "min", "max", "any", "times"):
