@@ -951,3 +951,31 @@ ORDER BY val DESC, v ASC LIMIT 3"""
 
 ORACLES["split_concat"] = f"""WITH {_E}
 SELECT src, dst, round(w, 6) AS w FROM e ORDER BY src, dst"""
+
+
+# FC64 matmul: complex wedge sum in numpy's exact (ac - bd, ad + bc) form
+ORACLES["complex_mxm"] = f"""WITH {_E},
+ce AS (SELECT src, dst, w AS re, CAST(n AS DOUBLE) AS im FROM e)
+SELECT a.src AS src, b.dst AS dst,
+       round(sum(a.re * b.re - a.im * b.im), 3) AS re,
+       round(sum(a.re * b.im + a.im * b.re), 3) AS im
+FROM ce a JOIN ce b ON a.dst = b.src
+GROUP BY 1, 2 ORDER BY src, dst"""
+
+# INT64-exact min_plus SpMV: weights 2^54 + k*1024 + 7 stay BIGINT on
+# both sides (no DOUBLE cast anywhere — the +7 would not survive one)
+ORACLES["mxv_int64_exact"] = """WITH
+ei AS (
+  SELECT l_partkey % 211 AS src, l_suppkey % 211 AS dst,
+         CAST(9007199254740992 * 2 AS BIGINT)
+         + (min(CAST(l_orderkey AS BIGINT) * 1048576 + l_partkey)
+            % 1048576) * 1024 + 7 AS w
+  FROM lineitem GROUP BY 1, 2),
+svi AS (SELECT s_suppkey % 211 AS v, min(CAST(s_suppkey AS BIGINT)) AS val
+        FROM supplier GROUP BY 1)
+SELECT ei.src AS v, min(ei.w + svi.val) AS val
+FROM ei JOIN svi ON svi.v = ei.dst GROUP BY 1 ORDER BY v"""
+
+ORACLES["apply_diagindex"] = f"""WITH {_E}
+SELECT src, dst, CAST(dst AS BIGINT) - CAST(src AS BIGINT) + 3 AS w
+FROM e ORDER BY src, dst"""

@@ -1315,3 +1315,89 @@ def q_split_concat(sf_dir):
 
 QUERIES["selectk_vector"] = q_selectk_vector
 QUERIES["split_concat"] = q_split_concat
+
+
+def q_complex_mxm(sf_dir):
+    """FC64 matmul (reference complex dtypes on the MATRIX-result path,
+    core/dtypes.py:13): the g1 matrix lifted to complex (re = w,
+    im = dup count n) squared — C[i,j] = Σ_k A[i,k]*A[k,j] with complex
+    plus_times via the paired-column wedge kernel (multival.mxm_c)."""
+    from raygraph import multival as MV
+
+    def lift(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t["src"], "dst": t["dst"],
+            "re": t["w"],
+            "im": np.asarray(t["n"].to_numpy(zero_copy_only=False),
+                             np.float64),
+        })
+
+    ce = _edges_dedup(sf_dir).map_batches(
+        lift, batch_format="pyarrow").materialize()
+    t = K.to_table(MV.mxm_c(ce, ce), sort_by=None)
+    t = _round_col(_round_col(_int64_col(_int64_col(t, "src"), "dst"),
+                              "re", 3), "im", 3)
+    return t.sort_by([("src", "ascending"), ("dst", "ascending")])
+
+
+def q_mxv_int64_exact(sf_dir):
+    """INT64-exact SpMV with weights above 2^53 (matrix value-dtype
+    fidelity, reference core/dtypes.py:16 typed operators): edge weight
+    w64 = 2^54 + (min per-(src,dst) lineitem key % 2^20)*1024 + 7 — the
+    trailing +7 is below float64's granularity-4 ULP at 2^54, so any
+    float64 round-trip in the matrix path flips the result hash.
+    min_plus over int64 end-to-end."""
+    from ray.data.aggregate import Min
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_orderkey"])
+
+    def m(t: pa.Table) -> pa.Table:
+        pk = np.asarray(t["l_partkey"].to_numpy(zero_copy_only=False),
+                        np.int64)
+        sk = np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False),
+                        np.int64)
+        ok = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False),
+                        np.int64)
+        return pa.table({"src": (pk % MOD).astype(np.uint64),
+                         "dst": (sk % MOD).astype(np.uint64),
+                         "h": ok * np.int64(1048576) + pk})
+
+    agg = ds.map_batches(m, batch_format="pyarrow") \
+        .groupby(["src", "dst"]).aggregate(Min("h", alias_name="h"))
+
+    def w64(t: pa.Table) -> pa.Table:
+        h = np.asarray(t["h"].to_numpy(zero_copy_only=False), np.int64)
+        w = (np.int64(2**54) + (h % np.int64(1048576)) * np.int64(1024)
+             + np.int64(7))
+        return pa.table({"src": t["src"], "dst": t["dst"], "w": w})
+
+    edges = agg.map_batches(w64, batch_format="pyarrow")
+
+    t = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    sk = np.asarray(t["s_suppkey"].to_numpy(zero_copy_only=False), np.int64)
+    v = (sk % MOD).astype(np.uint64)
+    order = np.argsort(v, kind="stable")
+    v, sk = v[order], sk[order]
+    starts = np.flatnonzero(np.r_[True, v[1:] != v[:-1]])
+    vec = pa.table({"v": v[starts],
+                    "val": np.minimum.reduceat(sk, starts)})
+
+    out = K.to_table(K.mxv(edges, vec, "min_plus"))
+    return _int64_col(_int64_col(out, "v"), "val")
+
+
+def q_apply_diagindex(sf_dir):
+    """indexunary.diagindex apply (reference
+    core/operator/indexunary.py:102-110): value = j - i + thunk over the
+    g1 edge pattern."""
+    out = K.apply_positional(_edges_dedup(sf_dir), "diagindex", thunk=3)
+    t = K.to_table(out, sort_by=None).select(["src", "dst", "w"])
+    t = _int64_col(_int64_col(_int64_col(t, "src"), "dst"), "w")
+    return t.sort_by([("src", "ascending"), ("dst", "ascending")])
+
+
+QUERIES["complex_mxm"] = q_complex_mxm
+QUERIES["mxv_int64_exact"] = q_mxv_int64_exact
+QUERIES["apply_diagindex"] = q_apply_diagindex

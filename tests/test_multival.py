@@ -230,3 +230,73 @@ def test_cmplx_constructor():
     mag = to_table(MV.apply_c(MV.cmplx(a, b), "abs"))
     gm = {v: m for v, m in zip(mag["v"].to_pylist(), mag["val"].to_pylist())}
     assert gm == pytest.approx({2: abs(2.5 - 1j), 3: abs(3.5 + 0.25j)})
+
+
+def _cedges(rng, n, idspace=40):
+    pairs = rng.choice(idspace * idspace, size=n, replace=False)
+    return pa.table({
+        "src": (pairs // idspace).astype(np.uint64),
+        "dst": (pairs % idspace).astype(np.uint64),
+        "re": np.round(rng.normal(size=n), 6),
+        "im": np.round(rng.normal(size=n), 6),
+    })
+
+
+def _edict(t: pa.Table) -> dict:
+    s = t["src"].to_numpy(zero_copy_only=False)
+    d = t["dst"].to_numpy(zero_copy_only=False)
+    z = (np.asarray(t["re"].to_numpy(zero_copy_only=False), np.float64)
+         + 1j * np.asarray(t["im"].to_numpy(zero_copy_only=False),
+                           np.float64))
+    return {(int(a), int(b)): c for a, b, c in zip(s, d, z.tolist())}
+
+
+def test_vxm_c_vs_dense_numpy():
+    rng = np.random.default_rng(23)
+    e, v = _cedges(rng, 300), _cvec(rng, 25, idspace=40)
+    got = _as_dict(to_table(MV.vxm_c(v, e)))
+    de, dv = _edict(e), _as_dict(v)
+    want: dict = {}
+    for (i, j), a in de.items():
+        if i in dv:
+            want[j] = want.get(j, 0) + dv[i] * a
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+def test_mxm_c_vs_dense_numpy():
+    rng = np.random.default_rng(29)
+    a, b = _cedges(rng, 250), _cedges(rng, 250)
+    got = _edict(to_table(MV.mxm_c(a, b), sort_by=None))
+    da, db = _edict(a), _edict(b)
+    want: dict = {}
+    for (i, k), x in da.items():
+        for (k2, j), y in db.items():
+            if k == k2:
+                want[(i, j)] = want.get((i, j), 0) + x * y
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+def test_fc32_paired_float32_layout():
+    """FC32 = paired float32 (reference core/dtypes.py:13): mxv_c/vxm_c/
+    mxm_c with dtype='fc32' compute in complex64 and emit float32
+    component columns; results match the complex64 numpy oracle."""
+    rng = np.random.default_rng(31)
+    e, v = _cedges(rng, 200), _cvec(rng, 20, idspace=40)
+    out = to_table(MV.mxv_c(e, v, dtype="fc32"))
+    assert out["re"].type == pa.float32() and out["im"].type == pa.float32()
+    de, dv = _edict(e), _as_dict(v)
+    want: dict = {}
+    for (i, j), a in de.items():
+        if j in dv:
+            want[i] = want.get(i, np.complex64(0)) + \
+                np.complex64(a) * np.complex64(dv[j])
+    got = _as_dict(out)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(complex(want[k]), rel=2e-5, abs=2e-5)
+    m = to_table(MV.mxm_c(e, e, dtype="fc32"), sort_by=None)
+    assert m["re"].type == pa.float32() and m["im"].type == pa.float32()

@@ -142,3 +142,15 @@ def test_unary_special_tail():
         assert np.allclose(got, [ref(v) for v in x])
     m, e = UNARY["frexpx"](x), UNARY["frexpe"](x)
     assert np.allclose(m * np.exp2(e), x)
+
+
+def test_bitops_clamp_k_mod_64():
+    """ADVICE r4: bget/bset/bclr mask the bit position k % 64 (GxB
+    semantics) instead of numpy's platform-dependent >=64 shifts."""
+    from raygraph.ops import BINARY
+
+    x = np.array([0b1010, 0], np.uint64)
+    k = np.array([65, 64], np.uint64)  # -> bits 1 and 0
+    assert BINARY["bget"](x, k).tolist() == [1, 0]
+    assert BINARY["bset"](x, k).tolist() == [0b1010, 1]
+    assert BINARY["bclr"](x, k).tolist() == [0b1000, 0]
