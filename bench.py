@@ -402,7 +402,8 @@ def run_bench() -> dict:
     ids = None
 
     for name in ("coo_build_dup_plus", "pagerank_k8", "cc_labels",
-                 "doc_exact_dedup", "minhash_pairs", "knn_topk", "knn_ivf",
+                 "doc_exact_dedup", "doc_analysis", "minhash_pairs",
+                 "knn_topk", "knn_ivf",
                  "doc_sample_per_lang", "doc_len_quantiles",
                  "events_tumbling", "events_asof_prev", "agg_stats",
                  "mxm_masked", "mxm_masked_dot", "dedup_clusters",
