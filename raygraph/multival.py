@@ -34,8 +34,10 @@ from raygraph.util import mix64
 
 
 def _tag_multi(ds, side: int, key: str, num_buckets: int,
-               val_cols: tuple[str, ...]):
-    """Tag one side with its hash bucket; value columns ride as val_0..k."""
+               val_cols: tuple[str, ...], field_dts=None):
+    """Tag one side with its hash bucket; value columns ride as val_0..k
+    in their registered per-field dtypes (float64 when unregistered)."""
+    field_dts = field_dts or (np.float64,) * len(val_cols)
 
     def fn(t: pa.Table) -> pa.Table:
         v = np.asarray(t[key].to_numpy(zero_copy_only=False), np.uint64)
@@ -46,17 +48,19 @@ def _tag_multi(ds, side: int, key: str, num_buckets: int,
         }
         for i, c in enumerate(val_cols):
             cols[f"val_{i}"] = np.asarray(
-                t[c].to_numpy(zero_copy_only=False), np.float64)
+                np.asarray(t[c].to_numpy(zero_copy_only=False)),
+                field_dts[i])
         return pa.table(cols)
 
     return _ds(ds).map_batches(fn, batch_format="pyarrow")
 
 
 def _cogroup_multi(sides: list, fn, val_cols: tuple[str, ...],
-                   num_buckets: int = _DEFAULT_BUCKETS):
+                   num_buckets: int = _DEFAULT_BUCKETS, field_dts=None):
     """One groupby(bucket) shuffle over all sides; per bucket calls
     ``fn(v, vals: list[np.ndarray], side) -> pa.Table``."""
-    tagged = [_tag_multi(ds, s, "v", num_buckets, val_cols)
+    field_dts = field_dts or (np.float64,) * len(val_cols)
+    tagged = [_tag_multi(ds, s, "v", num_buckets, val_cols, field_dts)
               for ds, s in sides]
     u = tagged[0]
     for t in tagged[1:]:
@@ -67,8 +71,9 @@ def _cogroup_multi(sides: list, fn, val_cols: tuple[str, ...],
     def gf(g: pa.Table) -> pa.Table:
         return fn(
             np.asarray(g["v"].to_numpy(zero_copy_only=False), np.uint64),
-            [np.asarray(g[f"val_{i}"].to_numpy(zero_copy_only=False),
-                        np.float64) for i in range(k)],
+            [np.asarray(
+                np.asarray(g[f"val_{i}"].to_numpy(zero_copy_only=False)),
+                field_dts[i]) for i in range(k)],
             np.asarray(g["side"].to_numpy(zero_copy_only=False), np.int8),
         )
 
@@ -80,13 +85,13 @@ def _join_sides_multi(v, vals: list, side, n_sides: int):
 
     Returns (keys, has[side, run], fields: list over k of
     vals[side, run]) — same contract as kernels._join_sides but with a
-    dense per-side matrix PER FIELD."""
+    dense per-side matrix PER FIELD (each field keeps its dtype)."""
     order = np.lexsort((side, v))
     v, side = v[order], side[order]
     vals = [x[order] for x in vals]
     if len(v) == 0:
         return v, np.zeros((n_sides, 0), bool), [
-            np.zeros((n_sides, 0), np.float64) for _ in vals]
+            np.zeros((n_sides, 0), x.dtype) for x in vals]
     change = np.r_[True, v[1:] != v[:-1]]
     run_id = np.cumsum(change) - 1
     nruns = int(run_id[-1]) + 1
@@ -94,10 +99,110 @@ def _join_sides_multi(v, vals: list, side, n_sides: int):
     has[side, run_id] = True
     fields = []
     for x in vals:
-        m = np.zeros((n_sides, nruns), np.float64)
+        m = np.zeros((n_sides, nruns), x.dtype)
         m[side, run_id] = x
         fields.append(m)
     return v[change], has, fields
+
+
+# ------------------------------------------------------- UDT registry ----
+# reference dtypes.register_new (core/dtypes.py:178-244): a UDT is a numpy
+# structured dtype registered under a name; here each scalar field maps to
+# one Arrow column (sized sub-array fields flatten to ``<field>_<i>``
+# columns), and the UDF ewise/apply kernels resolve the column set and the
+# per-field dtypes by the registered name.
+
+
+class UdtType:
+    """A registered struct value type: (name, flattened scalar fields)."""
+
+    def __init__(self, name: str, np_dtype: np.dtype):
+        self.name = name
+        self.np_dtype = np.dtype(np_dtype)
+        if self.np_dtype.names is None:
+            raise ValueError("register_udt: dtype must be a numpy "
+                             "structured dtype (reference core/dtypes.py:178)")
+        fields: list[tuple[str, np.dtype]] = []
+        for f in self.np_dtype.names:
+            fdt = self.np_dtype.fields[f][0]
+            if fdt.subdtype is not None:  # sized sub-array field
+                base, shape = fdt.subdtype
+                for i in range(int(np.prod(shape))):
+                    fields.append((f"{f}_{i}", base))
+            else:
+                fields.append((f, fdt))
+        self.fields = tuple(fields)
+
+    @property
+    def columns(self) -> tuple[str, ...]:
+        return tuple(c for c, _ in self.fields)
+
+    @property
+    def dtypes(self) -> tuple:
+        return tuple(d for _, d in self.fields)
+
+
+_UDT_REGISTRY: dict[str, UdtType] = {}
+
+
+def register_udt(name: str, dtype) -> UdtType:
+    """Register ``name`` -> numpy structured dtype (idempotent re-register
+    replaces). Accepts anything np.dtype() takes, e.g.
+    ``register_udt('point', [('x', 'f8'), ('y', 'f8')])`` or a dtype with
+    sized sub-array fields ``[('xy', 'f8', (2,))]``."""
+    t = UdtType(name, np.dtype(dtype))
+    _UDT_REGISTRY[name] = t
+    return t
+
+
+def udt_lookup(name: str) -> UdtType:
+    return _UDT_REGISTRY[name]
+
+
+def _resolve_udt(val_cols):
+    """(columns, per-field dtypes) from a registered name or a plain
+    column tuple (unregistered columns default to float64)."""
+    if isinstance(val_cols, str):
+        t = _UDT_REGISTRY[val_cols]
+        return t.columns, t.dtypes
+    return tuple(val_cols), (np.float64,) * len(val_cols)
+
+
+def udt_vector_table(v, values: np.ndarray, name: str) -> pa.Table:
+    """(v, <field columns>) Arrow table from a numpy structured array —
+    the registered layout's pack half of the round-trip."""
+    t = _UDT_REGISTRY[name]
+    values = np.asarray(values, t.np_dtype)
+    cols: dict = {"v": np.asarray(v, np.uint64)}
+    for f in t.np_dtype.names:
+        fdt = t.np_dtype.fields[f][0]
+        if fdt.subdtype is not None:
+            base, _ = fdt.subdtype
+            flat = values[f].reshape(len(values), -1)
+            for i in range(flat.shape[1]):
+                cols[f"{f}_{i}"] = np.ascontiguousarray(flat[:, i], base)
+        else:
+            cols[f] = values[f]
+    return pa.table(cols)
+
+
+def udt_from_table(tbl: pa.Table, name: str, *, key: str = "v"):
+    """(v, structured array) back from the per-field column layout."""
+    t = _UDT_REGISTRY[name]
+    n = tbl.num_rows
+    out = np.zeros(n, t.np_dtype)
+    for f in t.np_dtype.names:
+        fdt = t.np_dtype.fields[f][0]
+        if fdt.subdtype is not None:
+            base, shape = fdt.subdtype
+            k = int(np.prod(shape))
+            flat = np.stack([np.asarray(
+                tbl[f"{f}_{i}"].to_numpy(zero_copy_only=False), base)
+                for i in range(k)], axis=1)
+            out[f] = flat.reshape((n,) + shape)
+        else:
+            out[f] = np.asarray(tbl[f].to_numpy(zero_copy_only=False), fdt)
+    return np.asarray(tbl[key].to_numpy(zero_copy_only=False), np.uint64), out
 
 
 # ----------------------------------------------------------- UDT surface ----
@@ -105,15 +210,18 @@ def _join_sides_multi(v, vals: list, side, n_sides: int):
 #   -> dict[field -> array]; applied only where BOTH sides are present.
 
 
-def ewise_udt(a, b, fn: Callable, val_cols: tuple[str, ...],
+def ewise_udt(a, b, fn: Callable, val_cols,
               *, union: bool = False,
               num_buckets: int = _DEFAULT_BUCKETS):
     """Element-wise op over struct-valued vectors (reference UDT ewise:
     a registered numpy structured-dtype op, core/dtypes.py:178-244 +
     operator register_new).  ``union=False`` = intersection
     (ewise_mult shape); ``union=True`` = op where both present,
-    field-wise passthrough otherwise (ewise_add shape)."""
-    k = len(val_cols)
+    field-wise passthrough otherwise (ewise_add shape).
+    ``val_cols`` may be a REGISTERED UDT NAME (register_udt) — the
+    column set and per-field dtypes resolve from the registry — or a
+    plain tuple of float64 columns."""
+    val_cols, field_dts = _resolve_udt(val_cols)
 
     def join(v, vals, side) -> pa.Table:
         keys, has, fields = _join_sides_multi(v, vals, side, 2)
@@ -125,8 +233,8 @@ def ewise_udt(a, b, fn: Callable, val_cols: tuple[str, ...],
         keys = keys[sel]
         if len(keys) == 0:
             cols = {"v": pa.array([], pa.uint64())}
-            for c in val_cols:
-                cols[c] = pa.array([], pa.float64())
+            for c, fdt in zip(val_cols, field_dts):
+                cols[c] = pa.array(np.empty(0, fdt))
             return pa.table(cols)
         da = {c: fields[i][0][sel] for i, c in enumerate(val_cols)}
         db = {c: fields[i][1][sel] for i, c in enumerate(val_cols)}
@@ -139,22 +247,26 @@ def ewise_udt(a, b, fn: Callable, val_cols: tuple[str, ...],
                 o = out[c]
                 o[bb] = res[c]
         cols = {"v": keys}
-        for c in val_cols:
-            cols[c] = out[c]
+        for c, fdt in zip(val_cols, field_dts):
+            cols[c] = np.asarray(out[c], fdt)
         return pa.table(cols)
 
-    return _cogroup_multi([(a, 0), (b, 1)], join, val_cols, num_buckets)
+    return _cogroup_multi([(a, 0), (b, 1)], join, val_cols, num_buckets,
+                          field_dts=field_dts)
 
 
-def apply_udt(x, fn: Callable, val_cols: tuple[str, ...],
+def apply_udt(x, fn: Callable, val_cols,
               out_cols: tuple[str, ...] | None = None, *, key: str = "v"):
     """apply() over a struct-valued vector: ``fn(dict) -> dict`` runs
-    per batch, vectorized; no shuffle."""
+    per batch, vectorized; no shuffle. ``val_cols`` may be a registered
+    UDT name (register_udt)."""
+    val_cols, field_dts = _resolve_udt(val_cols)
     out_cols = out_cols if out_cols is not None else val_cols
 
     def m(t: pa.Table) -> pa.Table:
-        d = {c: np.asarray(t[c].to_numpy(zero_copy_only=False), np.float64)
-             for c in val_cols}
+        d = {c: np.asarray(
+            np.asarray(t[c].to_numpy(zero_copy_only=False)), fdt)
+             for c, fdt in zip(val_cols, field_dts)}
         res = fn(d)
         cols = {key: np.asarray(t[key].to_numpy(zero_copy_only=False),
                                 np.uint64)}

@@ -1186,8 +1186,10 @@ def q_complex_ewise(sf_dir):
 
 def q_udt_ewise(sf_dir):
     """UDT struct values (reference dtypes.register_new, numpy structured
-    dtypes): vectors with a 2-field struct value (x = row count,
-    y = acctbal sum) combined by a UDF ewise op (x adds, y multiplies)."""
+    dtypes): vectors with a REGISTERED 2-field struct value (x = row
+    count, y = acctbal sum) combined by a UDF ewise op (x adds, y
+    multiplies) — columns and per-field dtypes resolve by the registered
+    name (multival.register_udt)."""
     from raygraph import multival as MV
 
     def uvec(table, key, val):
@@ -1207,7 +1209,8 @@ def q_udt_ewise(sf_dir):
     def fn(da, db):
         return {"x": da["x"] + db["x"], "y": da["y"] * db["y"]}
 
-    t = K.to_table(MV.ewise_udt(a, b, fn, ("x", "y")), sort_by=None)
+    MV.register_udt("acct_stats", [("x", "f8"), ("y", "f8")])
+    t = K.to_table(MV.ewise_udt(a, b, fn, "acct_stats"), sort_by=None)
     t = _round_col(_int64_col(_int64_col(t, "v"), "x"), "y", 4)
     return t.sort_by([("v", "ascending")])
 

@@ -238,3 +238,41 @@ def test_lpa_fused_directed_source_and_sink_partitions():
     l_ds, _ = label_propagation(g, itermax=5, mode="dataset")
     for a, b in zip(l_fu, l_ds):
         np.testing.assert_array_equal(a, b)
+
+
+def test_fused_p256_driver_overhead_smoke():
+    """P=256 smoke (SCALE.md round-5 note): the fused engine's O(P²)
+    per-iteration packet-ref fan-out (65,536 refs/wave at P=256) keeps
+    driver overhead sub-second per iteration at sandbox scale, and the
+    result matches the P=5 partitioning bit-for-bit at the vertex level
+    (partition-count invariance)."""
+    import time
+
+    import pyarrow as pa
+
+    from raygraph.util import mix64
+
+    rng_i = np.arange(30_000, dtype=np.uint64)
+    src = mix64(rng_i) % np.uint64(5_000)
+    dst = mix64(rng_i ^ np.uint64(0xABCD)) % np.uint64(5_000)
+    edges = pa.table({"src": src, "dst": dst})
+    g256 = build_graph(rd.from_arrow(edges), num_parts=256, dup_op="first",
+                       binarize=True)
+    t0 = time.perf_counter()
+    iters = 5
+    r256, info = pagerank(g256, tol=0.0, itermax=iters, mode="fused",
+                          check_every=99)
+    per_iter = (time.perf_counter() - t0) / iters
+    assert info["iters"] == iters
+    # generous bound for a loaded CI box; idle measurement is far lower.
+    # the point is the P² ref fan-out does not blow up the driver
+    assert per_iter < 5.0, f"per-iteration wall {per_iter:.2f}s at P=256"
+    g5 = build_graph(rd.from_arrow(edges), num_parts=5, dup_op="first",
+                     binarize=True)
+    r5, _ = pagerank(g5, tol=0.0, itermax=iters, mode="fused",
+                     check_every=99)
+    a = g256.to_vertex_table(r256)
+    b = g5.to_vertex_table(r5)
+    assert a["v"].to_pylist() == b["v"].to_pylist()
+    np.testing.assert_allclose(a["val"].to_numpy(), b["val"].to_numpy(),
+                               rtol=0, atol=1e-12)

@@ -300,3 +300,45 @@ def test_fc32_paired_float32_layout():
         assert got[k] == pytest.approx(complex(want[k]), rel=2e-5, abs=2e-5)
     m = to_table(MV.mxm_c(e, e, dtype="fc32"), sort_by=None)
     assert m["re"].type == pa.float32() and m["im"].type == pa.float32()
+
+
+def test_udt_registry_roundtrip_and_named_ewise():
+    """register_new analog (reference core/dtypes.py:178-244): a named
+    structured dtype (incl. a sized sub-array field) round-trips through
+    the per-field column layout, and ewise/apply resolve the column set
+    and per-field dtypes by the registered name (int64 field stays
+    int64-exact above 2^53)."""
+    big = np.int64(2**54)
+    t = MV.register_udt("acc", [("cnt", "i8"), ("tot", "f8"),
+                                ("xy", "f8", (2,))])
+    assert t.columns == ("cnt", "tot", "xy_0", "xy_1")
+    v = np.array([3, 1, 7], np.uint64)
+    vals = np.zeros(3, t.np_dtype)
+    vals["cnt"] = [big + 3, 2, 5]
+    vals["tot"] = [1.5, 2.5, 3.5]
+    vals["xy"] = [[1, 2], [3, 4], [5, 6]]
+    tbl = MV.udt_vector_table(v, vals, "acc")
+    assert tbl["cnt"].type == pa.int64()
+    v2, back = MV.udt_from_table(tbl.sort_by("v"), "acc")
+    assert sorted(v2.tolist()) == [1, 3, 7]
+    got = {int(k): r for k, r in zip(v2, back)}
+    assert got[3]["cnt"] == big + 3 and tuple(got[7]["xy"]) == (5.0, 6.0)
+
+    b_vals = np.zeros(2, t.np_dtype)
+    b_vals["cnt"] = [big + 9, 1]
+    b_vals["tot"] = [10.0, 20.0]
+    b_vals["xy"] = [[1, 1], [2, 2]]
+    b = MV.udt_vector_table(np.array([3, 9], np.uint64), b_vals, "acc")
+
+    def add(da, db):
+        return {c: da[c] + db[c] for c in t.columns}
+
+    out = to_table(MV.ewise_udt(tbl, b, add, "acc"))
+    assert out["cnt"].type == pa.int64()
+    row = {int(k): i for i, k in enumerate(out["v"].to_pylist())}
+    assert out["cnt"][row[3]].as_py() == int(2 * big + 12)  # int64-exact
+
+    ap = to_table(MV.apply_udt(tbl, lambda d: {**d, "cnt": d["cnt"] + 1},
+                               "acc"))
+    assert ap["cnt"].type == pa.int64()
+    assert sorted(ap["cnt"].to_pylist())[-1] == int(big + 4)
