@@ -173,7 +173,11 @@ def run_bench() -> dict:
         return build_graph(links, vertices_ds=verts, num_parts=P,
                            dup_op="plus", binarize=True)
 
-    g = staged("build", do_build, quiet_target=18.0, quiet_budget=240.0)
+    # quiet_budget raised 240 -> 360 (VERDICT r4 next #2): build is the one
+    # stage whose driver min stayed > 2x the all-time best; more retries =
+    # more chances to catch a quiet bus window, and the membw stamps in the
+    # side file make a budget-exhausted record self-evidencing
+    g = staged("build", do_build, quiet_target=18.0, quiet_budget=360.0)
     q["extract_build"] = round(q["extract"] + q["build"], 3)
 
     def do_pagerank():
@@ -442,18 +446,27 @@ def run_scaling() -> dict:
     BASELINE.md).
     """
 
-    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "1"))
+    # quiet-retry per leg (VERDICT r4 next #9): keep re-running a leg while
+    # a fresh process still improves the best by > 10% (the signature of a
+    # loud first window), up to the repeat cap — so a single loud run can't
+    # deflate eff(8->32) the way the historical 0.21-0.45 readings were
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_HEADLINE="1")
         best = None
-        for _ in range(repeats):  # min across repeats = least host interference
+        for i in range(repeats):
             out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                                  capture_output=True, text=True, check=True,
                                  cwd=os.path.dirname(os.path.abspath(__file__)))
             r = json.loads(out.stdout.strip().splitlines()[-1])
-            if best is None or r["value"] < best["value"]:
+            improved = best is None or r["value"] < best["value"]
+            if improved:
+                prev = best["value"] if best is not None else None
                 best = r
+            if i >= 1 and not (improved and prev is not None
+                               and r["value"] < 0.9 * prev):
+                break  # two consecutive non-improving (or <10%) runs: quiet
         return best
 
     runs = {c: one(c) for c in (2, 8, 32)}
