@@ -365,3 +365,71 @@ def matrix_from_scalar(s: float, nrows: int, ncols: int) -> pa.Table:
 def vector_from_scalar(s: float, size: int) -> pa.Table:
     """Constant full vector (reference ``Vector.from_scalar``)."""
     return vector_from_dense(np.full(int(size), float(s)))
+
+
+def ss_export_matrix(edges: pa.Table, format: str = "csr") -> dict:
+    """SuiteSparse-style structural export of a COO edge table
+    (reference ``Matrix.ss.export`` formats, core/ss/matrix.py:1165-1853):
+
+    - ``csr`` / ``csc``: ``indptr`` spans the full index range
+      [0, max_index+1) of the sorted axis (empty rows/cols cost one
+      int64 each — the reference's non-hypersparse form);
+    - ``dcsr`` / ``dcsc``: doubly-compressed — ``rows``/``cols`` lists
+      only the NON-EMPTY majors and ``indptr`` has one entry per stored
+      major (reference core/matrix.py:1704-1853), the form whose cost is
+      independent of the index-space size (full-range uint64 vertex ids
+      here, so dcsr/dcsc are the only exact exports for hashed ids);
+    - ``coo``: sorted triples.
+
+    Driver-side utility over a (small) materialized table — the
+    distributed layout is the CSR-block Dataset (graph.py), which is
+    itself doubly-compressed per partition (src_pos lists only non-empty
+    rows)."""
+    src = np.asarray(edges["src"].to_numpy(zero_copy_only=False), np.uint64)
+    dst = np.asarray(edges["dst"].to_numpy(zero_copy_only=False), np.uint64)
+    w = (np.asarray(edges["w"].to_numpy(zero_copy_only=False))
+         if "w" in edges.column_names else np.ones(len(src)))
+    major, minor = (src, dst) if format in ("csr", "dcsr") else (dst, src)
+    if format == "coo":
+        order = np.lexsort((dst, src))
+        return {"format": "coo", "rows": src[order], "cols": dst[order],
+                "values": w[order], "nvals": int(len(w))}
+    if format not in ("csr", "csc", "dcsr", "dcsc"):
+        raise ValueError(f"ss_export_matrix: unknown format {format!r}")
+    order = np.lexsort((minor, major))
+    major, minor, w = major[order], minor[order], w[order]
+    idx_name = "col_indices" if format.endswith("sr") else "row_indices"
+    if format in ("csr", "csc"):
+        n = int(major.max()) + 1 if len(major) else 0
+        counts = np.bincount(major.astype(np.int64), minlength=n)
+        indptr = np.r_[0, np.cumsum(counts)].astype(np.int64)
+        return {"format": format, "indptr": indptr, idx_name: minor,
+                "values": w, "nvals": int(len(w))}
+    umaj, counts = np.unique(major, return_counts=True)
+    indptr = np.r_[0, np.cumsum(counts)].astype(np.int64)
+    maj_name = "rows" if format == "dcsr" else "cols"
+    return {"format": format, maj_name: umaj, "indptr": indptr,
+            idx_name: minor, "values": w, "nvals": int(len(w))}
+
+
+def ss_import_matrix(d: dict) -> pa.Table:
+    """Inverse of :func:`ss_export_matrix` — rebuild the COO edge table."""
+    fmt = d["format"]
+    if fmt == "coo":
+        return pa.table({"src": np.asarray(d["rows"], np.uint64),
+                         "dst": np.asarray(d["cols"], np.uint64),
+                         "w": np.asarray(d["values"])})
+    indptr = np.asarray(d["indptr"], np.int64)
+    counts = np.diff(indptr)
+    if fmt in ("csr", "csc"):
+        major = np.repeat(np.arange(len(counts), dtype=np.uint64), counts)
+    elif fmt in ("dcsr", "dcsc"):
+        key = "rows" if fmt == "dcsr" else "cols"
+        major = np.repeat(np.asarray(d[key], np.uint64), counts)
+    else:
+        raise ValueError(f"ss_import_matrix: unknown format {fmt!r}")
+    minor = np.asarray(d["col_indices" if fmt.endswith("sr")
+                         else "row_indices"], np.uint64)
+    src, dst = (major, minor) if fmt.endswith("sr") else (minor, major)
+    return pa.table({"src": src, "dst": dst,
+                     "w": np.asarray(d["values"])})

@@ -165,3 +165,37 @@ def test_from_scalar_constructors():
     assert m.num_rows == 6 and set(m["w"].to_pylist()) == {2.5}
     v = vector_from_scalar(-1.0, 4)
     assert v.num_rows == 4 and set(v["val"].to_pylist()) == {-1.0}
+
+
+def test_ss_export_import_roundtrip_all_formats():
+    """csr/csc/dcsr/dcsc/coo export -> import round-trips (reference
+    Matrix.ss.export/import, core/ss/matrix.py:1165-1853); dcsr/dcsc
+    stay exact for full-range hashed uint64 ids where csr would need a
+    2^64-entry indptr."""
+    import pyarrow as pa
+
+    from raygraph.io import ss_export_matrix, ss_import_matrix
+
+    e = pa.table({"src": np.array([5, 0, 5, 3], np.uint64),
+                  "dst": np.array([1, 2, 0, 3], np.uint64),
+                  "w": np.array([1.5, 2.5, 3.5, 4.5])})
+    want = sorted(zip(e["src"].to_pylist(), e["dst"].to_pylist(),
+                      e["w"].to_pylist()))
+    for fmt in ("csr", "csc", "dcsr", "dcsc", "coo"):
+        d = ss_export_matrix(e, fmt)
+        assert d["format"] == fmt and d["nvals"] == 4
+        back = ss_import_matrix(d)
+        got = sorted(zip(back["src"].to_pylist(), back["dst"].to_pylist(),
+                         back["w"].to_pylist()))
+        assert got == want, fmt
+    # dcsr lists only non-empty rows; csr spans the full range
+    assert ss_export_matrix(e, "dcsr")["rows"].tolist() == [0, 3, 5]
+    assert len(ss_export_matrix(e, "csr")["indptr"]) == 7
+    # hashed full-range ids: dcsr works where csr cannot
+    big = pa.table({"src": np.array([2**63 + 5, 2**63 + 5], np.uint64),
+                    "dst": np.array([1, 2], np.uint64),
+                    "w": np.array([1.0, 2.0])})
+    d = ss_export_matrix(big, "dcsr")
+    assert d["rows"].tolist() == [2**63 + 5]
+    got = ss_import_matrix(d)
+    assert got["src"].to_pylist() == [2**63 + 5] * 2
