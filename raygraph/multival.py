@@ -307,31 +307,39 @@ def _z(re: np.ndarray, im: np.ndarray) -> np.ndarray:
     return re.astype(np.float64) + 1j * im.astype(np.float64)
 
 
-def ewise_add_c(a, b, op_name: str = "plus",
-                num_buckets: int = _DEFAULT_BUCKETS):
-    """Complex element-wise UNION (FC64 ewise_add): op where both
-    present, passthrough otherwise."""
-    op = COMPLEX_BINARY[op_name]
+# FC64/FC32 as registered paired-column layouts: the complex ewise/apply
+# surface resolves its columns AND component dtypes through the same UDT
+# registry user types go through (reference core/dtypes.py:13 — complex
+# is just another registered dtype there too)
+register_udt("fc64", [("re", "f8"), ("im", "f8")])
+register_udt("fc32", [("re", "f4"), ("im", "f4")])
+
+
+def _cfn(op, dtype: str):
+    """fn(dict, dict) computing ``op`` in the complex kernel dtype."""
+    zdt, cdt = _cdt(dtype)
 
     def fn(da, db):
-        z = op(_z(da["re"], da["im"]), _z(db["re"], db["im"]))
-        return {"re": z.real, "im": z.imag}
+        z = op((da["re"] + 1j * da["im"]).astype(zdt),
+               (db["re"] + 1j * db["im"]).astype(zdt))
+        return {"re": z.real.astype(cdt), "im": z.imag.astype(cdt)}
 
-    return ewise_udt(a, b, fn, ("re", "im"), union=True,
-                     num_buckets=num_buckets)
+    return fn
+
+
+def ewise_add_c(a, b, op_name: str = "plus",
+                num_buckets: int = _DEFAULT_BUCKETS, dtype: str = "fc64"):
+    """Complex element-wise UNION (FC64/FC32 ewise_add): op where both
+    present, passthrough otherwise."""
+    return ewise_udt(a, b, _cfn(COMPLEX_BINARY[op_name], dtype),
+                     dtype.lower(), union=True, num_buckets=num_buckets)
 
 
 def ewise_mult_c(a, b, op_name: str = "times",
-                 num_buckets: int = _DEFAULT_BUCKETS):
-    """Complex element-wise INTERSECTION (FC64 ewise_mult)."""
-    op = COMPLEX_BINARY[op_name]
-
-    def fn(da, db):
-        z = op(_z(da["re"], da["im"]), _z(db["re"], db["im"]))
-        return {"re": z.real, "im": z.imag}
-
-    return ewise_udt(a, b, fn, ("re", "im"), union=False,
-                     num_buckets=num_buckets)
+                 num_buckets: int = _DEFAULT_BUCKETS, dtype: str = "fc64"):
+    """Complex element-wise INTERSECTION (FC64/FC32 ewise_mult)."""
+    return ewise_udt(a, b, _cfn(COMPLEX_BINARY[op_name], dtype),
+                     dtype.lower(), union=False, num_buckets=num_buckets)
 
 
 def cmplx(a, b, num_buckets: int = _DEFAULT_BUCKETS):
@@ -355,21 +363,24 @@ def cmplx(a, b, num_buckets: int = _DEFAULT_BUCKETS):
                      ("re", "im"), union=False, num_buckets=num_buckets)
 
 
-def apply_c(x, op_name: str, *, key: str = "v"):
+def apply_c(x, op_name: str, *, key: str = "v", dtype: str = "fc64"):
     """Complex apply: conj / abs / creal / cimag / carg / exp / sqrt /
-    ainv / minv (reference FC64 unary family).  Real-valued results come
-    back as a plain ``(v, val)`` float64 vector."""
+    ainv / minv (reference FC64/FC32 unary family).  Real-valued results
+    come back as a plain ``(v, val)`` vector in the component dtype
+    (FP32 for FC32 inputs, as the reference's typed variants do)."""
     fn, stays_complex = COMPLEX_UNARY[op_name]
+    zdt, cdt = _cdt(dtype)
 
     def m(t: pa.Table) -> pa.Table:
-        z = _z(np.asarray(t["re"].to_numpy(zero_copy_only=False)),
-               np.asarray(t["im"].to_numpy(zero_copy_only=False)))
+        z = (np.asarray(t["re"].to_numpy(zero_copy_only=False), cdt)
+             + 1j * np.asarray(t["im"].to_numpy(zero_copy_only=False), cdt)
+             ).astype(zdt)
         r = fn(z)
         v = np.asarray(t[key].to_numpy(zero_copy_only=False), np.uint64)
         if stays_complex:
-            return pa.table({key: v, "re": r.real.astype(np.float64),
-                             "im": r.imag.astype(np.float64)})
-        return pa.table({key: v, "val": np.asarray(r, np.float64)})
+            return pa.table({key: v, "re": r.real.astype(cdt),
+                             "im": r.imag.astype(cdt)})
+        return pa.table({key: v, "val": np.asarray(r, cdt)})
 
     return _ds(x).map_batches(m, batch_format="pyarrow")
 

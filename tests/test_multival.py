@@ -342,3 +342,17 @@ def test_udt_registry_roundtrip_and_named_ewise():
                                "acc"))
     assert ap["cnt"].type == pa.int64()
     assert sorted(ap["cnt"].to_pylist())[-1] == int(big + 4)
+
+
+def test_fc32_ewise_and_apply():
+    rng = np.random.default_rng(41)
+    a, b = _cvec(rng, 30), _cvec(rng, 30)
+    out = to_table(MV.ewise_mult_c(a, b, "times", dtype="fc32"))
+    assert out["re"].type == pa.float32()
+    da, db = _as_dict(a), _as_dict(b)
+    got = _as_dict(out)
+    for k in got:
+        want = complex(np.complex64(da[k]) * np.complex64(db[k]))
+        assert got[k] == pytest.approx(want, rel=2e-5, abs=2e-5)
+    ab = to_table(MV.apply_c(out, "abs", dtype="fc32"), sort_by=None)
+    assert ab["val"].type == pa.float32()
