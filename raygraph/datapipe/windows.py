@@ -163,3 +163,121 @@ def asof_join(left_ds, right_ds, *, key: str, ts_col: str = "ts",
         return out.drop(columns=["_bucket"], errors="ignore")
 
     return lt.union(rt).groupby("_bucket").map_groups(join, batch_format="pandas")
+
+
+def range_join_agg(left_ds, right_ds, *, key: str, ts_col: str = "ts",
+                   val_col: str = "value", id_col: str | None = None,
+                   before: float = 300.0, after: float = 300.0,
+                   exclude_self: bool = False, num_buckets: int = 32):
+    """Interval (range) join with per-left aggregation: for each left
+    row, ``n_near``/``sum_near`` over right rows of the SAME key with
+    ``right.ts ∈ [left.ts − before, left.ts + after]``. Inner semantics —
+    lefts with zero matches are dropped (the SQL inner-join shape).
+
+    Scale shape (stream-processing interval join): ONE shuffle keyed by
+    ``hash(key, time_bucket) % B`` where the time-bucket width is
+    ``max(before + after, 1µs)`` — each LEFT row goes to exactly its own
+    bucket, each RIGHT row is replicated to its bucket ±1 (a bounded ×3,
+    independent of data size), and a (left,right) pair is evaluated only
+    where ``right.replica_tb == left.tb`` so replication can never
+    double-count. Per group the match is one int64 composite-key
+    searchsorted (key and bucket dense-encoded, µs timestamps exact) +
+    an expansion gather + segmented reduceat — no per-row Python.
+    ``exclude_self`` drops pairs with equal ``id_col`` (self-join form).
+    A pathological hot (key, window) pair bounds one group — same
+    documented limit as asof_join."""
+    from raygraph.util import mix64
+
+    us_before = np.int64(round(before * 1e6))
+    us_after = np.int64(round(after * 1e6))
+    width = np.int64(max(int(us_before + us_after), 1))
+    if exclude_self and id_col is None:
+        raise ValueError("range_join_agg: exclude_self requires id_col")
+
+    def _ts_us(t: pa.Table) -> np.ndarray:
+        return np.asarray(t[ts_col].to_numpy(zero_copy_only=False)
+                          ).astype("datetime64[us]").view(np.int64)
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            k = np.asarray(t[key].to_numpy(zero_copy_only=False),
+                           np.int64).astype(np.uint64)
+            ts = _ts_us(t)
+            tb = ts // width
+            ident = (np.asarray(t[id_col].to_numpy(zero_copy_only=False),
+                                np.int64) if id_col else
+                     np.zeros(len(ts), np.int64))
+            val = np.asarray(t[val_col].to_numpy(zero_copy_only=False),
+                             np.float64)
+            if side == 0:
+                reps = [tb]
+            else:  # right: replicate to tb-1, tb, tb+1 (|Δtb| <= 1)
+                reps = [tb - 1, tb, tb + 1]
+            parts = []
+            for rtb in reps:
+                bk = ((mix64(k) ^ mix64(rtb.astype(np.uint64)))
+                      % np.uint64(num_buckets)).astype(np.int32)
+                parts.append(pa.table({
+                    "bucket": bk, "k": k, "tb": rtb.astype(np.int64),
+                    "ts": ts, "ident": ident, "val": val,
+                    "side": np.full(len(ts), side, np.int8)}))
+            return pa.concat_tables(parts)
+
+        return fn
+
+    from raygraph.kernels import _ds
+
+    u = _ds(left_ds).map_batches(tag(0), batch_format="pyarrow").union(
+        _ds(right_ds).map_batches(tag(1), batch_format="pyarrow"))
+
+    _empty = pa.table({"ident": pa.array([], pa.int64()),
+                       "n_near": pa.array([], pa.int64()),
+                       "sum_near": pa.array([], pa.float64())})
+
+    def join(g: pa.Table) -> pa.Table:
+        side = np.asarray(g["side"].to_numpy(zero_copy_only=False), np.int8)
+        k = np.asarray(g["k"].to_numpy(zero_copy_only=False), np.uint64)
+        tb = np.asarray(g["tb"].to_numpy(zero_copy_only=False), np.int64)
+        ts = np.asarray(g["ts"].to_numpy(zero_copy_only=False), np.int64)
+        ident = np.asarray(g["ident"].to_numpy(zero_copy_only=False),
+                           np.int64)
+        val = np.asarray(g["val"].to_numpy(zero_copy_only=False), np.float64)
+        isl = side == 0
+        if not isl.any() or isl.all():
+            return _empty
+        # dense-encode (k, tb) -> one int64 atom; composite with the
+        # µs offset stays < 2^63 (atoms × span, both group-bounded)
+        uk, ik = np.unique(k, return_inverse=True)
+        utb, itb = np.unique(tb, return_inverse=True)
+        atom = ik.astype(np.int64) * len(utb) + itb
+        t0 = ts.min()
+        span = np.int64(int(ts.max() - t0) + int(us_before)
+                        + int(us_after) + 2)
+        la, lt_, li, lv = atom[isl], ts[isl], ident[isl], val[isl]
+        ra, rt_, ri, rv = atom[~isl], ts[~isl], ident[~isl], val[~isl]
+        order = np.argsort(ra * span + (rt_ - t0))
+        ra, rt_, ri, rv = ra[order], rt_[order], ri[order], rv[order]
+        ckey = ra * span + (rt_ - t0)
+        lo = np.searchsorted(ckey, la * span + (lt_ - us_before - t0), "left")
+        hi = np.searchsorted(ckey, la * span + (lt_ + us_after - t0), "right")
+        cnt = hi - lo
+        tot = int(cnt.sum())
+        if tot == 0:
+            return _empty
+        rep = np.repeat(np.arange(len(la)), cnt)
+        offs = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        ridx = np.repeat(lo, cnt) + offs
+        keep = np.ones(tot, bool)
+        if exclude_self:
+            keep = ri[ridx] != li[rep]
+        rep, ridx = rep[keep], ridx[keep]
+        if len(rep) == 0:
+            return _empty
+        starts = np.flatnonzero(np.r_[True, rep[1:] != rep[:-1]])
+        lsel = rep[starts]
+        return pa.table({
+            "ident": li[lsel],
+            "n_near": np.diff(np.r_[starts, len(rep)]).astype(np.int64),
+            "sum_near": np.add.reduceat(rv[ridx], starts)})
+
+    return u.groupby("bucket").map_groups(join, batch_format="pyarrow")

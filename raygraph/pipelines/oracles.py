@@ -234,7 +234,7 @@ FROM events GROUP BY 1, 2 ORDER BY event_type, "window\"""",
        CAST(floor(epoch(l.ts)) AS BIGINT) AS epoch_s,
        round(l.value, 6) AS value, round(r.value, 6) AS prev
 FROM events l ASOF LEFT JOIN (
-  SELECT user_id, ts + INTERVAL 60 SECOND AS ts, value FROM events
+  SELECT user_id, ts + INTERVAL 900 SECOND AS ts, value FROM events
 ) r ON l.user_id = r.user_id AND l.ts >= r.ts
 ORDER BY l.event_id""",
     "agg_argmax": """SELECT l_returnflag, l_orderkey FROM (
@@ -979,3 +979,14 @@ FROM ei JOIN svi ON svi.v = ei.dst GROUP BY 1 ORDER BY v"""
 ORACLES["apply_diagindex"] = f"""WITH {_E}
 SELECT src, dst, CAST(dst AS BIGINT) - CAST(src AS BIGINT) + 3 AS w
 FROM e ORDER BY src, dst"""
+
+
+# interval join: same-key events within [ts-1800s, ts+900s], self excluded
+ORACLES["events_range_join"] = """SELECT a.event_id AS ident,
+       count(*) AS n_near, round(sum(b.value), 6) AS sum_near
+FROM events a JOIN events b
+  ON b.user_id = a.user_id
+ AND b.ts >= a.ts - INTERVAL 1800 SECOND
+ AND b.ts <= a.ts + INTERVAL 900 SECOND
+ AND b.event_id <> a.event_id
+GROUP BY 1 ORDER BY ident"""

@@ -1404,3 +1404,22 @@ def q_apply_diagindex(sf_dir):
 QUERIES["complex_mxm"] = q_complex_mxm
 QUERIES["mxv_int64_exact"] = q_mxv_int64_exact
 QUERIES["apply_diagindex"] = q_apply_diagindex
+
+
+def q_events_range_join(sf_dir):
+    """Interval (range) join: for each event, count/sum of OTHER events
+    by the same user within [ts−1800 s, ts+900 s] — the stream-processing
+    interval join (time-bucket replication ×3, pair evaluated only in
+    the left row's bucket; datapipe.windows.range_join_agg)."""
+    from raygraph.datapipe.windows import range_join_agg
+
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts", "value"])
+    out = range_join_agg(ev, ev, key="user_id", id_col="event_id",
+                         before=1800.0, after=900.0, exclude_self=True)
+    t = K.to_table(out, sort_by=None)
+    t = _round_col(_int64_col(_int64_col(t, "ident"), "n_near"), "sum_near")
+    return t.sort_by([("ident", "ascending")])
+
+
+QUERIES["events_range_join"] = q_events_range_join

@@ -409,3 +409,42 @@ def test_media_real_decode_stages():
     assert len(out) == 12
     img_rows = out[out["kind"] == "image"]
     assert (img_rows["n_units"] == img_rows["width"] * img_rows["height"]).all()
+
+
+def test_range_join_agg_vs_brute_force():
+    """Interval join: per-left count/sum of same-key right rows within
+    [ts-before, ts+after]; replication ×3 never double-counts (every
+    (l,r) pair is evaluated only in the left's time bucket)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from raygraph.datapipe.windows import range_join_agg
+
+    rng = np.random.default_rng(17)
+    n = 600
+    base = np.datetime64("2024-01-01", "us")
+    ts = base + rng.integers(0, 3600_000_000, size=n).astype("timedelta64[us]")
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 12, size=n).astype(np.int64),
+        "ts": ts, "value": np.round(rng.random(n), 6)})
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    out = range_join_agg(rd.from_arrow(t), rd.from_arrow(t), key="user_id",
+                         id_col="event_id", before=120.0, after=60.0,
+                         exclude_self=True, num_buckets=7)
+    got = {}
+    for b in out.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for i, nn, sv in zip(b["ident"].to_pylist(), b["n_near"].to_pylist(),
+                             b["sum_near"].to_pylist()):
+            assert i not in got  # each left emitted at most once
+            got[i] = (nn, round(sv, 6))
+    tsus = df["ts"].astype("int64").to_numpy()
+    want = {}
+    for i in range(n):
+        m = ((df["user_id"].to_numpy() == df["user_id"][i])
+             & (tsus >= tsus[i] - 120_000_000)
+             & (tsus <= tsus[i] + 60_000_000)
+             & (df["event_id"].to_numpy() != i))
+        if m.any():
+            want[i] = (int(m.sum()), round(float(df["value"][m].sum()), 6))
+    assert got == want
