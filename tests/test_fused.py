@@ -264,13 +264,18 @@ def test_fused_p256_driver_overhead_smoke():
                           check_every=99)
     per_iter = (time.perf_counter() - t0) / iters
     assert info["iters"] == iters
-    # generous bound for a loaded CI box; idle measurement is far lower.
-    # the point is the P² ref fan-out does not blow up the driver
-    assert per_iter < 5.0, f"per-iteration wall {per_iter:.2f}s at P=256"
     g5 = build_graph(rd.from_arrow(edges), num_parts=5, dup_op="first",
                      binarize=True)
+    t1 = time.perf_counter()
     r5, _ = pagerank(g5, tol=0.0, itermax=iters, mode="fused",
                      check_every=99)
+    per_iter5 = (time.perf_counter() - t1) / iters
+    # relative bound, robust to a loaded CI box (both runs share the
+    # window): 51x the ref fan-out and 12.8x the task count may not cost
+    # more than ~8x the wall of the P=5 run plus scheduling slack. Idle
+    # measurement is ~0.3 s/iter at P=256 (SCALE.md round-5 note).
+    assert per_iter < 8 * per_iter5 + 3.0, \
+        f"per-iteration wall {per_iter:.2f}s at P=256 vs {per_iter5:.2f}s at P=5"
     a = g256.to_vertex_table(r256)
     b = g5.to_vertex_table(r5)
     assert a["v"].to_pylist() == b["v"].to_pylist()
