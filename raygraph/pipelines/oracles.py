@@ -234,7 +234,7 @@ FROM events GROUP BY 1, 2 ORDER BY event_type, "window\"""",
        CAST(floor(epoch(l.ts)) AS BIGINT) AS epoch_s,
        round(l.value, 6) AS value, round(r.value, 6) AS prev
 FROM events l ASOF LEFT JOIN (
-  SELECT user_id, ts + INTERVAL 900 SECOND AS ts, value FROM events
+  SELECT user_id, ts + INTERVAL 60 SECOND AS ts, value FROM events
 ) r ON l.user_id = r.user_id AND l.ts >= r.ts
 ORDER BY l.event_id""",
     "agg_argmax": """SELECT l_returnflag, l_orderkey FROM (
