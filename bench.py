@@ -526,7 +526,32 @@ def _emit(rec: dict, tag: str) -> None:
     print(json.dumps(compact))
 
 
+def _supervise() -> None:
+    """Re-exec the bench as a child process and retry on abnormal exit.
+
+    Ray 2.49's task manager has a rare internal race (`Check failed:
+    it != submissible_tasks_.end()` in task_manager.cc) that CHECK-kills
+    the whole process mid-run; the driver invokes this script exactly
+    once, so without a retry a single raylet crash destroys the round's
+    only perf record. The child prints the normal compact JSON line on
+    its own stdout (inherited), so supervision is invisible on success."""
+    import subprocess
+
+    env = dict(os.environ, GRAFT_BENCH_SUPERVISED="1")
+    rc = 1
+    for attempt in range(3):
+        rc = subprocess.run([sys.executable, os.path.abspath(__file__)]
+                            + sys.argv[1:], env=env).returncode
+        if rc == 0:
+            sys.exit(0)
+        print(f"bench child exited rc={rc} (attempt {attempt + 1}/3); "
+              "retrying in a fresh process", file=sys.stderr)
+    sys.exit(rc)
+
+
 if __name__ == "__main__":
+    if os.environ.get("GRAFT_BENCH_SUPERVISED") != "1":
+        _supervise()
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if "--scaling" in sys.argv:
         _emit(run_scaling(), "scaling")
