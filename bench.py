@@ -454,6 +454,10 @@ def run_scaling() -> dict:
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_HEADLINE="1")
+        # each leg supervises itself (inheriting GRAFT_BENCH_SUPERVISED from
+        # the supervised --scaling parent would disable the leg's own retry,
+        # and one raylet crash in any leg would abort the whole window)
+        env.pop("GRAFT_BENCH_SUPERVISED", None)
         best = None
         for i in range(repeats):
             out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,

@@ -234,3 +234,37 @@ def doc_features(docs_ds, *, concurrency=(1, 8), batch_size: int = 2048):
         DocFeatures, batch_format="pandas", batch_size=batch_size,
         concurrency=concurrency
     )
+
+
+def vocab_topk(docs_ds, *, k: int = 100, text_col: str = "text"):
+    """Corpus vocabulary: global token counts over ``lower(text)`` split on
+    ``\\W+``, top-k ordered by (count desc, token asc) — the vocab-build
+    step of a training-data pipeline.
+
+    Scale shape: tokenization and a LOCAL (token, count) combine run per
+    batch in C++ (split_pattern_regex + Arrow hash-aggregate), so only the
+    per-batch partial counts — bounded by each batch's distinct-token set,
+    never the token stream — reach the one ``groupby("token").sum`` shuffle.
+    The final order-by is a distributed sort over the aggregated vocab
+    (|distinct tokens| rows, orders of magnitude smaller than the corpus)
+    followed by ``limit(k)``'s streaming early-stop; nothing materializes
+    on the driver."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t[text_col]), r"\W+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        g = pa.table({"token": flat}).group_by("token").aggregate(
+            [("token", "count")])
+        return pa.table({"token": g["token"],
+                         "cnt": g["token_count"].cast(pa.int64())})
+
+    agg = (docs_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("token").sum("cnt"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({"token": t["token"],
+                         "cnt": t["sum(cnt)"].cast(pa.int64())})
+
+    return (agg.map_batches(fin, batch_format="pyarrow")
+            .sort(key=["cnt", "token"], descending=[True, False]).limit(k))

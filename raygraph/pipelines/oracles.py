@@ -207,6 +207,11 @@ FROM documents GROUP BY 1 ORDER BY content_hash""",
        CASE WHEN trim(text) = '' THEN 0
             ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws_tokens
 FROM documents ORDER BY doc_id""",
+    "doc_vocab_topk": """SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(string_split_regex(lower(text), '\\W+')) AS token
+      FROM documents)
+WHERE token <> ''
+GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 100""",
     "knn_topk": """WITH q AS (
   SELECT vec_id AS query_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5
 ),

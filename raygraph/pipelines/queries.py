@@ -376,6 +376,16 @@ def q_doc_profile(sf_dir):
     return t.sort_by([("doc_id", "ascending")])
 
 
+def q_doc_vocab_topk(sf_dir):
+    """Corpus vocabulary build: top-100 tokens by global count (combiner-
+    first token counting; only per-batch partial counts shuffle)."""
+    from raygraph.datapipe.text import vocab_topk
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return K.to_table(vocab_topk(docs, k=100), sort_by=None).sort_by(
+        [("cnt", "descending"), ("token", "ascending")])
+
+
 def q_doc_sample_per_lang(sf_dir):
     """Deterministic stratified sample: 5 docs per language, picked by
     smallest md5(doc_id) digests — reproducible under repartitioning and
@@ -658,6 +668,7 @@ QUERIES = {
     # training-data operators
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_counts": q_doc_token_counts,
+    "doc_vocab_topk": q_doc_vocab_topk,
     "doc_analysis": q_doc_analysis,
     "doc_profile": q_doc_profile,
     "knn_topk": q_knn_topk,

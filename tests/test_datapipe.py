@@ -448,3 +448,20 @@ def test_range_join_agg_vs_brute_force():
         if m.any():
             want[i] = (int(m.sum()), round(float(df["value"][m].sum()), 6))
     assert got == want
+
+
+def test_vocab_topk_matches_counter():
+    import collections
+    import re
+
+    texts = ["the cat sat on the mat", "The dog! the CAT?", "",
+             "mat mat mat under_score 42 42", "zz top zz top zz"]
+    want = collections.Counter()
+    for s in texts:
+        want.update(t for t in re.split(r"\W+", s.lower()) if t)
+    # (count desc, token asc) total order, cut at k
+    order = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+
+    ds = rd.from_arrow(pa.table({"text": texts}))
+    out = text.vocab_topk(ds, k=4).take_all()
+    assert [(r["token"], r["cnt"]) for r in out] == order
