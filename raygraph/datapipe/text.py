@@ -268,3 +268,88 @@ def vocab_topk(docs_ds, *, k: int = 100, text_col: str = "text"):
 
     return (agg.map_batches(fin, batch_format="pyarrow")
             .sort(key=["cnt", "token"], descending=[True, False]).limit(k))
+
+
+def tfidf_topk(docs_ds, *, k: int = 3, text_col: str = "text",
+               id_col: str = "doc_id", max_vocab: int = 50_000_000):
+    """Representative terms per document: top-k ``(doc, token)`` pairs by
+    ``(tf DESC, df ASC, token ASC)`` with the tf·idf score
+    ``tf × ln(N/df)`` attached — the TF-IDF step of a training-data
+    pipeline, with an integer-exact rank so the cut is reproducible
+    across engines (ranking by the float score itself would make the
+    k-boundary depend on libm ulps).
+
+    Scale shape: TWO passes over the corpus rather than one materialized
+    (doc, token, tf) table — at 100 TB re-tokenizing (C++ RE2 per batch)
+    is far cheaper than shuffling or pinning a corpus-sized TF table.
+    Pass 1 computes document frequencies combiner-first: each doc lives
+    in exactly one batch, so the per-batch distinct (doc, token) pairs
+    are globally distinct and per-batch ``count per token`` is a valid
+    DF partial; one ``groupby(token).sum`` shuffle of vocab-bounded
+    partials finishes it. The DF table (vocab-sized, orders of magnitude
+    smaller than the corpus) is broadcast back via ``ray.put`` — ONE
+    copy in the object store, zero-copy reads in every task; above
+    ``max_vocab`` entries the broadcast regime is rejected rather than
+    silently degrading (the out-of-regime path is a partitioned hash
+    join, same call shape). Pass 2 re-tokenizes, joins DF by C++
+    ``index_in``, and takes the per-doc top-k INSIDE the batch (numpy
+    lexsort + segment ranks) — no per-doc shuffle at all."""
+    import ray
+
+    def pairs(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t[text_col]), r"\W+")
+        lst = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        offs = np.asarray(lst.offsets)
+        flat = lst.values
+        doc = np.repeat(np.asarray(t[id_col].to_numpy(zero_copy_only=False),
+                                   np.int64), np.diff(offs))
+        keep = np.asarray(pc.not_equal(flat, "").to_numpy(zero_copy_only=False),
+                          bool)
+        return pa.table({"doc": doc[keep], "token": flat.filter(pa.array(keep))})
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        p = pairs(t)
+        # distinct (doc, token) within the batch == distinct globally
+        g = p.group_by(["doc", "token"]).aggregate([("doc", "count")])
+        g = pa.table({"token": g["token"]}).group_by("token").aggregate(
+            [("token", "count")])
+        return pa.table({"token": g["token"],
+                         "df": g["token_count"].cast(pa.int64())})
+
+    n_docs = docs_ds.count()
+    df_tbl = (docs_ds.map_batches(df_partial, batch_format="pyarrow")
+              .groupby("token").sum("df"))
+    import raygraph.kernels as _K
+    df_arrow = _K.to_table(df_tbl, sort_by=None)
+    if df_arrow.num_rows > max_vocab:
+        raise ValueError(
+            f"tfidf_topk: vocabulary {df_arrow.num_rows} exceeds the "
+            f"broadcast-DF regime ({max_vocab}); shard the DF table and use "
+            "a partitioned hash join instead")
+    df_ref = ray.put((df_arrow["token"].combine_chunks(),
+                      np.asarray(df_arrow["sum(df)"].to_numpy(
+                          zero_copy_only=False), np.int64)))
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab, dfv = ray.get(df_ref)
+        p = pairs(t)
+        g = p.group_by(["doc", "token"]).aggregate([("doc", "count")])
+        doc = np.asarray(g["doc"].to_numpy(zero_copy_only=False), np.int64)
+        tf = np.asarray(g["doc_count"].to_numpy(zero_copy_only=False), np.int64)
+        tok = g["token"].combine_chunks() if isinstance(
+            g["token"], pa.ChunkedArray) else g["token"]
+        pos = pc.index_in(tok, value_set=vocab).to_numpy(zero_copy_only=False)
+        df = dfv[pos.astype(np.int64)]
+        toku = tok.to_numpy(zero_copy_only=False).astype(str)
+        order = np.lexsort((toku, df, -tf, doc))
+        doc_s, tf_s, df_s = doc[order], tf[order], df[order]
+        starts = np.r_[0, np.flatnonzero(np.diff(doc_s)) + 1]
+        counts = np.diff(np.r_[starts, len(doc_s)])
+        rank = np.arange(len(doc_s)) - np.repeat(starts, counts)
+        keepk = rank < k
+        idx = order[keepk]
+        tfidf = np.round(tf[idx] * np.log(float(n_docs) / df[idx]), 6)
+        return pa.table({id_col: doc[idx], "token": tok.take(pa.array(idx)),
+                         "tfidf": tfidf})
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")

@@ -212,6 +212,22 @@ FROM (SELECT unnest(string_split_regex(lower(text), '\\W+')) AS token
       FROM documents)
 WHERE token <> ''
 GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 100""",
+    "doc_tfidf_topk": """WITH tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\\W+')) AS token
+    FROM documents) WHERE token <> '' GROUP BY 1, 2
+), df AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY 1
+), ranked AS (
+  SELECT tf.doc_id, tf.token,
+         round(tf.tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents)
+                          / df.df), 6) AS tfidf,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rn
+  FROM tf JOIN df USING (token)
+)
+SELECT doc_id, token, tfidf FROM ranked WHERE rn <= 3
+ORDER BY doc_id, token""",
     "knn_topk": """WITH q AS (
   SELECT vec_id AS query_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5
 ),

@@ -386,6 +386,19 @@ def q_doc_vocab_topk(sf_dir):
         [("cnt", "descending"), ("token", "ascending")])
 
 
+def q_doc_tfidf_topk(sf_dir):
+    """TF-IDF representative terms: per-doc top-3 by the integer-exact
+    rank (tf DESC, df ASC, token ASC) with tf·ln(N/df) attached —
+    combiner-first DF pass + broadcast-DF scoring pass, no per-doc
+    shuffle."""
+    from raygraph.datapipe.text import tfidf_topk
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    t = K.to_table(tfidf_topk(docs, k=3), sort_by=None)
+    return t.sort_by([("doc_id", "ascending"), ("token", "ascending")])
+
+
 def q_doc_sample_per_lang(sf_dir):
     """Deterministic stratified sample: 5 docs per language, picked by
     smallest md5(doc_id) digests — reproducible under repartitioning and
@@ -669,6 +682,7 @@ QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_counts": q_doc_token_counts,
     "doc_vocab_topk": q_doc_vocab_topk,
+    "doc_tfidf_topk": q_doc_tfidf_topk,
     "doc_analysis": q_doc_analysis,
     "doc_profile": q_doc_profile,
     "knn_topk": q_knn_topk,

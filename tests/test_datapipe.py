@@ -465,3 +465,27 @@ def test_vocab_topk_matches_counter():
     ds = rd.from_arrow(pa.table({"text": texts}))
     out = text.vocab_topk(ds, k=4).take_all()
     assert [(r["token"], r["cnt"]) for r in out] == order
+
+
+def test_tfidf_topk_matches_brute_force():
+    import collections
+    import math
+    import re
+
+    texts = {1: "apple banana apple cherry", 2: "banana banana date",
+             3: "apple date date date egg egg", 4: ""}
+    N = len(texts)
+    tf = {d: collections.Counter(t for t in re.split(r"\W+", s.lower()) if t)
+          for d, s in texts.items()}
+    df = collections.Counter(t for c in tf.values() for t in c)
+    want = []
+    for d in sorted(tf):
+        ranked = sorted(tf[d].items(), key=lambda kv: (-kv[1], df[kv[0]], kv[0]))[:2]
+        for t, f in ranked:
+            want.append((d, t, round(f * math.log(N / df[t]), 6)))
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(texts), "text": list(texts.values())}))
+    out = text.tfidf_topk(ds, k=2).take_all()
+    got = sorted((r["doc_id"], r["token"], r["tfidf"]) for r in out)
+    assert got == sorted(want)
