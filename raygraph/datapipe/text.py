@@ -353,3 +353,58 @@ def tfidf_topk(docs_ds, *, k: int = 3, text_col: str = "text",
                          "tfidf": tfidf})
 
     return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+def pack_sequences(docs_ds, *, budget: int, text_col: str = "text",
+                   id_col: str = "doc_id", num_buckets: int = 32):
+    """Concat-and-chunk sequence packing — the LLM-pretraining packing
+    step: concatenate every document's tokens in ``id`` order, split the
+    stream every ``budget`` tokens, and report for each document the
+    chunk (``seq_id``) and in-chunk position (``seq_offset``) where its
+    first token lands.
+
+    Scale shape: per-doc whitespace-token counts are one C++ regex count
+    per batch; the global token cumsum in id order is the distributed
+    prefix scan (``kernels.scan_vector``: range-bucketed, per-bucket
+    local accumulate, B-row exclusive carries on the driver — nothing
+    O(n) driver-side). Start positions need (n, cum) per doc, so the two
+    vocab-bounded (doc, int) vectors meet in ONE hash-bucketed cogroup —
+    both sides bucket by the same ``mix64(doc)`` so a pair never crosses
+    buckets; the chunk arithmetic is then elementwise."""
+    from raygraph.kernels import scan_vector
+    from raygraph.util import mix64
+
+    def counts(t: pa.Table) -> pa.Table:
+        n = _count_re(pc.fill_null(t[text_col], ""), r"\S+")
+        v = np.asarray(t[id_col].to_numpy(zero_copy_only=False),
+                       np.int64).astype(np.uint64)
+        return pa.table({"v": v, "val": n})
+
+    nvec = docs_ds.map_batches(counts, batch_format="pyarrow")
+    cvec = scan_vector(nvec, "plus")
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            v = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.uint64)
+            b = (mix64(v) % np.uint64(num_buckets)).astype(np.int32)
+            return pa.table({"b": b, "v": t["v"], "x": t["val"],
+                             "side": np.full(len(v), side, np.int8)})
+
+        return fn
+
+    u = (nvec.map_batches(tag(0), batch_format="pyarrow")
+         .union(cvec.map_batches(tag(1), batch_format="pyarrow")))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["side"] == 0].sort_values("v")
+        rf = g[g["side"] == 1].sort_values("v")
+        n = lf["x"].to_numpy().astype(np.int64)
+        cum = rf["x"].to_numpy().astype(np.int64)
+        start = cum - n
+        return pd.DataFrame({
+            id_col: lf["v"].to_numpy().astype(np.int64),
+            "n_tokens": n,
+            "seq_id": start // int(budget),
+            "seq_offset": start % int(budget)})
+
+    return u.groupby("b").map_groups(merge, batch_format="pandas")

@@ -212,6 +212,22 @@ FROM (SELECT unnest(string_split_regex(lower(text), '\\W+')) AS token
       FROM documents)
 WHERE token <> ''
 GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 100""",
+    "doc_pack_sequences": """WITH n AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE length(regexp_split_to_array(trim(text), '\\s+')) END
+           AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM n
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+       CAST((cum - n_tokens) % 512 AS BIGINT) AS seq_offset
+FROM c ORDER BY doc_id""",
     "doc_tfidf_topk": """WITH tf AS (
   SELECT doc_id, token, count(*) AS tf FROM (
     SELECT doc_id, unnest(string_split_regex(lower(text), '\\W+')) AS token

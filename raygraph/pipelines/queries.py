@@ -399,6 +399,17 @@ def q_doc_tfidf_topk(sf_dir):
     return t.sort_by([("doc_id", "ascending"), ("token", "ascending")])
 
 
+def q_doc_pack_sequences(sf_dir):
+    """Concat-and-chunk sequence packing at a 512-token budget:
+    distributed prefix scan over per-doc token counts + one bucketed
+    cogroup; integer-exact chunk/offset output."""
+    from raygraph.datapipe.text import pack_sequences
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    return K.to_table(pack_sequences(docs, budget=512), sort_by="doc_id")
+
+
 def q_doc_sample_per_lang(sf_dir):
     """Deterministic stratified sample: 5 docs per language, picked by
     smallest md5(doc_id) digests — reproducible under repartitioning and
@@ -683,6 +694,7 @@ QUERIES = {
     "doc_token_counts": q_doc_token_counts,
     "doc_vocab_topk": q_doc_vocab_topk,
     "doc_tfidf_topk": q_doc_tfidf_topk,
+    "doc_pack_sequences": q_doc_pack_sequences,
     "doc_analysis": q_doc_analysis,
     "doc_profile": q_doc_profile,
     "knn_topk": q_knn_topk,

@@ -489,3 +489,17 @@ def test_tfidf_topk_matches_brute_force():
     out = text.tfidf_topk(ds, k=2).take_all()
     got = sorted((r["doc_id"], r["token"], r["tfidf"]) for r in out)
     assert got == sorted(want)
+
+
+def test_pack_sequences_matches_cumsum():
+    texts = ["a b c", "", "d e", "f g h i j", "k", "l m n"]
+    ns = [3, 0, 2, 5, 1, 3]
+    starts = np.cumsum([0] + ns[:-1])
+    B = 4
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(10, 16)),
+                                 "text": texts}))
+    out = sorted(text.pack_sequences(ds, budget=B).take_all(),
+                 key=lambda r: r["doc_id"])
+    assert [r["n_tokens"] for r in out] == ns
+    assert [r["seq_id"] for r in out] == [int(s) // B for s in starts]
+    assert [r["seq_offset"] for r in out] == [int(s) % B for s in starts]
