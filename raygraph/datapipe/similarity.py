@@ -590,3 +590,44 @@ def embedding_near_dups_exact(emb_ds, *, threshold: float = 0.9, id_col: str = "
         return pa.table({"a": ids[ai], "b": ids_all[bj]})
 
     return emb_ds.map_batches(score, batch_format="pyarrow")
+
+
+def group_centroids(emb_ds, *, group_col: str = "label",
+                    emb_col: str = "embedding"):
+    """Per-group embedding centroid (vector mean), long format
+    ``(group, dim, centroid)`` — the k-means/update and class-prototype
+    step of an embedding pipeline.
+
+    Scale shape: combiner-first vector aggregate. Each batch reduces to
+    ``(group, count, sum_vec)`` partials via one sort + segmented
+    ``reduceat`` over the batch matrix, so the ``groupby(group)``
+    shuffle moves only |groups seen in batch| × dim floats per batch —
+    never the embeddings. The final reduce sums the partials and divides
+    once (sum/count in float64, matching SQL ``avg`` semantics rather
+    than a mean-of-means)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = np.asarray(t[group_col].to_numpy(zero_copy_only=False), np.int64)
+        if len(g) == 0:
+            return pa.table({"grp": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.list_(pa.float64()))})
+        M = _emb_matrix(t, emb_col).astype(np.float64)
+        ug, inv = np.unique(g, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        bounds = np.r_[0, np.cumsum(np.bincount(inv))[:-1]]
+        sums = np.add.reduceat(M[order], bounds, axis=0)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table({"grp": ug, "n": cnt, "s": pa.array(list(sums))})
+
+    parts = emb_ds.map_batches(partial, batch_format="pyarrow")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        S = np.sum(np.stack(df["s"].to_numpy()), axis=0)
+        c = S / float(df["n"].sum())
+        return pd.DataFrame({group_col: np.full(len(c), df["grp"].iloc[0],
+                                                np.int64),
+                             "dim": np.arange(len(c), dtype=np.int64),
+                             "centroid": c})
+
+    return parts.groupby("grp").map_groups(fin, batch_format="pandas")

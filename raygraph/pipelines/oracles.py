@@ -212,6 +212,12 @@ FROM (SELECT unnest(string_split_regex(lower(text), '\\W+')) AS token
       FROM documents)
 WHERE token <> ''
 GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 100""",
+    "emb_centroids": """SELECT CAST(label AS BIGINT) AS label,
+       CAST(dim AS BIGINT) AS dim, round(avg(e), 6) AS centroid
+FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding) AS e
+      FROM embeddings)
+GROUP BY label, dim ORDER BY label, dim""",
     "doc_pack_sequences": """WITH n AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN 0

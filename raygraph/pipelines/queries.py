@@ -410,6 +410,19 @@ def q_doc_pack_sequences(sf_dir):
     return K.to_table(pack_sequences(docs, budget=512), sort_by="doc_id")
 
 
+def q_emb_centroids(sf_dir):
+    """Per-label embedding centroids, long (label, dim, centroid) format
+    (combiner-first vector aggregate; only partials shuffle)."""
+    from raygraph.datapipe.similarity import group_centroids
+
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["label", "embedding"])
+    t = K.to_table(group_centroids(emb), sort_by=None)
+    t = _round_col(t, "centroid", 6)
+    t = _int64_col(t, "label")
+    return t.sort_by([("label", "ascending"), ("dim", "ascending")])
+
+
 def q_doc_sample_per_lang(sf_dir):
     """Deterministic stratified sample: 5 docs per language, picked by
     smallest md5(doc_id) digests — reproducible under repartitioning and
@@ -695,6 +708,7 @@ QUERIES = {
     "doc_vocab_topk": q_doc_vocab_topk,
     "doc_tfidf_topk": q_doc_tfidf_topk,
     "doc_pack_sequences": q_doc_pack_sequences,
+    "emb_centroids": q_emb_centroids,
     "doc_analysis": q_doc_analysis,
     "doc_profile": q_doc_profile,
     "knn_topk": q_knn_topk,

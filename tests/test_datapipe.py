@@ -503,3 +503,17 @@ def test_pack_sequences_matches_cumsum():
     assert [r["n_tokens"] for r in out] == ns
     assert [r["seq_id"] for r in out] == [int(s) // B for s in starts]
     assert [r["seq_offset"] for r in out] == [int(s) % B for s in starts]
+
+
+def test_group_centroids_matches_numpy():
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 6)).astype(np.float32)
+    labels = rng.integers(0, 3, 40)
+    ds = rd.from_arrow(pa.table({
+        "label": labels.astype(np.int64),
+        "embedding": pa.array(list(vecs.astype(np.float64)),
+                              pa.list_(pa.float32()))}))
+    out = similarity.group_centroids(ds).take_all()
+    for r in out:
+        want = vecs[labels == r["label"]].astype(np.float64).mean(axis=0)
+        assert abs(r["centroid"] - want[r["dim"]]) < 1e-9
