@@ -412,7 +412,9 @@ def run_bench() -> dict:
                  "events_tumbling", "events_asof_prev", "agg_stats",
                  "mxm_masked", "mxm_masked_dot", "dedup_clusters",
                  "media_features", "repeated_ngrams", "extract_submatrix",
-                 "mxv_positional", "bfs_parents"):
+                 "mxv_positional", "bfs_parents",
+                 "doc_vocab_topk", "doc_tfidf_topk", "doc_pack_sequences",
+                 "emb_centroids", "events_range_join", "mxv_int64_exact"):
         t = time.perf_counter()
         out = QUERIES[name](SF_DIR)
         if hasattr(out, "materialize"):
