@@ -615,3 +615,124 @@ def ngram_jaccard(a_texts: list[str], b_texts: list[str], n: int = 3) -> np.ndar
         u = len(sa | sb)
         out[i] = (len(sa & sb) / u) if u else 1.0
     return out
+
+
+def _gram_chain(toks: list[str], n: int) -> np.ndarray:
+    """mix64-chained token-hash n-gram keys — the SAME key as
+    repeated_ngrams (reproduced in SQL by oracles._GRAM_LAMBDA_SQL):
+    g_i = reduce(mix64(a ^ b), [0, h_i .. h_{i+n-1}])."""
+    hs = _token_hashes(toks)
+    m = len(hs) - n + 1
+    if m <= 0:
+        return np.empty(0, np.uint64)
+    with np.errstate(over="ignore"):
+        g = mix64(hs[:m])
+        for j in range(1, n):
+            g = mix64(g ^ hs[j:m + j])
+    return g
+
+
+def benchmark_gram_set(bench_ds, *, n: int = 5, text_col: str = "text",
+                       num_buckets: int = 64,
+                       max_grams: int = 1 << 26) -> np.ndarray:
+    """Distinct n-gram keys of a benchmark/eval corpus, as a sorted
+    uint64 array ready to broadcast.
+
+    Scale shape: per-batch the per-doc gram keys are locally uniqued
+    (combiner), ONE bucketed grouped exchange dedups globally, and only
+    then does the (benchmark-sized, tiny by definition — eval suites
+    are MBs against a 100 TB corpus) distinct-key set come to the
+    driver. ``max_grams`` (default 2^26 keys = 512 MB) rejects the
+    out-of-regime case instead of silently degrading."""
+    def grams(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        out = []
+        for s in texts:
+            g = _gram_chain((s or "").split(), n)
+            if len(g):
+                out.append(np.unique(g))
+        g = np.unique(np.concatenate(out)) if out else np.empty(0, np.uint64)
+        return pa.table({
+            "bucket": (g % np.uint64(num_buckets)).astype(np.int32),
+            "gram": g})
+
+    def uniq(g: pa.Table) -> pa.Table:
+        u = np.unique(np.asarray(g["gram"].to_numpy(zero_copy_only=False),
+                                 np.uint64))
+        return pa.table({"gram": u})
+
+    from raygraph import kernels as K
+
+    tbl = K.to_table(
+        bench_ds.map_batches(grams, batch_format="pyarrow")
+        .groupby("bucket").map_groups(uniq, batch_format="pyarrow"),
+        sort_by=None)
+    if tbl.num_rows > max_grams:
+        raise ValueError(
+            f"benchmark_gram_set: {tbl.num_rows} grams exceeds the broadcast "
+            f"regime ({max_grams}); shard the benchmark set and run "
+            "decontaminate per shard")
+    if tbl.num_rows == 0:
+        return np.empty(0, np.uint64)
+    return np.sort(np.asarray(tbl["gram"].to_numpy(zero_copy_only=False),
+                              np.uint64))
+
+
+class _DecontaminateScorer:
+    """Actor-pool stage: benchmark gram set fetched ONCE per actor in
+    __init__ (zero-copy plasma read of the ray.put'd array), per-batch
+    membership counting via sorted searchsorted."""
+
+    def __init__(self, grams_ref, n: int, id_col: str, text_col: str,
+                 threshold: int):
+        import ray
+
+        self.grams = ray.get(grams_ref)
+        self.n, self.id_col, self.text_col = n, id_col, text_col
+        self.threshold = threshold
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[self.id_col].to_numpy(zero_copy_only=False),
+                         np.int64)
+        texts = t[self.text_col].to_pylist()
+        n_grams = np.zeros(len(ids), np.int64)
+        n_hits = np.zeros(len(ids), np.int64)
+        G = self.grams
+        for i, s in enumerate(texts):
+            g = _gram_chain((s or "").split(), self.n)
+            n_grams[i] = len(g)
+            if len(g) and len(G):
+                pos = np.searchsorted(G, g).clip(max=len(G) - 1)
+                n_hits[i] = int(np.count_nonzero(G[pos] == g))
+        return pa.table({
+            self.id_col: ids,
+            "n_grams": n_grams,
+            "n_hits": n_hits,
+            "contaminated": (n_hits >= self.threshold).astype(np.int64),
+        })
+
+
+def decontaminate(docs_ds, bench_ds, *, n: int = 5, threshold: int = 1,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  concurrency=(1, 8), batch_size: int = 2048):
+    """Benchmark decontamination (GPT-3 appendix-C style n-gram overlap):
+    flag every training document sharing at least ``threshold``
+    token-n-gram occurrences with the benchmark corpus. Returns one row
+    per scored doc: (doc_id, n_grams, n_hits, contaminated).
+
+    Scale shape: the benchmark gram set is distinct-ified distributed
+    (combiner + one bucketed exchange), then broadcast ONCE via
+    ``ray.put`` — never re-shipped per batch; the corpus-side pass is a
+    single linear actor-pool ``map_batches`` with no shuffle. n_hits
+    counts gram OCCURRENCES (positions), matching the SQL oracle's
+    positional join."""
+    import ray
+
+    if isinstance(concurrency, int):
+        concurrency = (1, concurrency)
+    grams = benchmark_gram_set(bench_ds, n=n, text_col=text_col)
+    ref = ray.put(grams)
+    return docs_ds.map_batches(
+        _DecontaminateScorer, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_args=(ref, n, id_col, text_col, threshold))

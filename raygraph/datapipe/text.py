@@ -408,3 +408,68 @@ def pack_sequences(docs_ds, *, budget: int, text_col: str = "text",
             "seq_offset": start % int(budget)})
 
     return u.groupby("b").map_groups(merge, batch_format="pandas")
+
+
+def chunk_documents(docs_ds, *, window: int = 128, stride: int = 96,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Sliding-window document chunking — the context-window splitting
+    step of a training-data pipeline: whitespace tokens, chunks of
+    ``window`` tokens starting every ``stride`` tokens (the final chunk
+    of a document may be shorter). Returns one row per chunk:
+    (doc_id, chunk_id, tok_start, n_tok, first_tok, last_tok) — the
+    integer geometry plus the boundary tokens, which together pin the
+    chunking bit-exactly against the SQL oracle without shipping chunk
+    text.
+
+    Scale shape: pure per-batch map (no shuffle at all). ONE C++ RE2
+    split per batch; the per-rank loop is over the max CHUNK COUNT in
+    the batch (tokens/stride, a few dozen), each iteration a vectorized
+    numpy slice + one Arrow ``take`` across every document at that rank
+    — never a per-document Python loop."""
+    if window < 1 or stride < 1:
+        raise ValueError("chunk_documents: window and stride must be >= 1")
+
+    def chunks(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), np.int64)
+        arr = pc.utf8_trim_whitespace(pc.fill_null(t[text_col], ""))
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        lst = pc.split_pattern_regex(arr, r"\s+")
+        lst = lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) else lst
+        offs = np.asarray(lst.offsets)
+        flat = lst.values
+        n = np.diff(offs).astype(np.int64)
+        # empty-after-trim docs split to [''] — zero them out
+        nonempty = np.asarray(
+            pc.greater(pc.utf8_length(arr), 0).to_numpy(zero_copy_only=False),
+            bool)
+        n = np.where(nonempty, n, 0)
+        parts = []
+        max_n = int(n.max()) if len(n) else 0
+        r = 0
+        while r * stride < max_n:
+            start = r * stride
+            sel = np.flatnonzero(n > start)
+            ln = np.minimum(window, n[sel] - start)
+            first_idx = offs[:-1][sel] + start
+            last_idx = first_idx + ln - 1
+            parts.append(pa.table({
+                id_col: ids[sel],
+                "chunk_id": np.full(len(sel), r, np.int64),
+                "tok_start": np.full(len(sel), start, np.int64),
+                "n_tok": ln.astype(np.int64),
+                "first_tok": flat.take(pa.array(first_idx)),
+                "last_tok": flat.take(pa.array(last_idx)),
+            }))
+            r += 1
+        if not parts:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "chunk_id": pa.array([], pa.int64()),
+                "tok_start": pa.array([], pa.int64()),
+                "n_tok": pa.array([], pa.int64()),
+                "first_tok": pa.array([], pa.string()),
+                "last_tok": pa.array([], pa.string()),
+            })
+        return pa.concat_tables(parts)
+
+    return docs_ds.map_batches(chunks, batch_format="pyarrow")

@@ -1033,3 +1033,75 @@ FROM events a JOIN events b
  AND b.ts <= a.ts + INTERVAL 900 SECOND
  AND b.event_id <> a.event_id
 GROUP BY 1 ORDER BY ident"""
+
+
+# edge support (k-truss building block): common-neighbor count per
+# undirected edge of the simple symmetric graph — C(A) << A.mxm(A)
+ORACLES["edge_support"] = f"""WITH {_E}, {_UE_NOSELF}
+SELECT s.src AS src, s.dst AS dst, CAST(count(*) AS BIGINT) AS support
+FROM ue s JOIN ue a ON a.src = s.src JOIN ue b ON b.src = a.dst AND b.dst = s.dst
+WHERE s.src < s.dst
+GROUP BY s.src, s.dst
+ORDER BY src, dst"""
+
+# 3-core: simultaneous degree peel to fixpoint. The recursive term
+# re-emits the surviving symmetric edge set each round (window degrees
+# computed BEFORE the round's removals); round 32 is far past fixpoint
+# at any tested scale, so its row set IS the core.
+ORACLES["kcore3"] = f"""WITH RECURSIVE {_E}, {_UE_NOSELF},
+alive(round, src, dst) AS (
+  SELECT 0, src, dst FROM ue
+  UNION ALL
+  SELECT round + 1, src, dst FROM (
+    SELECT round, src, dst,
+           count(*) OVER (PARTITION BY round, src) AS dsrc,
+           count(*) OVER (PARTITION BY round, dst) AS ddst
+    FROM alive)
+  WHERE round < 32 AND dsrc >= 3 AND ddst >= 3
+)
+SELECT DISTINCT src AS v FROM alive WHERE round = 32 ORDER BY v"""
+
+# sliding-window chunking: geometry + boundary tokens (window 128 / stride 96)
+ORACLES["doc_chunks"] = """WITH tt AS (
+  SELECT doc_id, CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents
+),
+n AS (SELECT doc_id, toks, len(toks) AS n FROM tt WHERE len(toks) > 0),
+ch AS (SELECT doc_id, toks, n, unnest(range(0, (n + 95) // 96)) AS r FROM n)
+SELECT doc_id, CAST(r AS BIGINT) AS chunk_id, CAST(r * 96 AS BIGINT) AS tok_start,
+       CAST(least(128, n - r * 96) AS BIGINT) AS n_tok,
+       toks[CAST(r * 96 + 1 AS BIGINT)] AS first_tok,
+       toks[CAST(r * 96 + least(128, n - r * 96) AS BIGINT)] AS last_tok
+FROM ch ORDER BY doc_id, chunk_id"""
+
+# benchmark decontamination: 5-gram positional overlap vs the
+# doc_id % 37 == 0 split, gram keys = the repeated_ngrams mix64 chain
+_DECON_N = 5
+ORACLES["doc_decontaminate"] = f"""WITH toks AS (
+  SELECT doc_id, CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+  FROM documents
+),
+th AS (
+  SELECT doc_id, list_transform(ts, t -> {_TOKEN_HASH_SQL}) AS hs
+  FROM toks WHERE len(ts) >= {_DECON_N}
+),
+grams AS (
+  SELECT doc_id, list_reduce(
+           list_prepend(CAST(0 AS UBIGINT), hs[i:i + {_DECON_N - 1}]),
+           {_GRAM_LAMBDA_SQL}) AS gram
+  FROM th, LATERAL (SELECT unnest(range(1, len(hs) - {_DECON_N} + 2)) AS i) u
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 37 = 0),
+hits AS (
+  SELECT g.doc_id, count(*) AS n_hits
+  FROM grams g JOIN bench USING (gram)
+  WHERE g.doc_id % 37 <> 0 GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(greatest(len(t.ts) - {_DECON_N} + 1, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) >= 1 AS BIGINT) AS contaminated
+FROM toks t LEFT JOIN hits h USING (doc_id)
+WHERE t.doc_id % 37 <> 0 ORDER BY t.doc_id"""

@@ -1474,3 +1474,69 @@ def q_events_range_join(sf_dir):
 
 
 QUERIES["events_range_join"] = q_events_range_join
+
+
+def q_edge_support(sf_dir):
+    """Per-edge triangle support |N(u) ∩ N(v)| of the undirected simple
+    g1 graph — the k-truss building block, literally ``C(A) << A.mxm(A)``
+    (plus_pair) with the symmetric edge set as its own structural mask
+    (reference ecosystem: graphblas-algorithms k_truss)."""
+    from raygraph.algorithms.cores import edge_support
+
+    t = K.to_table(edge_support(_edges_dedup(sf_dir)), sort_by=None)
+    return t.sort_by([("src", "ascending"), ("dst", "ascending")])
+
+
+QUERIES["edge_support"] = q_edge_support
+
+
+def q_kcore3(sf_dir):
+    """3-core vertex set: repeated simultaneous degree-peel to fixpoint
+    (two grouped exchanges per round, O(1) driver convergence check)."""
+    from raygraph.algorithms.cores import kcore
+
+    t = K.to_table(kcore(_edges_dedup(sf_dir), 3), sort_by=None)
+    return t.sort_by([("v", "ascending")])
+
+
+QUERIES["kcore3"] = q_kcore3
+
+
+def q_doc_chunks(sf_dir):
+    """Sliding-window chunking (window 128, stride 96): integer chunk
+    geometry + boundary tokens, shuffle-free per-batch map."""
+    from raygraph.datapipe.text import chunk_documents
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    t = K.to_table(chunk_documents(docs, window=128, stride=96), sort_by=None)
+    return t.sort_by([("doc_id", "ascending"), ("chunk_id", "ascending")])
+
+
+QUERIES["doc_chunks"] = q_doc_chunks
+
+
+def q_doc_decontaminate(sf_dir):
+    """Benchmark decontamination: 5-gram overlap of every non-benchmark
+    doc against the benchmark split (doc_id % 37 == 0) — distinct gram
+    set built distributed, broadcast ONCE via ray.put, linear scoring
+    pass (GPT-3 appendix-C style)."""
+    from raygraph.datapipe.dedup import decontaminate
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+
+    def split(want_bench: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False),
+                             np.int64)
+            return t.filter(pa.array((ids % 37 == 0) == want_bench))
+        return fn
+
+    bench = docs.map_batches(split(True), batch_format="pyarrow")
+    rest = docs.map_batches(split(False), batch_format="pyarrow")
+    t = K.to_table(decontaminate(rest, bench, n=5), sort_by=None)
+    return t.sort_by([("doc_id", "ascending")])
+
+
+QUERIES["doc_decontaminate"] = q_doc_decontaminate

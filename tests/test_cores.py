@@ -1,0 +1,109 @@
+"""edge_support / kcore / chunking / decontamination — round-5 ops."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from raygraph.algorithms.cores import edge_support, kcore, sym_edges
+from raygraph.datapipe.dedup import decontaminate, _gram_chain
+from raygraph.datapipe.text import chunk_documents
+
+
+def _edges(pairs):
+    s, d = zip(*pairs)
+    return rd.from_arrow(pa.table({
+        "src": np.array(s, np.uint64), "dst": np.array(d, np.uint64),
+        "w": np.ones(len(s), np.float64)}))
+
+
+def test_sym_edges_dedup_and_selfloops():
+    # duplicates, reversed dups, and a self-loop
+    e = _edges([(1, 2), (2, 1), (1, 2), (3, 3), (2, 3)])
+    out = sym_edges(e).to_pandas().sort_values(["src", "dst"])
+    got = set(zip(out["src"], out["dst"]))
+    assert got == {(1, 2), (2, 1), (2, 3), (3, 2)}
+
+
+def test_edge_support_triangle_plus_tail():
+    # triangle 1-2-3 with a tail 3-4: supports 1 on triangle edges, 0 on tail
+    e = _edges([(1, 2), (2, 3), (1, 3), (3, 4)])
+    out = edge_support(e).to_pandas().sort_values(["src", "dst"])
+    got = {(r.src, r.dst): r.support for r in out.itertuples()}
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1}
+
+
+def test_edge_support_k4():
+    # K4: every edge in 2 triangles
+    pairs = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    out = edge_support(_edges(pairs)).to_pandas()
+    assert len(out) == 6 and (out["support"] == 2).all()
+
+
+def test_kcore_peel_chain():
+    # 1-2-3-4 clique-ish: {1,2,3,4} is the 3-core, 5 hangs off 4
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (1, 4), (2, 4)]
+    out = kcore(_edges(pairs), 3).to_pandas()
+    assert sorted(out["v"]) == [1, 2, 3, 4]
+    # the 4-core of the same graph is empty (typed-empty result)
+    out4 = kcore(_edges(pairs), 4)
+    t = pa.concat_tables(list(out4.iter_batches(batch_size=None,
+                                                batch_format="pyarrow")),
+                         promote_options="permissive") \
+        if out4.count() else None
+    assert out4.count() == 0
+
+
+def test_kcore_multiround_cascade():
+    # path 1-2-3-4-5 plus triangle 4-5-6: 2-core peels the path one
+    # endpoint per round (a genuinely multi-round fixpoint)
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (4, 6)]
+    out = kcore(_edges(pairs), 2).to_pandas()
+    assert sorted(out["v"]) == [4, 5, 6]
+
+
+def test_chunk_documents_geometry():
+    toks = " ".join(f"t{i}" for i in range(300))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": ["a b c", "", toks]}))
+    out = chunk_documents(docs, window=128, stride=96).to_pandas()
+    out = out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    # doc 0: one short chunk; doc 1: none; doc 2: ceil(300/96)=4 chunks
+    assert list(out["doc_id"]) == [0, 2, 2, 2, 2]
+    assert list(out["n_tok"]) == [3, 128, 128, 108, 12]
+    assert list(out["tok_start"]) == [0, 0, 96, 192, 288]
+    assert out.iloc[1]["first_tok"] == "t0" and out.iloc[1]["last_tok"] == "t127"
+    assert out.iloc[4]["first_tok"] == "t288" and out.iloc[4]["last_tok"] == "t299"
+
+
+def test_decontaminate_counts_positions():
+    bench = rd.from_arrow(pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": ["one two three four five six"]}))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": [
+            "one two three four five six seven",  # grams 1-3 hit (2 of 3)
+            "totally different text with no overlap at all",
+            "short",  # < n tokens -> 0 grams
+        ]}))
+    out = decontaminate(docs, bench, n=5).to_pandas().sort_values("doc_id")
+    assert list(out["n_grams"]) == [3, 4, 0]
+    assert list(out["n_hits"]) == [2, 0, 0]
+    assert list(out["contaminated"]) == [1, 0, 0]
+
+
+def test_gram_chain_matches_repeated_ngrams_key():
+    # same key function as repeated_ngrams' inline chain
+    toks = "a b c d e f g h i j".split()
+    from raygraph.datapipe.dedup import _token_hashes
+    from raygraph.util import mix64
+    n = 5
+    hs = _token_hashes(toks)
+    m = len(hs) - n + 1
+    with np.errstate(over="ignore"):
+        g = mix64(hs[:m])
+        for j in range(1, n):
+            g = mix64(g ^ hs[j:m + j])
+    assert np.array_equal(_gram_chain(toks, n), g)
