@@ -415,7 +415,8 @@ def run_bench() -> dict:
                  "mxv_positional", "bfs_parents",
                  "doc_vocab_topk", "doc_tfidf_topk", "doc_pack_sequences",
                  "emb_centroids", "events_range_join", "mxv_int64_exact",
-                 "edge_support", "kcore3", "doc_chunks", "doc_decontaminate"):
+                 "edge_support", "kcore3", "doc_chunks", "doc_decontaminate",
+                 "hits_k8", "events_props_agg"):
         t = time.perf_counter()
         out = QUERIES[name](SF_DIR)
         if hasattr(out, "materialize"):

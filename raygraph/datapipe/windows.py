@@ -281,3 +281,52 @@ def range_join_agg(left_ds, right_ds, *, key: str, ts_col: str = "ts",
             "sum_near": np.add.reduceat(rv[ridx], starts)})
 
     return u.groupby("bucket").map_groups(join, batch_format="pyarrow")
+
+
+def props_field_agg(events_ds, *, field: str = "k",
+                    props_col: str = "props", group_col: str = "event_type"):
+    """JSON-metadata flattening + grouped aggregate: extract an integer
+    ``field`` from the JSON ``props_col`` and aggregate (count, sum,
+    min, max) per ``group_col`` — the metadata-rollup step of an event
+    pipeline, integer-exact against the SQL oracle's ``json_extract``.
+
+    Scale shape: extraction is ONE C++ RE2 ``extract_regex`` per batch
+    (rows whose props lack the field become nulls, excluded from every
+    aggregate, matching JSON-path semantics on this schema); a LOCAL
+    Arrow hash-aggregate combines per batch, so the one
+    ``groupby(group)`` shuffle carries |groups| partial rows per batch,
+    never the event stream."""
+    import pyarrow.compute as pc
+
+    pattern = f'"{field}":\\s*(?P<val>-?[0-9]+)'
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pc.extract_regex(pc.fill_null(t[props_col], ""), pattern=pattern)
+        v = pc.cast(pc.struct_field(s, "val"), pa.int64())
+        g = pa.table({group_col: t[group_col], "v": v}).group_by(
+            group_col).aggregate([
+                ("v", "count"), ("v", "sum"), ("v", "min"), ("v", "max")])
+        return pa.table({
+            group_col: g[group_col],
+            "n": g["v_count"].cast(pa.int64()),
+            "sum_k": g["v_sum"].cast(pa.int64()),
+            "min_k": g["v_min"].cast(pa.int64()),
+            "max_k": g["v_max"].cast(pa.int64()),
+        })
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    agg = (events_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(group_col)
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_k", alias_name="sum_k"),
+                      Min("min_k", alias_name="min_k"),
+                      Max("max_k", alias_name="max_k")))
+
+    def fin(t: pa.Table) -> pa.Table:
+        cols = {group_col: t[group_col]}
+        for c in ("n", "sum_k", "min_k", "max_k"):
+            cols[c] = t[c].cast(pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(fin, batch_format="pyarrow")

@@ -1105,3 +1105,45 @@ SELECT t.doc_id,
        CAST(coalesce(h.n_hits, 0) >= 1 AS BIGINT) AS contaminated
 FROM toks t LEFT JOIN hits h USING (doc_id)
 WHERE t.doc_id % 37 <> 0 ORDER BY t.doc_id"""
+
+
+# JSON metadata extraction + grouped rollup (integer-exact)
+ORACLES["events_props_agg"] = """SELECT event_type,
+       CAST(count(k) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
+FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type ORDER BY event_type"""
+
+
+def _hits_sql(k: int = 8) -> str:
+    """HITS unrolled: a_i = norm1(Aᵀ h_{i-1}), h_i = norm1(A a_i)."""
+    # every CTE is MATERIALIZED: the normalization subquery references
+    # its raw CTE a second time, and DuckDB re-evaluates non-materialized
+    # CTEs per reference — 2^k scans of lineitem without this
+    parts = [_E, _EBIN, _N,
+             "h0 AS MATERIALIZED (SELECT v, CAST(1.0 AS DOUBLE) AS x FROM n)"]
+    prev_h = "h0"
+    for i in range(1, k + 1):
+        parts.append(
+            f"a{i}r AS MATERIALIZED (SELECT eb.dst AS v, sum(h.x) AS x "
+            f"FROM ebin eb JOIN {prev_h} h ON h.v = eb.src GROUP BY 1)")
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT v, "
+            f"x * (1.0 / (SELECT sum(x) FROM a{i}r)) AS x FROM a{i}r)")
+        parts.append(
+            f"h{i}r AS MATERIALIZED (SELECT eb.src AS v, sum(a.x) AS x "
+            f"FROM ebin eb JOIN a{i} a ON a.v = eb.dst GROUP BY 1)")
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT v, "
+            f"x * (1.0 / (SELECT sum(x) FROM h{i}r)) AS x FROM h{i}r)")
+        prev_h = f"h{i}"
+    return ("WITH " + ",\n".join(parts) +
+            f"""
+SELECT n.v, round(coalesce(h.x, 0), 6) AS hub,
+       round(coalesce(a.x, 0), 6) AS auth
+FROM n LEFT JOIN h{k} h ON h.v = n.v LEFT JOIN a{k} a ON a.v = n.v
+ORDER BY n.v""")
+
+
+ORACLES["hits_k8"] = _hits_sql(8)

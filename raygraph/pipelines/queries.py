@@ -1540,3 +1540,43 @@ def q_doc_decontaminate(sf_dir):
 
 
 QUERIES["doc_decontaminate"] = q_doc_decontaminate
+
+
+def q_events_props_agg(sf_dir):
+    """JSON metadata flatten + grouped rollup: props.k extracted per
+    batch (C++ RE2, nulls for missing), combiner-first groupby —
+    integer-exact vs the oracle's json_extract."""
+    from raygraph.datapipe.windows import props_field_agg
+
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "props"])
+    t = K.to_table(props_field_agg(ev), sort_by=None)
+    return t.sort_by([("event_type", "ascending")])
+
+
+QUERIES["events_props_agg"] = q_events_props_agg
+
+
+def q_hits_k8(sf_dir):
+    """HITS hubs/authorities, 8 power iterations with L1 normalization —
+    fused supersteps over A and Aᵀ block caches (store-both layout; the
+    normalize divide is folded into the next scatter)."""
+    from raygraph.algorithms.hits import hits_fused
+
+    eds = _edges_dedup(sf_dir).materialize()
+    g = build_graph(eds, num_parts=16, dup_op="first", binarize=True)
+
+    def swap(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["dst"], "dst": t["src"], "w": t["w"]})
+
+    gT = build_graph(eds.map_batches(swap, batch_format="pyarrow"),
+                     num_parts=16, dup_op="first", binarize=True)
+    hub, auth = hits_fused(g, gT, itermax=8)
+    th = g.to_vertex_table(hub, "hub")
+    ta = g.to_vertex_table(auth, "auth")
+    t = pa.table({"v": th["v"], "hub": th["hub"], "auth": ta["auth"]})
+    t = _round_col(_round_col(_int64_col(t, "v"), "hub"), "auth")
+    return t.sort_by([("v", "ascending")])
+
+
+QUERIES["hits_k8"] = q_hits_k8

@@ -107,3 +107,37 @@ def test_gram_chain_matches_repeated_ngrams_key():
         for j in range(1, n):
             g = mix64(g ^ hs[j:m + j])
     assert np.array_equal(_gram_chain(toks, n), g)
+
+
+def test_hits_fused_star():
+    from raygraph.algorithms.hits import hits_fused
+    from raygraph.graph import build_graph
+
+    # star 0 -> {1,2,3,4}: hub mass all on 0, authority 1/4 per leaf
+    e = _edges([(0, 1), (0, 2), (0, 3), (0, 4)])
+    g = build_graph(e, num_parts=4, dup_op="first", binarize=True)
+
+    def swap(t):
+        return pa.table({"src": t["dst"], "dst": t["src"], "w": t["w"]})
+
+    gT = build_graph(e.map_batches(swap, batch_format="pyarrow"),
+                     num_parts=4, dup_op="first", binarize=True)
+    hub, auth = hits_fused(g, gT, itermax=4)
+    th = g.to_vertex_table(hub, "hub").to_pandas().set_index("v")["hub"]
+    ta = g.to_vertex_table(auth, "auth").to_pandas().set_index("v")["auth"]
+    assert abs(th[0] - 1.0) < 1e-12 and all(abs(th[i]) < 1e-12 for i in (1, 2, 3, 4))
+    assert abs(ta[0]) < 1e-12 and all(abs(ta[i] - 0.25) < 1e-12 for i in (1, 2, 3, 4))
+
+
+def test_props_field_agg_matches_pandas():
+    from raygraph.datapipe.windows import props_field_agg
+
+    t = pa.table({
+        "event_type": ["a", "a", "b", "b", "c"],
+        "props": ['{"k": 3}', '{"k": -1}', '{"k": 10}', 'oops', None]})
+    out = props_field_agg(rd.from_arrow(t)).to_pandas().sort_values(
+        "event_type").reset_index(drop=True)
+    assert list(out["n"]) == [2, 1, 0]
+    assert list(out["sum_k"])[:2] == [2, 10]
+    assert list(out["min_k"])[:2] == [-1, 10]
+    assert list(out["max_k"])[:2] == [3, 10]
