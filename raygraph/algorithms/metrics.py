@@ -1,0 +1,171 @@
+"""Whole-graph structural metrics: reciprocity, transitivity, and
+per-edge Jaccard similarity (link prediction on existing edges).
+
+Reference-ecosystem counterparts: graphblas-algorithms
+``overall_reciprocity``, ``transitivity`` and ``jaccard_coefficient``
+(NetworkX semantics). All three are defined here on the simple graph
+underlying any directed (src, dst, w) edge table: self-loops dropped,
+duplicate edges collapsed; reciprocity keeps edge direction, the other
+two use the undirected view.
+
+Distributed shape (the part that must survive 100 TB):
+
+* ``reciprocity`` is ONE bucketed grouped exchange keyed on the
+  unordered-pair hash — per-batch local dedup of directed pairs
+  (combiner) first, so the shuffle carries distinct pairs, not the raw
+  stream. Both directions of a pair land in the same group by
+  construction, so reciprocation is decided group-locally; each group
+  emits ONE partial row (n_edges, n_recip) and the driver folds
+  ``num_buckets`` rows — never the edge set.
+* ``transitivity`` composes two existing distributed kernels: the
+  masked-mxm triangle count (wedge partials ride one bucketed
+  shuffle) and a rowwise degree reduce on the symmetric edge set;
+  triad counts are combined per batch so the driver folds one float
+  per block.
+* ``edge_jaccard`` reuses the edge-support recipe
+  ``C(A) << A.mxm(A)`` (support = |N(u) ∩ N(v)| per surviving edge)
+  and finishes with a BROADCAST degree lookup: the vertex-degree
+  vector is O(V) ≪ O(E), ``ray.put`` once, read zero-copy inside
+  every map task — no second shuffle. (At extreme V, swap the
+  broadcast for a bucket join on src — noted, not needed here.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from raygraph import kernels as K
+from raygraph.algorithms.cores import sym_edges
+from raygraph.algorithms.triangles import triangle_count_mxm
+from raygraph.util import mix64
+
+_B = 64
+
+
+def reciprocity(edges, *, num_buckets: int = _B) -> pa.Table:
+    """Overall reciprocity of the directed simple graph: the fraction
+    of (deduplicated, self-loop-free) directed edges whose reverse
+    edge also exists. Returns a 1-row table
+    (n_edges, n_recip, reciprocity)."""
+
+    def to_keyed(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        hi, lo = np.maximum(s, d), np.minimum(s, d)
+        # direction bit relative to the unordered pair (1: hi->lo, 2: lo->hi)
+        bit = np.where(s > d, np.uint8(1), np.uint8(2))
+        order = np.lexsort((bit, lo, hi))
+        hi, lo, bit = hi[order], lo[order], bit[order]
+        new = np.r_[True, (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+                    | (bit[1:] != bit[:-1])]
+        hi, lo, bit = hi[new], lo[new], bit[new]
+        with np.errstate(over="ignore"):
+            bk = (mix64(hi * np.uint64(0x9E3779B97F4A7C15) ^ lo)
+                  % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table({"bucket": bk, "hi": hi, "lo": lo, "bit": bit})
+
+    def count(g: pa.Table) -> pa.Table:
+        hi = np.asarray(g["hi"].to_numpy(zero_copy_only=False), np.uint64)
+        lo = np.asarray(g["lo"].to_numpy(zero_copy_only=False), np.uint64)
+        bit = np.asarray(g["bit"].to_numpy(zero_copy_only=False), np.uint8)
+        order = np.lexsort((bit, lo, hi))
+        hi, lo, bit = hi[order], lo[order], bit[order]
+        new = np.r_[True, (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+                    | (bit[1:] != bit[:-1])]
+        hi, lo, bit = hi[new], lo[new], bit[new]
+        n_edges = len(hi)
+        # after the directed dedup each unordered pair has 1 or 2 rows;
+        # 2 rows == both directions present == 2 reciprocated edges
+        pair_new = np.r_[True, (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])]
+        n_pairs = int(pair_new.sum())
+        n_recip = 2 * (n_edges - n_pairs)
+        return pa.table({"n_edges": pa.array([n_edges], pa.int64()),
+                         "n_recip": pa.array([n_recip], pa.int64())})
+
+    parts = (K._ds(edges)
+             .map_batches(to_keyed, batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(count, batch_format="pyarrow"))
+    t = K.to_table(parts, sort_by=None)  # num_buckets partial rows
+    ne = int(pa.compute.sum(t["n_edges"]).as_py() or 0)
+    nr = int(pa.compute.sum(t["n_recip"]).as_py() or 0)
+    # ratio as exact parts-per-million (integer floor division) so the
+    # result is bit-identical to any integer-arithmetic oracle — float
+    # rounding of small rationals (1/128, ...) ties at the 7th decimal
+    return pa.table({
+        "n_edges": pa.array([ne], pa.int64()),
+        "n_recip": pa.array([nr], pa.int64()),
+        "reciprocity_ppm": pa.array([nr * 1_000_000 // ne if ne else 0],
+                                    pa.int64()),
+    })
+
+
+def transitivity(edges) -> pa.Table:
+    """Global clustering coefficient 3·triangles / triads of the
+    undirected simple graph, where triads = Σ_v C(deg_v, 2). Returns a
+    1-row table (triangles, triads, transitivity)."""
+    tri = int(triangle_count_mxm(edges))
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = np.rint(np.asarray(t["val"].to_numpy(zero_copy_only=False),
+                               np.float64)).astype(np.int64)
+        return pa.table({"x": pa.array([int((d * (d - 1) // 2).sum())],
+                                       pa.int64())})
+
+    deg = K.reduce_rowwise(sym_edges(edges), "plus")
+    pt = K.to_table(deg.map_batches(partial, batch_format="pyarrow"),
+                    sort_by=None)
+    triads = int(pa.compute.sum(pt["x"]).as_py() or 0)
+    return pa.table({
+        "triangles": pa.array([tri], pa.int64()),
+        "triads": pa.array([triads], pa.int64()),
+        "transitivity_ppm": pa.array(
+            [3 * tri * 1_000_000 // triads if triads else 0], pa.int64()),
+    })
+
+
+def edge_jaccard(edges, *, num_buckets: int = _B):
+    """Jaccard similarity J(u,v) = |N(u) ∩ N(v)| / |N(u) ∪ N(v)| for
+    every EXISTING undirected edge with at least one common neighbor
+    (upper triangle reported) — the link-prediction score restricted
+    to the edge set, so the wedge work is exactly the masked-mxm
+    edge-support recipe. |N(u) ∪ N(v)| = deg_u + deg_v - support
+    (u ∉ N(u), so endpoints never sit in the intersection).
+
+    Returns a Dataset (src, dst, support, jaccard).
+    """
+    import ray
+
+    sym = sym_edges(edges, num_buckets=num_buckets).materialize()
+
+    degt = K.to_table(K.reduce_rowwise(sym, "plus"), sort_by=None)
+    ids = np.asarray(degt["v"].to_numpy(zero_copy_only=False), np.uint64)
+    dg = np.rint(np.asarray(degt["val"].to_numpy(zero_copy_only=False),
+                            np.float64)).astype(np.int64)
+    order = np.argsort(ids)
+    deg_ref = ray.put((ids[order], dg[order]))
+
+    prod = K.mxm(sym, sym, "plus_times", mask=sym)
+
+    def finish(t: pa.Table) -> pa.Table:
+        bids, bdeg = ray.get(deg_ref)
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        w = np.asarray(t["w"].to_numpy(zero_copy_only=False), np.float64)
+        keep = s < d
+        s, d = s[keep], d[keep]
+        sup = np.rint(w[keep]).astype(np.int64)
+        du = bdeg[np.searchsorted(bids, s)]
+        dv = bdeg[np.searchsorted(bids, d)]
+        return pa.table({
+            "src": s.astype(np.int64),
+            "dst": d.astype(np.int64),
+            "support": sup,
+            # exact integer ppm — see reciprocity for why not round(,6)
+            "jaccard_ppm": sup * 1_000_000 // (du + dv - sup),
+        })
+
+    return K._ds(prod).map_batches(finish, batch_format="pyarrow")

@@ -1147,3 +1147,62 @@ ORDER BY n.v""")
 
 
 ORACLES["hits_k8"] = _hits_sql(8)
+
+
+def _katz_sql(k: int = 8, alpha: float = 0.05, beta: float = 1.0) -> str:
+    """Katz unrolled: x_i = alpha * A^T x_{i-1} + beta, x_0 = 0, final L2
+    normalization. MATERIALIZED per iteration (see _hits_sql note)."""
+    parts = [_E, _EBIN, _N,
+             "x0 AS MATERIALIZED (SELECT v, CAST(0.0 AS DOUBLE) AS x FROM n)"]
+    for i in range(1, k + 1):
+        parts.append(
+            f"x{i} AS MATERIALIZED (SELECT n.v, "
+            f"{alpha} * coalesce(s.x, 0) + {beta} AS x FROM n LEFT JOIN ("
+            f"SELECT eb.dst AS v, sum(x.x) AS x FROM ebin eb "
+            f"JOIN x{i - 1} x ON x.v = eb.src GROUP BY 1) s ON s.v = n.v)")
+    return ("WITH " + ",\n".join(parts) +
+            f"""
+SELECT v, round(x / (SELECT sqrt(sum(x * x)) FROM x{k}), 6) AS katz
+FROM x{k} ORDER BY v""")
+
+
+ORACLES["katz_k8"] = _katz_sql(8)
+
+# overall reciprocity of the directed simple graph (integer-exact ppm)
+ORACLES["reciprocity"] = f"""WITH {_E},
+d AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+r AS (SELECT count(*) AS nr FROM d a JOIN d b
+      ON b.src = a.dst AND b.dst = a.src)
+SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_edges,
+       CAST((SELECT nr FROM r) AS BIGINT) AS n_recip,
+       CAST((SELECT nr FROM r) * 1000000 // (SELECT count(*) FROM d)
+            AS BIGINT) AS reciprocity_ppm"""
+
+# global clustering coefficient 3*tri/triads (integer-exact ppm)
+ORACLES["transitivity"] = f"""WITH {_E},
+ud AS (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS d
+       FROM e WHERE src <> dst),
+tri AS (SELECT count(*) AS t FROM ud a
+        JOIN ud b ON b.s = a.s AND b.d > a.d
+        JOIN ud c ON c.s = a.d AND c.d = b.d),
+deg AS (SELECT v, count(*) AS dg FROM
+        (SELECT s AS v FROM ud UNION ALL SELECT d FROM ud) GROUP BY v),
+tds AS (SELECT CAST(sum(dg * (dg - 1) / 2) AS BIGINT) AS triads FROM deg)
+SELECT CAST((SELECT t FROM tri) AS BIGINT) AS triangles,
+       (SELECT triads FROM tds) AS triads,
+       CAST(3 * (SELECT t FROM tri) * 1000000 // (SELECT triads FROM tds)
+            AS BIGINT) AS transitivity_ppm"""
+
+# per-existing-edge Jaccard similarity (integer-exact ppm)
+ORACLES["edge_jaccard"] = f"""WITH {_E}, {_UE_NOSELF},
+sup AS (SELECT s.src, s.dst, count(*) AS support
+        FROM ue s JOIN ue a ON a.src = s.src
+                  JOIN ue b ON b.src = a.dst AND b.dst = s.dst
+        WHERE s.src < s.dst GROUP BY s.src, s.dst),
+deg AS (SELECT src AS v, count(*) AS dg FROM ue GROUP BY 1)
+SELECT sup.src AS src, sup.dst AS dst,
+       CAST(sup.support AS BIGINT) AS support,
+       CAST(sup.support * 1000000 // (du.dg + dv.dg - sup.support)
+            AS BIGINT) AS jaccard_ppm
+FROM sup JOIN deg du ON du.v = sup.src JOIN deg dv ON dv.v = sup.dst
+ORDER BY src, dst"""

@@ -1580,3 +1580,56 @@ def q_hits_k8(sf_dir):
 
 
 QUERIES["hits_k8"] = q_hits_k8
+
+
+def q_katz_k8(sf_dir):
+    """Katz centrality x ← α·Aᵀx + β from x = 0, 8 power iterations,
+    final L2 normalization (graphblas-algorithms/NetworkX semantics) —
+    fused supersteps, β folded into the per-partition reduce."""
+    from raygraph.algorithms.katz import katz_fused
+
+    g = _g1_graph(sf_dir, binarize=True)
+    xs = katz_fused(g, alpha=0.05, beta=1.0, itermax=8, normalize=True)
+    t = g.to_vertex_table(xs, "katz")
+    t = _round_col(_int64_col(t, "v"), "katz")
+    return t.sort_by([("v", "ascending")])
+
+
+QUERIES["katz_k8"] = q_katz_k8
+
+
+def q_reciprocity(sf_dir):
+    """Overall reciprocity of the directed simple graph — one bucketed
+    grouped exchange on the unordered-pair hash; ratio reported as
+    exact integer ppm."""
+    from raygraph.algorithms.metrics import reciprocity
+
+    return reciprocity(_edges_dedup(sf_dir))
+
+
+QUERIES["reciprocity"] = q_reciprocity
+
+
+def q_transitivity(sf_dir):
+    """Global clustering coefficient 3·triangles/triads on the
+    undirected simple graph — masked-mxm triangle count + rowwise
+    degree reduce; ratio as exact integer ppm."""
+    from raygraph.algorithms.metrics import transitivity
+
+    return transitivity(_edges_dedup(sf_dir))
+
+
+QUERIES["transitivity"] = q_transitivity
+
+
+def q_edge_jaccard(sf_dir):
+    """Per-edge Jaccard link-prediction scores on existing undirected
+    edges with ≥1 common neighbor — masked-mxm edge support + broadcast
+    degree lookup; score as exact integer ppm."""
+    from raygraph.algorithms.metrics import edge_jaccard
+
+    t = K.to_table(edge_jaccard(_edges_dedup(sf_dir)), sort_by=None)
+    return t.sort_by([("src", "ascending"), ("dst", "ascending")])
+
+
+QUERIES["edge_jaccard"] = q_edge_jaccard

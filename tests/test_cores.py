@@ -141,3 +141,57 @@ def test_props_field_agg_matches_pandas():
     assert list(out["sum_k"])[:2] == [2, 10]
     assert list(out["min_k"])[:2] == [-1, 10]
     assert list(out["max_k"])[:2] == [3, 10]
+
+
+def test_katz_fused_matches_dense_power_iteration():
+    from raygraph.algorithms.katz import katz_fused
+    from raygraph.graph import build_graph
+    from tests import fixtures as fx
+
+    A = (fx.random_graph(40, 0.1, seed=11) != 0).astype(np.float64)
+    g = build_graph(rd.from_arrow(fx.dense_to_edge_table(A)),
+                    num_parts=4, dup_op="first", binarize=True)
+    xs = katz_fused(g, alpha=0.05, beta=1.0, itermax=8, normalize=True)
+    t = g.to_vertex_table(xs, "katz").to_pandas().set_index("v")["katz"]
+    x = np.zeros(40)
+    for _ in range(8):
+        x = 0.05 * (A.T @ x) + 1.0
+    x /= np.linalg.norm(x)
+    got = np.array([t.get(i, 0.0) for i in range(40)])
+    np.testing.assert_allclose(got, x, atol=1e-12)
+
+
+def test_reciprocity_counts():
+    from raygraph.algorithms.metrics import reciprocity
+
+    # 0<->1 reciprocated, 0->2 and 3->0 not; self-loop and dup ignored
+    e = _edges([(0, 1), (1, 0), (0, 2), (3, 0), (2, 2), (0, 1)])
+    t = reciprocity(e).to_pydict()
+    assert t["n_edges"] == [4] and t["n_recip"] == [2]
+    assert t["reciprocity_ppm"] == [500000]
+
+
+def test_transitivity_triangle_plus_tail():
+    from raygraph.algorithms.metrics import transitivity
+
+    # triangle 0-1-2 with tail 2-3: 1 triangle, triads C(2,2)*2+C(3,2)+C(1,2)
+    e = _edges([(0, 1), (1, 2), (2, 0), (2, 3)])
+    t = transitivity(e).to_pydict()
+    assert t["triangles"] == [1] and t["triads"] == [5]
+    assert t["transitivity_ppm"] == [600000]
+
+
+def test_edge_jaccard_square_with_diagonal():
+    from raygraph.algorithms.metrics import edge_jaccard
+    from raygraph import kernels as K
+
+    # square 0-1-2-3-0 plus diagonal 0-2
+    e = _edges([(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)])
+    t = K.to_table(edge_jaccard(e), sort_by=None).to_pandas()
+    t = t.set_index(["src", "dst"]).sort_index()
+    # edge (0,1): N(0)={1,2,3}, N(1)={0,2} -> inter {2}, union 4
+    assert t.loc[(0, 1), "support"] == 1
+    assert t.loc[(0, 1), "jaccard_ppm"] == 250000
+    # edge (0,2): N(0)={1,2,3}, N(2)={0,1,3} -> inter {1,3}, union 4
+    assert t.loc[(0, 2), "support"] == 2
+    assert t.loc[(0, 2), "jaccard_ppm"] == 500000
