@@ -169,3 +169,120 @@ def edge_jaccard(edges, *, num_buckets: int = _B):
         })
 
     return K._ds(prod).map_batches(finish, batch_format="pyarrow")
+
+
+def local_clustering(edges, *, num_buckets: int = _B):
+    """Per-vertex local clustering coefficient of the undirected simple
+    graph (graphblas-algorithms/NetworkX ``clustering`` semantics):
+    lcc(v) = 2·tri(v) / (deg_v·(deg_v−1)), 0 when deg_v < 2.
+
+    tri(v) falls out of the SAME masked matmul as edge support:
+    ``C(A) << A.mxm(A)`` rowwise-summed gives Σ_{u∈N(v)} |N(v)∩N(u)|
+    = 2·tri(v), so the only new work over edge_support is one vector
+    reduce plus ONE bucketed vector cogroup against the degree vector
+    (both O(V) — never the edge set). Ratio as exact integer ppm.
+
+    Returns a Dataset (v, deg, tri, lcc_ppm).
+    """
+    sym = sym_edges(edges, num_buckets=num_buckets).materialize()
+    deg = K.reduce_rowwise(sym, "plus")
+    tri2 = K.reduce_rowwise(K.mxm(sym, sym, "plus_times", mask=sym), "plus")
+
+    def join(v, val, side) -> pa.Table:
+        keys, has, vals = K._join_sides(v, val, side, 2, np.float64)
+        if len(keys) == 0:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "deg": pa.array([], pa.int64()),
+                             "tri": pa.array([], pa.int64()),
+                             "lcc_ppm": pa.array([], pa.int64())})
+        d = np.rint(vals[0]).astype(np.int64)   # deg ⊇ tri2 support
+        t2 = np.rint(np.where(has[1], vals[1], 0.0)).astype(np.int64)
+        denom = d * (d - 1)
+        lcc = np.where(denom > 0,
+                       t2 * 1_000_000 // np.maximum(denom, 1), 0)
+        return pa.table({"v": keys.astype(np.int64), "deg": d,
+                         "tri": t2 // 2, "lcc_ppm": lcc})
+
+    return K._cogroup([(deg, 0), (tri2, 1)], join, num_buckets,
+                      dtype=np.float64)
+
+
+def avg_neighbor_degree(edges, *, num_buckets: int = _B):
+    """Average degree of each vertex's neighbors on the undirected
+    simple graph (graphblas-algorithms ``average_neighbor_degree``):
+    ONE SpMV — y = A·deg with plus_times — then one O(V) vector
+    cogroup against deg. Ratio as exact integer ppm.
+
+    Returns a Dataset (v, deg, sum_nbr_deg, avg_nbr_deg_ppm).
+    """
+    sym = sym_edges(edges, num_buckets=num_buckets).materialize()
+    deg = K.reduce_rowwise(sym, "plus")
+    snd = K.mxv(sym, deg, "plus_times")
+
+    def join(v, val, side) -> pa.Table:
+        keys, has, vals = K._join_sides(v, val, side, 2, np.float64)
+        if len(keys) == 0:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "deg": pa.array([], pa.int64()),
+                             "sum_nbr_deg": pa.array([], pa.int64()),
+                             "avg_nbr_deg_ppm": pa.array([], pa.int64())})
+        d = np.rint(vals[0]).astype(np.int64)
+        s = np.rint(np.where(has[1], vals[1], 0.0)).astype(np.int64)
+        return pa.table({"v": keys.astype(np.int64), "deg": d,
+                         "sum_nbr_deg": s,
+                         "avg_nbr_deg_ppm": s * 1_000_000 // d})
+
+    return K._cogroup([(deg, 0), (snd, 1)], join, num_buckets,
+                      dtype=np.float64)
+
+
+def degree_assortativity(edges, *, num_buckets: int = _B) -> pa.Table:
+    """Degree assortativity coefficient (Pearson correlation of
+    endpoint degrees over the directed edge list of the undirected
+    simple graph — both directions, so marginals are symmetric and
+    r = (M·Σxy − (Σx)²) / (M·Σxx − (Σx)²)).
+
+    Distributed shape: degree vector is O(V), broadcast once via
+    ``ray.put`` and read zero-copy in every map task; each batch of
+    the symmetric edge stream emits ONE 4-int partial row — the
+    driver folds num_blocks rows, never the edges. All moments are
+    exact int64; only the final division is float.
+
+    Returns a 1-row table (m, sx, sxx, sxy, assortativity).
+    """
+    import ray
+
+    sym = sym_edges(edges, num_buckets=num_buckets).materialize()
+    degt = K.to_table(K.reduce_rowwise(sym, "plus"), sort_by=None)
+    ids = np.asarray(degt["v"].to_numpy(zero_copy_only=False), np.uint64)
+    dg = np.rint(np.asarray(degt["val"].to_numpy(zero_copy_only=False),
+                            np.float64)).astype(np.int64)
+    order = np.argsort(ids)
+    deg_ref = ray.put((ids[order], dg[order]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        bids, bdeg = ray.get(deg_ref)
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        x = bdeg[np.searchsorted(bids, s)]
+        y = bdeg[np.searchsorted(bids, d)]
+        return pa.table({"m": pa.array([len(x)], pa.int64()),
+                         "sx": pa.array([int(x.sum())], pa.int64()),
+                         "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                         "sxy": pa.array([int((x * y).sum())], pa.int64())})
+
+    pt = K.to_table(K._ds(sym).map_batches(partial, batch_format="pyarrow"),
+                    sort_by=None)
+    m = int(pa.compute.sum(pt["m"]).as_py() or 0)
+    sx = int(pa.compute.sum(pt["sx"]).as_py() or 0)
+    sxx = int(pa.compute.sum(pt["sxx"]).as_py() or 0)
+    sxy = int(pa.compute.sum(pt["sxy"]).as_py() or 0)
+    num, den = m * sxy - sx * sx, m * sxx - sx * sx
+    # float(num)/float(den) mirrors the SQL oracle's BIGINT→DOUBLE casts
+    r = round(float(num) / float(den), 6) if den else 0.0
+    return pa.table({
+        "m": pa.array([m], pa.int64()), "sx": pa.array([sx], pa.int64()),
+        "sxx": pa.array([sxx], pa.int64()),
+        "sxy": pa.array([sxy], pa.int64()),
+        "assortativity": pa.array([r], pa.float64()),
+    })

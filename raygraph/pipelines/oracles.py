@@ -1206,3 +1206,57 @@ SELECT sup.src AS src, sup.dst AS dst,
             AS BIGINT) AS jaccard_ppm
 FROM sup JOIN deg du ON du.v = sup.src JOIN deg dv ON dv.v = sup.dst
 ORDER BY src, dst"""
+
+# per-vertex local clustering coefficient (integer-exact ppm)
+ORACLES["local_clustering"] = f"""WITH {_E}, {_UE_NOSELF},
+deg AS (SELECT src AS v, count(*) AS dg FROM ue GROUP BY 1),
+t2 AS (SELECT a.src AS v, count(*) AS t2
+       FROM ue a JOIN ue b ON b.src = a.dst
+                 JOIN ue c ON c.src = a.src AND c.dst = b.dst
+       GROUP BY 1)
+SELECT deg.v AS v, CAST(deg.dg AS BIGINT) AS deg,
+       CAST(coalesce(t2.t2, 0) / 2 AS BIGINT) AS tri,
+       CAST(CASE WHEN deg.dg >= 2 THEN
+            coalesce(t2.t2, 0) * 1000000 // (deg.dg * (deg.dg - 1))
+            ELSE 0 END AS BIGINT) AS lcc_ppm
+FROM deg LEFT JOIN t2 ON t2.v = deg.v ORDER BY v"""
+
+# average neighbor degree (integer-exact ppm)
+ORACLES["avg_neighbor_degree"] = f"""WITH {_E}, {_UE_NOSELF},
+deg AS (SELECT src AS v, count(*) AS dg FROM ue GROUP BY 1),
+s AS (SELECT ue.src AS v, sum(deg.dg) AS snd
+      FROM ue JOIN deg ON deg.v = ue.dst GROUP BY 1)
+SELECT deg.v AS v, CAST(deg.dg AS BIGINT) AS deg,
+       CAST(s.snd AS BIGINT) AS sum_nbr_deg,
+       CAST(s.snd * 1000000 // deg.dg AS BIGINT) AS avg_nbr_deg_ppm
+FROM deg JOIN s ON s.v = deg.v ORDER BY v"""
+
+# degree assortativity (exact int64 moments; final division in DOUBLE)
+ORACLES["degree_assortativity"] = f"""WITH {_E}, {_UE_NOSELF},
+deg AS (SELECT src AS v, count(*) AS dg FROM ue GROUP BY 1),
+j AS (SELECT du.dg AS x, dv.dg AS y
+      FROM ue JOIN deg du ON du.v = ue.src JOIN deg dv ON dv.v = ue.dst),
+t AS (SELECT count(*) AS m, sum(x) AS sx, sum(x * x) AS sxx,
+             sum(x * y) AS sxy FROM j)
+SELECT CAST(m AS BIGINT) AS m, CAST(sx AS BIGINT) AS sx,
+       CAST(sxx AS BIGINT) AS sxx, CAST(sxy AS BIGINT) AS sxy,
+       CASE WHEN m * sxx - sx * sx = 0 THEN 0.0 ELSE
+            round(CAST(m * sxy - sx * sx AS DOUBLE)
+                  / CAST(m * sxx - sx * sx AS DOUBLE), 6) END
+       AS assortativity
+FROM t"""
+
+# strongly connected components: label = min mutually-reachable id.
+# The closure is tiny at the 211-vertex universe; the engine computes
+# the same labels without ever materializing reachability.
+ORACLES["scc_labels"] = f"""WITH RECURSIVE {_E}, {_EBIN}, {_N},
+reach(a, b) AS (
+  SELECT src, dst FROM ebin
+  UNION
+  SELECT r.a, eb.dst FROM reach r JOIN ebin eb ON eb.src = r.b
+),
+mut AS (SELECT r1.a AS v, r1.b AS u
+        FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a)
+SELECT n.v AS v, CAST(least(n.v, coalesce(m.mn, n.v)) AS BIGINT) AS scc
+FROM n LEFT JOIN (SELECT v, min(u) AS mn FROM mut GROUP BY 1) m
+ON m.v = n.v ORDER BY v"""

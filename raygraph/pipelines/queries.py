@@ -1633,3 +1633,64 @@ def q_edge_jaccard(sf_dir):
 
 
 QUERIES["edge_jaccard"] = q_edge_jaccard
+
+
+def q_local_clustering(sf_dir):
+    """Per-vertex local clustering coefficient — rowwise sum of the
+    edge-support masked mxm + one O(V) vector cogroup vs degree;
+    exact integer ppm."""
+    from raygraph.algorithms.metrics import local_clustering
+
+    t = K.to_table(local_clustering(_edges_dedup(sf_dir)), sort_by=None)
+    return t.sort_by([("v", "ascending")])
+
+
+QUERIES["local_clustering"] = q_local_clustering
+
+
+def q_avg_neighbor_degree(sf_dir):
+    """Average neighbor degree — ONE SpMV (y = A·deg) + one O(V)
+    vector cogroup; exact integer ppm."""
+    from raygraph.algorithms.metrics import avg_neighbor_degree
+
+    t = K.to_table(avg_neighbor_degree(_edges_dedup(sf_dir)), sort_by=None)
+    return t.sort_by([("v", "ascending")])
+
+
+QUERIES["avg_neighbor_degree"] = q_avg_neighbor_degree
+
+
+def q_degree_assortativity(sf_dir):
+    """Degree assortativity coefficient — broadcast degree lookup +
+    per-batch 4-int moment partials; exact int64 moments, one float
+    division at the end."""
+    from raygraph.algorithms.metrics import degree_assortativity
+
+    return degree_assortativity(_edges_dedup(sf_dir))
+
+
+QUERIES["degree_assortativity"] = q_degree_assortativity
+
+
+def q_scc_labels(sf_dir):
+    """Strongly connected components via distributed color-propagation
+    (Orzan/FW-BW coloring) — labels are the min member id, so they're
+    canonical and exactly comparable to the SQL mutual-reachability
+    closure."""
+    from raygraph.algorithms.scc import scc_fused
+
+    eds = _edges_dedup(sf_dir).materialize()
+    g = build_graph(eds, num_parts=16, dup_op="first", binarize=True)
+
+    def swap(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["dst"], "dst": t["src"], "w": t["w"]})
+
+    gT = build_graph(eds.map_batches(swap, batch_format="pyarrow"),
+                     num_parts=16, dup_op="first", binarize=True)
+    labels = scc_fused(g, gT)
+    t = g.to_vertex_table(labels, "scc")
+    t = _int64_col(_int64_col(t, "v"), "scc")
+    return t.sort_by([("v", "ascending")])
+
+
+QUERIES["scc_labels"] = q_scc_labels

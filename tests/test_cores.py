@@ -195,3 +195,133 @@ def test_edge_jaccard_square_with_diagonal():
     # edge (0,2): N(0)={1,2,3}, N(2)={0,1,3} -> inter {1,3}, union 4
     assert t.loc[(0, 2), "support"] == 2
     assert t.loc[(0, 2), "jaccard_ppm"] == 500000
+
+
+def test_local_clustering_triangle_plus_tail():
+    from raygraph.algorithms.metrics import local_clustering
+    from raygraph import kernels as K
+
+    # triangle 0-1-2 with tail 2-3
+    e = _edges([(0, 1), (1, 2), (2, 0), (2, 3)])
+    t = K.to_table(local_clustering(e), sort_by=None).to_pandas()
+    t = t.set_index("v").sort_index()
+    assert list(t["deg"]) == [2, 2, 3, 1]
+    assert list(t["tri"]) == [1, 1, 1, 0]
+    # lcc: 1.0, 1.0, 2/(3*2)=1/3, 0
+    assert list(t["lcc_ppm"]) == [1000000, 1000000, 333333, 0]
+
+
+def test_avg_neighbor_degree_star():
+    from raygraph.algorithms.metrics import avg_neighbor_degree
+    from raygraph import kernels as K
+
+    # star 0-{1,2,3}: and(0)=1, and(leaf)=3
+    e = _edges([(0, 1), (0, 2), (0, 3)])
+    t = K.to_table(avg_neighbor_degree(e), sort_by=None).to_pandas()
+    t = t.set_index("v").sort_index()
+    assert list(t["deg"]) == [3, 1, 1, 1]
+    assert list(t["sum_nbr_deg"]) == [3, 3, 3, 3]
+    assert list(t["avg_nbr_deg_ppm"]) == [1000000, 3000000, 3000000, 3000000]
+
+
+def test_degree_assortativity_matches_dense_formula():
+    from raygraph.algorithms.metrics import degree_assortativity
+    from tests import fixtures as fx
+
+    A = fx.random_graph(30, 0.15, seed=5)
+    S = ((A + A.T) != 0)
+    np.fill_diagonal(S, False)
+    t = degree_assortativity(rd.from_arrow(
+        fx.dense_to_edge_table(A.astype(np.float64)))).to_pydict()
+    deg = S.sum(1)
+    xs, ys = np.nonzero(S)
+    x, y = deg[xs], deg[ys]
+    m = len(x)
+    num = m * int((x * y).sum()) - int(x.sum()) ** 2
+    den = m * int((x * x).sum()) - int(x.sum()) ** 2
+    assert t["m"] == [m]
+    assert t["assortativity"] == [round(float(num) / float(den), 6)]
+
+
+def _scc_oracle(n, pairs):
+    """Kosaraju on adjacency lists — test-local oracle."""
+    fwd = [[] for _ in range(n)]
+    rev = [[] for _ in range(n)]
+    for s, d in pairs:
+        fwd[s].append(d)
+        rev[d].append(s)
+    seen, order = [False] * n, []
+    for s in range(n):
+        if seen[s]:
+            continue
+        stack = [(s, 0)]
+        seen[s] = True
+        while stack:
+            v, i = stack.pop()
+            if i < len(fwd[v]):
+                stack.append((v, i + 1))
+                u = fwd[v][i]
+                if not seen[u]:
+                    seen[u] = True
+                    stack.append((u, 0))
+            else:
+                order.append(v)
+    comp = [-1] * n
+    for s in reversed(order):
+        if comp[s] >= 0:
+            continue
+        members, stack = [], [s]
+        comp[s] = s
+        while stack:
+            v = stack.pop()
+            members.append(v)
+            for u in rev[v]:
+                if comp[u] < 0:
+                    comp[u] = s
+                    stack.append(u)
+        root = min(members)
+        for v in members:
+            comp[v] = root
+    return comp
+
+
+def _scc_run(pairs, num_parts=4):
+    from raygraph.algorithms.scc import scc_fused
+    from raygraph.graph import build_graph
+
+    e = _edges(pairs)
+    g = build_graph(e, num_parts=num_parts, dup_op="first", binarize=True)
+
+    def swap(t):
+        return pa.table({"src": t["dst"], "dst": t["src"], "w": t["w"]})
+
+    gT = build_graph(e.map_batches(swap, batch_format="pyarrow"),
+                     num_parts=num_parts, dup_op="first", binarize=True)
+    labels = scc_fused(g, gT)
+    t = g.to_vertex_table(labels, "scc").to_pandas()
+    return dict(zip(t["v"].astype(int), t["scc"].astype(int)))
+
+
+def test_scc_two_cycles_chain():
+    # cycle {0,1} -> cycle {2,3} -> sink 4; plus self-loop 5 and isolated edge 6->0
+    pairs = [(0, 1), (1, 0), (1, 2), (2, 3), (3, 2), (3, 4), (5, 5), (6, 0)]
+    got = _scc_run(pairs)
+    assert got == {0: 0, 1: 0, 2: 2, 3: 2, 4: 4, 5: 5, 6: 6}
+
+
+def test_scc_dag_path_one_round():
+    got = _scc_run([(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_scc_random_matches_kosaraju():
+    rng = np.random.default_rng(17)
+    n = 48
+    m = 160
+    pairs = {(int(a), int(b)) for a, b in
+             zip(rng.integers(0, n, m), rng.integers(0, n, m))}
+    pairs = sorted(pairs)
+    want = _scc_oracle(n, pairs)
+    got = _scc_run(pairs, num_parts=6)
+    touched = sorted({v for p in pairs for v in p})
+    assert {v: got[v] for v in touched} == {v: want[v] for v in touched}
