@@ -1249,7 +1249,11 @@ FROM t"""
 # strongly connected components: label = min mutually-reachable id.
 # The closure is tiny at the 211-vertex universe; the engine computes
 # the same labels without ever materializing reachability.
+# NOTE: inside a WITH RECURSIVE block, DuckDB 1.0.0 loses the dedup of
+# the plain UNION in the shared `n` CTE (yields src||dst concatenation),
+# so the vertex universe is re-deduped explicitly via `nd`.
 ORACLES["scc_labels"] = f"""WITH RECURSIVE {_E}, {_EBIN}, {_N},
+nd AS (SELECT DISTINCT v FROM n),
 reach(a, b) AS (
   SELECT src, dst FROM ebin
   UNION
@@ -1257,6 +1261,6 @@ reach(a, b) AS (
 ),
 mut AS (SELECT r1.a AS v, r1.b AS u
         FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a)
-SELECT n.v AS v, CAST(least(n.v, coalesce(m.mn, n.v)) AS BIGINT) AS scc
-FROM n LEFT JOIN (SELECT v, min(u) AS mn FROM mut GROUP BY 1) m
-ON m.v = n.v ORDER BY v"""
+SELECT nd.v AS v, CAST(least(nd.v, coalesce(m.mn, nd.v)) AS BIGINT) AS scc
+FROM nd LEFT JOIN (SELECT v, min(u) AS mn FROM mut GROUP BY 1) m
+ON m.v = nd.v ORDER BY v"""
