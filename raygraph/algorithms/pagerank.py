@@ -110,3 +110,45 @@ def pagerank(
         "edges_traversed": (it + 1) * graph.nnz,
         "history": history,
     }
+
+
+def personalized_pagerank(
+    graph,
+    *,
+    seeds=None,
+    seed_pred=None,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    itermax: int = 100,
+    check_every: int = 1,
+) -> tuple[list[np.ndarray], dict]:
+    """Personalized PageRank: teleport mass flows back to a seed set
+    instead of uniformly (r0 = p; r = (1-d)*p + d*A^T(r/deg); dangling
+    mass decays exactly as in :func:`pagerank`).
+
+    ``seeds`` is an iterable of vertex ids, or ``seed_pred`` a vectorized
+    predicate over a uint64 id array (evaluated per partition slice — the
+    seed set never materializes on the driver, so a billion-seed
+    personalization costs one mask pass per partition). p is uniform over
+    the seed set. Runs on the fused superstep engine — per-iteration cost
+    identical to PageRank (the teleport operand is an array, shipped once
+    as object refs).
+
+    Reference analog: the pagerank notebook's damping/teleport structure
+    (SURVEY.md §3.2) with LAGraph-style personalization."""
+    from raygraph.fused import pagerank_fused
+
+    ids = graph.ids_slices()
+    if seed_pred is not None:
+        masks = [np.asarray(seed_pred(s), bool) for s in ids]
+    elif seeds is not None:
+        seed_arr = np.unique(np.asarray(list(seeds), np.uint64))
+        masks = [np.isin(s, seed_arr) for s in ids]
+    else:
+        raise ValueError("personalized_pagerank: need seeds or seed_pred")
+    ns = sum(int(m.sum()) for m in masks)
+    if ns == 0:
+        raise ValueError("personalized_pagerank: empty seed set")
+    p = [m.astype(np.float64) / ns for m in masks]
+    return pagerank_fused(graph, damping=damping, tol=tol, itermax=itermax,
+                          check_every=check_every, personalization=p)

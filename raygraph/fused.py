@@ -109,6 +109,7 @@ def pagerank_fused(
     ckpt_every: int = 10,
     resume: bool = True,
     check_every: int = 1,
+    personalization: list | None = None,
 ):
     """pagerank_3f with the fused superstep. Semantics identical to
     algorithms.pagerank (same formula, FP64, deterministic packet order).
@@ -118,7 +119,15 @@ def pagerank_fused(
     through object refs and pipeline across partitions, removing the
     driver round-trip from the critical path. If convergence happened at
     an earlier submitted iteration, the state is rolled back to exactly
-    that iteration, so results are identical to check_every=1."""
+    that iteration, so results are identical to check_every=1.
+
+    ``personalization`` turns this into personalized PageRank: a list of
+    per-partition FP64 probability slices p (summing to 1 across the
+    graph); the teleport term becomes (1-damping)*p_v per vertex and the
+    initial state is p itself (r0 = p). With None, uniform teleport —
+    classic pagerank_3f. The iteration body is unchanged: the teleport
+    operand is simply an array instead of a scalar in the reduce, so PPR
+    costs exactly what PageRank costs per superstep."""
     import ray
 
     from raygraph import checkpoint as ck
@@ -149,36 +158,42 @@ def pagerank_fused(
     else:
         scatter = ray.remote(lambda blk, t_p: _scatter_body(blk, t_p)[0])
 
-    def _reduce_body(size, t_q, packets):
+    def _reduce_body(size, tele, t_q, packets):
         live_pk = [pk for pk in packets if pk is not None]
         if live_pk:
             # one bincount over the concatenated packets (fixed arg order ->
             # deterministic FP sums); ~10x faster than per-packet np.add.at
             pos = np.concatenate([pk[0] for pk in live_pk])
             val = np.concatenate([pk[1] for pk in live_pk])
-            dense = teleport + np.bincount(pos, weights=val, minlength=size)
+            dense = tele + np.bincount(pos, weights=val, minlength=size)
         else:
-            dense = np.full(size, teleport, np.float64)
+            dense = np.zeros(size, np.float64) + tele
         residual = float(np.abs(dense - t_q).sum()) if t_q is not None else 0.0
         return dense, residual
 
     # combined step: reduce THIS iteration's packets into the new state and
     # immediately scatter the NEXT iteration's contributions from it — one
     # task wave per iteration on the critical path
-    def _step_body(blk, size, t_q, *packets):
-        dense, residual = _reduce_body(size, t_q, packets)
+    def _step_body(blk, size, tele, t_q, *packets):
+        dense, residual = _reduce_body(size, tele, t_q, packets)
         out = _scatter_body(blk, dense) if blk is not None else [None] * P
         return (dense, residual, *out)
 
     step = ray.remote(num_returns=P + 2)(_step_body)
 
-    @ray.remote(num_returns=2)
-    def reduce_q(size, t_q, *packets):
-        return _reduce_body(size, t_q, packets)
+    # per-partition teleport operand: scalar (uniform) or the PPR slice,
+    # shipped once as refs — NOT re-serialized per iteration
+    if personalization is not None:
+        tele_refs = [ray.put((1.0 - damping) * np.asarray(p_s, np.float64))
+                     for p_s in personalization]
+        init = [np.asarray(p_s, np.float64) for p_s in personalization]
+    else:
+        tele_refs = [teleport] * P
+        init = [np.full(s, 1.0 / n, np.float64) for s in sizes]
 
     # initial state (or resume)
     it0 = 0
-    t_refs = [ray.put(np.full(s, 1.0 / n, np.float64)) for s in sizes]
+    t_refs = [ray.put(x) for x in init]
     if ckpt_dir is not None:
         ck.save_graph(graph, ckpt_dir)
         if resume:
@@ -226,7 +241,8 @@ def pagerank_fused(
         res_refs = []
         next_packets = [[None] * len(live) for _ in range(P)]
         for q in range(P):
-            outs = step.remote(cache[q], sizes[q], t_refs[q], *packets_by_q[q])
+            outs = step.remote(cache[q], sizes[q], tele_refs[q], t_refs[q],
+                               *packets_by_q[q])
             r_refs[q] = outs[0]
             res_refs.append(outs[1])
             if q in live:

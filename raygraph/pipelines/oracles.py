@@ -1264,3 +1264,32 @@ mut AS (SELECT r1.a AS v, r1.b AS u
 SELECT nd.v AS v, CAST(least(nd.v, coalesce(m.mn, nd.v)) AS BIGINT) AS scc
 FROM nd LEFT JOIN (SELECT v, min(u) AS mn FROM mut GROUP BY 1) m
 ON m.v = nd.v ORDER BY v"""
+
+
+def _ppr_sql(k: int = 8, damping: float = 0.85) -> str:
+    """Personalized PageRank unrolled: p uniform over {v % 7 == 0},
+    r0 = p, r = (1-d)*p + d*A^T(r/deg)."""
+    parts = [
+        _E, _EBIN, _N,
+        "dout AS (SELECT src, count(*) AS c FROM ebin GROUP BY 1)",
+        "ns AS (SELECT count(*) AS c FROM n WHERE v % 7 = 0)",
+        "pv AS MATERIALIZED (SELECT v, CASE WHEN v % 7 = 0 THEN"
+        " 1.0 / (SELECT c FROM ns) ELSE 0.0 END AS p FROM n)",
+        "r0 AS (SELECT v, p AS score FROM pv)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(f"""r{i} AS MATERIALIZED (
+  SELECT pv.v, {1 - damping} * pv.p + {damping} * COALESCE(s.x, 0) AS score
+  FROM pv LEFT JOIN (
+    SELECT eb.dst AS v, sum(r{i-1}.score / d.c) AS x
+    FROM ebin eb
+    JOIN r{i-1} ON r{i-1}.v = eb.src
+    JOIN dout d ON d.src = eb.src
+    GROUP BY eb.dst
+  ) s ON s.v = pv.v
+)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT v, round(score, 6) AS score FROM r{k} ORDER BY v")
+
+
+ORACLES["ppr_k8"] = _ppr_sql(8)

@@ -1694,3 +1694,20 @@ def q_scc_labels(sf_dir):
 
 
 QUERIES["scc_labels"] = q_scc_labels
+
+
+def q_ppr_k8(sf_dir):
+    """Personalized PageRank, 8 fixed iterations, seeds = {v : v % 7 == 0}
+    (teleport mass returns to the seed distribution; dangling mass decays
+    — same convention as pagerank_k8)."""
+    from raygraph.algorithms.pagerank import personalized_pagerank
+
+    g = _g1_graph(sf_dir, binarize=True)
+    r, _ = personalized_pagerank(
+        g, seed_pred=lambda ids: ids % np.uint64(7) == 0,
+        damping=0.85, tol=0.0, itermax=8)
+    t = g.to_vertex_table(r, "score")
+    return _round_col(_int64_col(t, "v"), "score")
+
+
+QUERIES["ppr_k8"] = q_ppr_k8

@@ -139,3 +139,56 @@ def test_bfs_levels():
         assert got[v] == d
     for v in (6, 7, 8, 9, 10, 11):
         assert got[v] == np.inf
+
+
+# ---------------------------------------------------- personalized pagerank ----
+
+
+def _ppr_dense_oracle(A, seeds, damping=0.85, iters=50):
+    n = A.shape[0]
+    B = (A != 0).astype(float)
+    deg = B.sum(axis=1)
+    p = np.zeros(n)
+    p[list(seeds)] = 1.0 / len(seeds)
+    r = p.copy()
+    for _ in range(iters):
+        w = np.divide(r * damping, deg, out=np.zeros(n), where=deg > 0)
+        r = (1 - damping) * p + B.T @ w
+    return r
+
+
+def test_ppr_matches_dense_oracle():
+    from raygraph.algorithms.pagerank import personalized_pagerank
+
+    A = fx.random_graph(48, 0.08, seed=7)
+    verts = rd.from_arrow(fx.vertex_table(48))
+    g = build_graph(_edges_ds(A), vertices_ds=verts, num_parts=6, binarize=True)
+    seeds = [0, 7, 14, 21]
+    r, info = personalized_pagerank(g, seeds=seeds, tol=0.0, itermax=50)
+    want = _ppr_dense_oracle(A, seeds, iters=50)
+    got = _scores(g, r)
+    np.testing.assert_allclose([got[i] for i in range(48)], want, atol=1e-9)
+    assert info["iters"] == 50
+
+
+def test_ppr_seed_pred_equals_seed_list():
+    from raygraph.algorithms.pagerank import personalized_pagerank
+
+    A = fx.random_graph(40, 0.1, seed=11)
+    verts = rd.from_arrow(fx.vertex_table(40))
+    g = build_graph(_edges_ds(A), vertices_ds=verts, num_parts=4, binarize=True)
+    r1, _ = personalized_pagerank(g, seeds=[v for v in range(40) if v % 5 == 0],
+                                  tol=0.0, itermax=12)
+    r2, _ = personalized_pagerank(g, seed_pred=lambda ids: ids % np.uint64(5) == 0,
+                                  tol=0.0, itermax=12)
+    for a, b in zip(r1, r2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_ppr_empty_seed_raises():
+    from raygraph.algorithms.pagerank import personalized_pagerank
+
+    A = fx.random_graph(16, 0.2, seed=5)
+    g = build_graph(_edges_ds(A), num_parts=2, binarize=True)
+    with pytest.raises(ValueError):
+        personalized_pagerank(g, seeds=[])
