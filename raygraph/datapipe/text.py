@@ -473,3 +473,67 @@ def chunk_documents(docs_ds, *, window: int = 128, stride: int = 96,
         return pa.concat_tables(parts)
 
     return docs_ds.map_batches(chunks, batch_format="pyarrow")
+
+
+def skipgram_pairs(docs_ds, *, window: int = 3, min_count: int = 1,
+                   text_col: str = "text"):
+    """Skip-gram (center, context) co-occurrence counts — the word2vec /
+    embedding-training prep stage: ordered token pairs ``(toks[i],
+    toks[i+d])`` for ``1 <= d <= window`` over whitespace tokens (same
+    trim + ``\\s+`` tokenization as chunking), counted corpus-wide,
+    filtered to ``count >= min_count``.
+
+    Scale shape: pair generation is pure offset arithmetic — one RE2
+    split per batch, then for each distance d an index-shift ``take`` on
+    the flat token array (no per-doc loop, no token-stream shuffle). A
+    LOCAL Arrow hash-aggregate combines each batch's pairs, so only the
+    per-batch distinct-pair partials — bounded by vocab², typically far
+    smaller than the pair stream — reach the one
+    ``groupby(pair).sum`` shuffle. The min_count filter runs pre-sort so
+    the final distributed order-by sees only surviving pairs."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(
+            pc.fill_null(t[text_col].combine_chunks()
+                         if isinstance(t[text_col], pa.ChunkedArray)
+                         else t[text_col], ""))
+        lst = pc.split_pattern_regex(txt, r"\s+")
+        offs = np.asarray(lst.offsets, np.int64)
+        flat = lst.values
+        lens = np.diff(offs)
+        parts = []
+        for d in range(1, window + 1):
+            cnt = np.maximum(lens - d, 0)
+            total = int(cnt.sum())
+            if total == 0:
+                continue
+            # arange-concat: index i within each doc's [start, start+len-d)
+            base = np.repeat(offs[:-1], cnt)
+            local = np.arange(total) - np.repeat(
+                np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt)
+            idx = base + local
+            parts.append(pa.table({"tok_a": flat.take(pa.array(idx)),
+                                   "tok_b": flat.take(pa.array(idx + d))}))
+        if not parts:
+            return pa.table({"tok_a": pa.array([], pa.string()),
+                             "tok_b": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        pairs = pa.concat_tables(parts)
+        # empty-text docs tokenize to [""]: single token, no pairs — but a
+        # genuinely empty token can never appear inside a trimmed \s+ split
+        g = pairs.group_by(["tok_a", "tok_b"]).aggregate([([], "count_all")])
+        return pa.table({"tok_a": g["tok_a"], "tok_b": g["tok_b"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    agg = (docs_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["tok_a", "tok_b"]).sum("n"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        out = pa.table({"tok_a": t["tok_a"], "tok_b": t["tok_b"],
+                        "n": t["sum(n)"].cast(pa.int64())})
+        if min_count > 1:
+            out = out.filter(pc.greater_equal(out["n"], min_count))
+        return out
+
+    return (agg.map_batches(fin, batch_format="pyarrow")
+            .sort(key=["tok_a", "tok_b"]))

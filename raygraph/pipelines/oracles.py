@@ -1293,3 +1293,21 @@ def _ppr_sql(k: int = 8, damping: float = 0.85) -> str:
 
 
 ORACLES["ppr_k8"] = _ppr_sql(8)
+
+
+# skip-gram pairs: ordered (toks[i], toks[i+d]), 1 <= d <= 3, whitespace
+# tokens of trimmed text (same tokenization as doc_chunks)
+ORACLES["skipgram_pairs"] = """WITH tt AS (
+  SELECT CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents
+),
+p AS (
+  SELECT toks[i] AS tok_a, toks[i + d] AS tok_b
+  FROM tt,
+       LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u,
+       LATERAL (SELECT unnest([1, 2, 3]) AS d) dd
+  WHERE i + d <= len(toks)
+)
+SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY 1, 2 ORDER BY tok_a, tok_b"""

@@ -1711,3 +1711,17 @@ def q_ppr_k8(sf_dir):
 
 
 QUERIES["ppr_k8"] = q_ppr_k8
+
+
+def q_skipgram_pairs(sf_dir):
+    """Skip-gram co-occurrence counts (window 3, whitespace tokens) —
+    word2vec prep over the documents table."""
+    from raygraph.datapipe.text import skipgram_pairs
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    t = K.to_table(skipgram_pairs(docs, window=3), sort_by=None)
+    return _int64_col(t, "n")
+
+
+QUERIES["skipgram_pairs"] = q_skipgram_pairs

@@ -517,3 +517,29 @@ def test_group_centroids_matches_numpy():
     for r in out:
         want = vecs[labels == r["label"]].astype(np.float64).mean(axis=0)
         assert abs(r["centroid"] - want[r["dim"]]) < 1e-9
+
+
+def test_skipgram_pairs_matches_counter():
+    import collections
+
+    texts = ["a b c a b", "  c  a ", "", None, "x", "a a a a"]
+    want = collections.Counter()
+    for s in texts:
+        toks = (s or "").split()
+        for d in (1, 2, 3):
+            want.update(zip(toks[:-d] if d else toks, toks[d:]))
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))),
+                                 "text": texts}))
+    out = text.skipgram_pairs(ds, window=3).take_all()
+    got = {(r["tok_a"], r["tok_b"]): r["n"] for r in out}
+    assert got == dict(want)
+    # sorted output contract
+    keys = [(r["tok_a"], r["tok_b"]) for r in out]
+    assert keys == sorted(keys)
+
+
+def test_skipgram_min_count_filters():
+    texts = ["p q p q p q", "p q r"]
+    ds = rd.from_arrow(pa.table({"doc_id": [0, 1], "text": texts}))
+    out = text.skipgram_pairs(ds, window=1, min_count=3).take_all()
+    assert [(r["tok_a"], r["tok_b"], r["n"]) for r in out] == [("p", "q", 4)]
