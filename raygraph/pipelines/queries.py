@@ -1725,3 +1725,24 @@ def q_skipgram_pairs(sf_dir):
 
 
 QUERIES["skipgram_pairs"] = q_skipgram_pairs
+
+
+def q_doc_redact(sf_dir):
+    """Sequential regex redaction with per-pattern counts: emails, URLs,
+    then long alphanumeric tokens (>= 6 word chars) — the synthetic
+    corpus has no PII, so the long-token scrub carries the signal while
+    the email/url counts pin the zero case."""
+    from raygraph.datapipe.text import redact
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    out = redact(docs, [
+        ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+         "<EMAIL>"),
+        ("url", r"https?://[^\s]+", "<URL>"),
+        ("long", r"\b\w{6,}\b", "<LONG>"),
+    ])
+    return K.to_table(out, sort_by=None)
+
+
+QUERIES["doc_redact"] = q_doc_redact

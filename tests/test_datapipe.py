@@ -543,3 +543,27 @@ def test_skipgram_min_count_filters():
     ds = rd.from_arrow(pa.table({"doc_id": [0, 1], "text": texts}))
     out = text.skipgram_pairs(ds, window=1, min_count=3).take_all()
     assert [(r["tok_a"], r["tok_b"], r["n"]) for r in out] == [("p", "q", 4)]
+
+
+def test_redact_sequential_counts_and_text():
+    texts = ["mail me at bob@example.com or see https://x.io/a?b=1 now",
+             "nothing here", None,
+             "two mails: a@b.co c.d@e-f.org and wordiness galore"]
+    ds = rd.from_arrow(pa.table({"doc_id": [0, 1, 2, 3], "text": texts}))
+    out = {r["doc_id"]: r for r in text.redact(ds).take_all()}
+    assert out[0]["n_email"] == 1 and out[0]["n_url"] == 1
+    assert out[0]["text"] == "mail me at <EMAIL> or see <URL> now"
+    assert out[1]["n_email"] == 0 and out[1]["text"] == "nothing here"
+    assert out[2]["text"] == ""
+    assert out[3]["n_email"] == 2
+    assert "<EMAIL>" in out[3]["text"] and "a@b.co" not in out[3]["text"]
+
+
+def test_redact_patterns_apply_sequentially():
+    # pattern k counts/matches the text AFTER patterns < k replaced —
+    # placeholders introduced earlier ARE visible to later patterns
+    ds = rd.from_arrow(pa.table({"doc_id": [0], "text": ["zap zap zip"]}))
+    out = text.redact(ds, [("zap", r"zap", "zip"),
+                           ("zip", r"zip", "X")]).take_all()[0]
+    assert out["n_zap"] == 2 and out["n_zip"] == 3
+    assert out["text"] == "X X X"
