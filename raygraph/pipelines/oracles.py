@@ -1340,3 +1340,29 @@ SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
        CAST(n_url AS BIGINT) AS n_url, CAST(n_long AS BIGINT) AS n_long,
        t AS text
 FROM s3 ORDER BY doc_id"""
+
+
+def _walks_sql(steps: int = 4) -> str:
+    """Deterministic walk: next = arg_min over out-neighbors of
+    mix64((cur*K1) xor (t*K2) xor nbr) — splitmix64 keyed choice,
+    collision-free for fixed (cur, t)."""
+    K1 = 0x9E3779B97F4A7C15
+    K2 = 0xD1B54A32D192ED03
+    parts = [_E, _EBIN, _N,
+             "w0 AS (SELECT v AS start, v AS cur FROM n WHERE v % 29 = 0)"]
+    for t in range(1, steps + 1):
+        salt = (t * K2) % (1 << 64)
+        key = _mix64_sql(
+            "xor(xor(" + _mulmod_sql("CAST(w.cur AS UBIGINT)", K1)
+            + f", CAST({salt} AS UBIGINT)), CAST(eb.dst AS UBIGINT))")
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT w.start, arg_min(eb.dst, {key}) AS cur "
+            f"FROM w{t-1} w JOIN ebin eb ON eb.src = w.cur GROUP BY w.start)")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST(start AS BIGINT) AS start, CAST({t} AS BIGINT) AS step,"
+        f" CAST(cur AS BIGINT) AS v FROM w{t}" for t in range(steps + 1))
+    return ("WITH " + ",\n".join(parts) + "\n" + sel
+            + "\nORDER BY start, step")
+
+
+ORACLES["random_walks"] = _walks_sql(4)

@@ -1746,3 +1746,17 @@ def q_doc_redact(sf_dir):
 
 
 QUERIES["doc_redact"] = q_doc_redact
+
+
+def q_random_walks(sf_dir):
+    """Deterministic 4-step hash-driven walks from starts {v % 29 == 0}
+    over the distinct directed edge set (DeepWalk sampling prep)."""
+    from raygraph.algorithms.walks import random_walks
+
+    out = random_walks(_edges_dedup(sf_dir),
+                       start_pred=lambda ids: ids % np.uint64(29) == 0,
+                       steps=4)
+    return K.to_table(out, sort_by=None)
+
+
+QUERIES["random_walks"] = q_random_walks

@@ -192,3 +192,49 @@ def test_ppr_empty_seed_raises():
     g = build_graph(_edges_ds(A), num_parts=2, binarize=True)
     with pytest.raises(ValueError):
         personalized_pagerank(g, seeds=[])
+
+
+# ------------------------------------------------------------ random walks ----
+
+
+def test_random_walks_match_brute_force():
+    from raygraph.algorithms.walks import random_walks, _step_key
+
+    A = fx.random_graph(30, 0.12, seed=9)
+    A[5, :] = 0  # dead end: walks reaching 5 stop
+    edges = fx.dense_to_edge_table(A)
+    starts = [0, 5, 7, 11]
+    got = sorted(
+        (r["start"], r["step"], r["v"])
+        for r in random_walks(rd.from_arrow(edges), starts=starts,
+                              steps=3).take_all())
+
+    adj = {u: np.flatnonzero(A[u]).astype(np.uint64) for u in range(30)}
+    want = []
+    for s in starts:
+        cur = np.uint64(s)
+        want.append((s, 0, s))
+        for t in range(1, 4):
+            nbrs = adj[int(cur)]
+            if len(nbrs) == 0:
+                break
+            h = _step_key(np.full(len(nbrs), cur, np.uint64), t, nbrs)
+            cur = nbrs[int(np.argmin(h))]
+            want.append((s, t, int(cur)))
+    assert got == sorted(want)
+
+
+def test_random_walks_start_pred_matches_list():
+    from raygraph.algorithms.walks import random_walks
+
+    A = fx.random_graph(24, 0.15, seed=13)
+    edges = fx.dense_to_edge_table(A)
+    verts_in_graph = sorted(set(np.flatnonzero(A.any(axis=1)))
+                            | set(np.flatnonzero(A.any(axis=0))))
+    starts = [v for v in verts_in_graph if v % 4 == 0]
+    r1 = sorted((r["start"], r["step"], r["v"]) for r in random_walks(
+        rd.from_arrow(edges), starts=starts, steps=2).take_all())
+    r2 = sorted((r["start"], r["step"], r["v"]) for r in random_walks(
+        rd.from_arrow(edges), start_pred=lambda ids: ids % np.uint64(4) == 0,
+        steps=2).take_all())
+    assert r1 == r2 and len(r1) > 0
