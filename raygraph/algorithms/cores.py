@@ -211,3 +211,58 @@ def kcore(edges, k: int, *, num_buckets: int = _B, max_rounds: int = 64):
         .groupby("bucket")
         .map_groups(uniq, batch_format="pyarrow")
     )
+
+
+def ktruss(edges, k: int, *, num_buckets: int = _B, max_rounds: int = 16):
+    """Edges of the k-truss: the maximal subgraph in which every edge
+    participates in at least ``k - 2`` triangles (undirected simple
+    graph). Classic GraphBLAS recipe (reference ecosystem:
+    graphblas-algorithms ``k_truss``): repeat the masked matmul
+    ``C(A) << A @ A`` (edge support) and drop edges below ``k - 2``,
+    simultaneously, to a fixpoint.
+
+    Distributed shape: each round is ONE masked mxm (wedge/dot
+    auto-selection and its intermediate bound apply, kernels.py:2180)
+    plus a vectorized filter; the driver sees only a per-round edge
+    count for the convergence check. Peeling is monotone, so a
+    converged state is stable — ``max_rounds`` mirrors the oracle's
+    unroll depth and is far past fixpoint at any tested scale.
+
+    Returns the truss's upper-triangle edge table (src < dst).
+    """
+    kk = max(k - 2, 0)
+    sym = sym_edges(edges, num_buckets=num_buckets).materialize()
+    n_prev = sym.count()
+    rounds = 0
+    for _ in range(max_rounds):
+        if n_prev == 0:
+            break
+        prod = K.mxm(sym, sym, "plus_times", mask=sym)
+
+        def keep(t: pa.Table) -> pa.Table:
+            w = np.asarray(t["w"].to_numpy(zero_copy_only=False), np.float64)
+            m = np.rint(w).astype(np.int64) >= kk
+            return pa.table({
+                "src": np.asarray(t["src"].to_numpy(zero_copy_only=False),
+                                  np.uint64)[m],
+                "dst": np.asarray(t["dst"].to_numpy(zero_copy_only=False),
+                                  np.uint64)[m],
+                "w": np.ones(int(m.sum()), np.float64),
+            })
+
+        sym = K._ds(prod).map_batches(keep,
+                                      batch_format="pyarrow").materialize()
+        n = sym.count()
+        rounds += 1
+        if n == n_prev:
+            break
+        n_prev = n
+
+    def upper(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        m = s < d
+        return pa.table({"src": s[m].astype(np.int64),
+                         "dst": d[m].astype(np.int64)})
+
+    return K._ds(sym).map_batches(upper, batch_format="pyarrow")

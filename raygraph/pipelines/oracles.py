@@ -1366,3 +1366,26 @@ def _walks_sql(steps: int = 4) -> str:
 
 
 ORACLES["random_walks"] = _walks_sql(4)
+
+
+def _ktruss_sql(k: int, rounds: int = 16) -> str:
+    """k-truss unrolled: each round keeps symmetric edges with >= k-2
+    common neighbors (simultaneous removal); `rounds` is far past
+    fixpoint at tested scales and peeling is monotone, so the final
+    round's row set IS the truss."""
+    parts = [_E, _UE_NOSELF,
+             "t0 AS MATERIALIZED (SELECT src, dst FROM ue)"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""t{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM t{i-1} e
+  JOIN t{i-1} a ON a.src = e.src
+  JOIN t{i-1} b ON b.src = a.dst AND b.dst = e.dst
+  GROUP BY e.src, e.dst HAVING count(*) >= {k - 2}
+)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT src, dst FROM t{rounds} WHERE src < dst"
+            + " ORDER BY src, dst")
+
+
+ORACLES["ktruss92"] = _ktruss_sql(92)

@@ -1760,3 +1760,18 @@ def q_random_walks(sf_dir):
 
 
 QUERIES["random_walks"] = q_random_walks
+
+
+def q_ktruss92(sf_dir):
+    """92-truss of the simple undirected g1 graph (support >= 90 peel to
+    fixpoint): nontrivial peel at sf0.01, peels to empty at sf0.001."""
+    from raygraph.algorithms.cores import ktruss
+
+    t = K.to_table(ktruss(_edges_dedup(sf_dir), 92), sort_by=None)
+    if "src" not in t.column_names:  # truss peeled to empty
+        return pa.table({"src": pa.array([], pa.int64()),
+                         "dst": pa.array([], pa.int64())})
+    return t
+
+
+QUERIES["ktruss92"] = q_ktruss92

@@ -325,3 +325,39 @@ def test_scc_random_matches_kosaraju():
     got = _scc_run(pairs, num_parts=6)
     touched = sorted({v for p in pairs for v in p})
     assert {v: got[v] for v in touched} == {v: want[v] for v in touched}
+
+
+def _truss_brute(A, k):
+    """Peel edges with < k-2 common neighbors to fixpoint (undirected)."""
+    S = ((A + A.T) > 0).astype(int)
+    np.fill_diagonal(S, 0)
+    while True:
+        supp = (S @ S) * S
+        keep = (supp >= k - 2) & (S > 0)
+        if (keep.astype(int) == S).all():
+            break
+        S = keep.astype(int)
+    return sorted((i, j) for i, j in zip(*np.nonzero(S)) if i < j)
+
+
+def test_ktruss_matches_brute_force():
+    from raygraph.algorithms.cores import ktruss
+    from tests import fixtures as fx
+
+    A = fx.random_graph(36, 0.25, seed=21)
+    edges = rd.from_arrow(fx.dense_to_edge_table(A))
+    for k in (3, 4, 5):
+        got = sorted((r["src"], r["dst"])
+                     for r in ktruss(edges, k).take_all())
+        assert got == _truss_brute(A, k), f"k={k}"
+
+
+def test_ktruss_peels_to_empty():
+    from raygraph.algorithms.cores import ktruss
+
+    # a path graph has no triangles: any k >= 3 peels everything
+    t = pa.table({"src": np.arange(10, dtype=np.uint64),
+                  "dst": np.arange(1, 11, dtype=np.uint64),
+                  "w": np.ones(10)})
+    out = ktruss(rd.from_arrow(t), 3).take_all()
+    assert out == []
