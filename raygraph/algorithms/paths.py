@@ -49,3 +49,50 @@ def sssp(graph, source: int, *, itermax: int = 10_000, mode: str = "frontier"):
 def bfs_levels(graph, source: int, *, itermax: int = 10_000, mode: str = "frontier"):
     """Hop distance from source (graph must be binarized: w == 1.0)."""
     return sssp(graph, source, itermax=itermax, mode=mode)
+
+
+def multi_source_bfs(graph, sources, *, itermax: int = 10_000) -> "pa.Table":
+    """Hop distances from each of several sources: rows
+    ``(source, v, dist)``, reached vertices only — the diameter /
+    eccentricity probe pattern (k BFS sweeps from landmark vertices).
+
+    Each sweep is one sparse-frontier fused BFS (Σ|frontier-degree|
+    work, refs-only supersteps); sweeps run sequentially so the peak
+    state is ONE distance vector, not k. The per-source result slices
+    concatenate into one table — at landmark counts where n·k rows
+    stop fitting anywhere, stream each sweep straight to a partitioned
+    sink instead of concatenating (same call per sweep)."""
+    import pyarrow as pa
+
+    parts = []
+    for s in sources:
+        dist, _ = bfs_levels(graph, int(s), itermax=itermax)
+        t = graph.to_vertex_table(dist, "dist")
+        d = np.asarray(t["dist"].to_numpy(zero_copy_only=False))
+        keep = np.isfinite(d)
+        v = np.asarray(t["v"].to_numpy(zero_copy_only=False))[keep]
+        parts.append(pa.table({
+            "source": np.full(len(v), int(s), np.int64),
+            "v": v.astype(np.int64),
+            "dist": d[keep].astype(np.int64),
+        }))
+    return pa.concat_tables(parts)
+
+
+def eccentricity(graph, sources, *, itermax: int = 10_000) -> "pa.Table":
+    """Per-landmark eccentricity over its reachable set: ``(source,
+    ecc = max hop distance, n_reached)`` — the standard iFUB/diameter
+    lower-bound probe, derived from :func:`multi_source_bfs`."""
+    import pyarrow as pa
+
+    t = multi_source_bfs(graph, sources, itermax=itermax)
+    src = np.asarray(t["source"].to_numpy(zero_copy_only=False), np.int64)
+    d = np.asarray(t["dist"].to_numpy(zero_copy_only=False), np.int64)
+    order = np.argsort(src, kind="stable")
+    src, d = src[order], d[order]
+    starts = np.r_[True, src[1:] != src[:-1]]
+    idx = np.flatnonzero(starts)
+    ecc = np.maximum.reduceat(d, idx)
+    cnt = np.diff(np.r_[idx, len(d)])
+    return pa.table({"source": src[starts], "ecc": ecc,
+                     "n_reached": cnt.astype(np.int64)})

@@ -1389,3 +1389,23 @@ def _ktruss_sql(k: int, rounds: int = 16) -> str:
 
 
 ORACLES["ktruss92"] = _ktruss_sql(92)
+
+
+# multi-source BFS: one recursive CTE carries (source, v, d); min per pair
+_BFS_MULTI_REACH = """reach(source, v, d) AS (
+  SELECT s.v, s.v, CAST(0 AS BIGINT)
+  FROM (SELECT unnest([CAST(1 AS BIGINT), 2, 5]) AS v) s
+  UNION
+  SELECT reach.source, eb.dst, reach.d + 1
+  FROM reach JOIN ebin eb ON eb.src = reach.v
+  WHERE reach.d < 64
+)"""
+
+ORACLES["bfs_multi"] = f"""WITH RECURSIVE {_E}, {_EBIN}, {_BFS_MULTI_REACH}
+SELECT source, v, min(d) AS dist FROM reach
+GROUP BY source, v ORDER BY source, v"""
+
+ORACLES["eccentricity3"] = f"""WITH RECURSIVE {_E}, {_EBIN}, {_BFS_MULTI_REACH},
+md AS (SELECT source, v, min(d) AS dist FROM reach GROUP BY source, v)
+SELECT source, max(dist) AS ecc, CAST(count(*) AS BIGINT) AS n_reached
+FROM md GROUP BY source ORDER BY source"""

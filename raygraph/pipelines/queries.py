@@ -1775,3 +1775,23 @@ def q_ktruss92(sf_dir):
 
 
 QUERIES["ktruss92"] = q_ktruss92
+
+
+def q_bfs_multi(sf_dir):
+    """Hop distances from landmark sources {1, 2, 5} (reached only)."""
+    from raygraph.algorithms.paths import multi_source_bfs
+
+    g = _g1_graph(sf_dir, binarize=True)
+    return multi_source_bfs(g, [1, 2, 5])
+
+
+def q_eccentricity3(sf_dir):
+    """Per-landmark eccentricity + reached count from {1, 2, 5}."""
+    from raygraph.algorithms.paths import eccentricity
+
+    g = _g1_graph(sf_dir, binarize=True)
+    return eccentricity(g, [1, 2, 5])
+
+
+QUERIES["bfs_multi"] = q_bfs_multi
+QUERIES["eccentricity3"] = q_eccentricity3

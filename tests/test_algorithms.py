@@ -238,3 +238,38 @@ def test_random_walks_start_pred_matches_list():
         rd.from_arrow(edges), start_pred=lambda ids: ids % np.uint64(4) == 0,
         steps=2).take_all())
     assert r1 == r2 and len(r1) > 0
+
+
+def test_multi_source_bfs_and_eccentricity():
+    from raygraph.algorithms.paths import eccentricity, multi_source_bfs
+
+    A = fx.random_graph(40, 0.08, seed=17)
+    verts = rd.from_arrow(fx.vertex_table(40))
+    g = build_graph(_edges_ds(A), vertices_ds=verts, num_parts=4,
+                    binarize=True)
+    sources = [0, 3, 9]
+    t = multi_source_bfs(g, sources)
+    got = {(r["source"], r["v"]): r["dist"] for r in t.to_pylist()}
+
+    # dense BFS oracle
+    B = (A != 0)
+    want = {}
+    for s in sources:
+        dist = {s: 0}
+        frontier = [s]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in np.flatnonzero(B[u]):
+                    if int(v) not in dist:
+                        dist[int(v)] = dist[u] + 1
+                        nxt.append(int(v))
+            frontier = nxt
+        want.update({(s, v): d for v, d in dist.items()})
+    assert got == want
+
+    e = {r["source"]: (r["ecc"], r["n_reached"])
+         for r in eccentricity(g, sources).to_pylist()}
+    for s in sources:
+        ds_ = [d for (ss, _), d in want.items() if ss == s]
+        assert e[s] == (max(ds_), len(ds_))
