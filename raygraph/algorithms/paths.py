@@ -96,3 +96,26 @@ def eccentricity(graph, sources, *, itermax: int = 10_000) -> "pa.Table":
     cnt = np.diff(np.r_[idx, len(d)])
     return pa.table({"source": src[starts], "ecc": ecc,
                      "n_reached": cnt.astype(np.int64)})
+
+
+def closeness(graph, sources, *, itermax: int = 10_000) -> "pa.Table":
+    """Per-landmark closeness centrality over the reachable set:
+    ``(source, closeness = (n_reached - 1) / Σ dist, n_reached)`` —
+    the Wasserman-Faust form restricted to reached vertices, derived
+    from the same fused BFS sweeps as :func:`eccentricity`. Returned
+    closeness is rounded to 6 decimals (engine-portable compare)."""
+    import pyarrow as pa
+
+    t = multi_source_bfs(graph, sources, itermax=itermax)
+    src = np.asarray(t["source"].to_numpy(zero_copy_only=False), np.int64)
+    d = np.asarray(t["dist"].to_numpy(zero_copy_only=False), np.int64)
+    order = np.argsort(src, kind="stable")
+    src, d = src[order], d[order]
+    starts = np.r_[True, src[1:] != src[:-1]]
+    idx = np.flatnonzero(starts)
+    tot = np.add.reduceat(d, idx)
+    cnt = np.diff(np.r_[idx, len(d)])
+    clo = np.where(tot > 0, (cnt - 1) / np.maximum(tot, 1), 0.0)
+    return pa.table({"source": src[starts],
+                     "closeness": np.round(clo, 6),
+                     "n_reached": cnt.astype(np.int64)})

@@ -1409,3 +1409,18 @@ ORACLES["eccentricity3"] = f"""WITH RECURSIVE {_E}, {_EBIN}, {_BFS_MULTI_REACH},
 md AS (SELECT source, v, min(d) AS dist FROM reach GROUP BY source, v)
 SELECT source, max(dist) AS ecc, CAST(count(*) AS BIGINT) AS n_reached
 FROM md GROUP BY source ORDER BY source"""
+
+
+ORACLES["closeness3"] = f"""WITH RECURSIVE {_E}, {_EBIN}, {_BFS_MULTI_REACH},
+md AS (SELECT source, v, min(d) AS dist FROM reach GROUP BY source, v)
+SELECT source,
+       round(CASE WHEN sum(dist) > 0
+                  THEN (count(*) - 1) / CAST(sum(dist) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS closeness,
+       CAST(count(*) AS BIGINT) AS n_reached
+FROM md GROUP BY source ORDER BY source"""
+
+ORACLES["degree_hist"] = f"""WITH {_E},
+d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1)
+SELECT deg, CAST(count(*) AS BIGINT) AS n_vertices
+FROM d GROUP BY 1 ORDER BY deg"""

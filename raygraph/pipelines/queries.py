@@ -1795,3 +1795,25 @@ def q_eccentricity3(sf_dir):
 
 QUERIES["bfs_multi"] = q_bfs_multi
 QUERIES["eccentricity3"] = q_eccentricity3
+
+
+def q_closeness3(sf_dir):
+    """Per-landmark closeness centrality from {1, 2, 5}."""
+    from raygraph.algorithms.paths import closeness
+
+    g = _g1_graph(sf_dir, binarize=True)
+    return closeness(g, [1, 2, 5])
+
+
+def q_degree_hist(sf_dir):
+    """Out-degree histogram of the distinct directed graph: (deg, n_vertices)."""
+    from ray.data.aggregate import Count
+
+    ds = _edges_dedup(sf_dir).groupby("src").aggregate(Count(alias_name="deg"))
+    hist = ds.groupby("deg").aggregate(Count(alias_name="n_vertices"))
+    t = K.to_table(hist, sort_by=None)
+    return _int64_col(_int64_col(t, "deg"), "n_vertices")
+
+
+QUERIES["closeness3"] = q_closeness3
+QUERIES["degree_hist"] = q_degree_hist

@@ -273,3 +273,19 @@ def test_multi_source_bfs_and_eccentricity():
     for s in sources:
         ds_ = [d for (ss, _), d in want.items() if ss == s]
         assert e[s] == (max(ds_), len(ds_))
+
+
+def test_closeness_matches_bfs_oracle():
+    from raygraph.algorithms.paths import closeness, multi_source_bfs
+
+    A = fx.random_graph(32, 0.1, seed=23)
+    verts = rd.from_arrow(fx.vertex_table(32))
+    g = build_graph(_edges_ds(A), vertices_ds=verts, num_parts=4,
+                    binarize=True)
+    t = multi_source_bfs(g, [0, 4])
+    c = {r["source"]: r for r in closeness(g, [0, 4]).to_pylist()}
+    for s in (0, 4):
+        ds_ = [r["dist"] for r in t.to_pylist() if r["source"] == s]
+        want = round((len(ds_) - 1) / sum(ds_), 6) if sum(ds_) else 0.0
+        assert c[s]["closeness"] == want
+        assert c[s]["n_reached"] == len(ds_)
