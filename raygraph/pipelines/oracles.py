@@ -1424,3 +1424,39 @@ ORACLES["degree_hist"] = f"""WITH {_E},
 d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1)
 SELECT deg, CAST(count(*) AS BIGINT) AS n_vertices
 FROM d GROUP BY 1 ORDER BY deg"""
+
+
+def _mis_sql(rounds: int = 12) -> str:
+    """Luby MIS unrolled: round i keeps v iff mix64(v) < min over alive
+    neighbors (isolated vertices win); winners + neighborhoods leave.
+    Luby needs O(log n) rounds — 12 is far past convergence at tested
+    scales (the alive set is empty well before)."""
+    pri = lambda x: _mix64_sql(f"CAST({x} AS UBIGINT)")  # noqa: E731
+    parts = [_E, _UE_NOSELF,
+             "a0 AS MATERIALIZED (SELECT src AS v FROM ue GROUP BY 1)",
+             "e0 AS MATERIALIZED (SELECT src, dst FROM ue)"]
+    for i in range(1, rounds + 1):
+        parts += [
+            f"""mn{i} AS MATERIALIZED (
+  SELECT e.src AS v, min({pri('e.dst')}) AS mn FROM e{i-1} e GROUP BY 1)""",
+            f"""win{i} AS MATERIALIZED (
+  SELECT a.v FROM a{i-1} a LEFT JOIN mn{i} m ON m.v = a.v
+  WHERE m.mn IS NULL OR {pri('a.v')} < m.mn)""",
+            f"""rem{i} AS MATERIALIZED (
+  SELECT v FROM win{i}
+  UNION SELECT e.dst AS v FROM e{i-1} e JOIN win{i} w ON w.v = e.src)""",
+            f"""a{i} AS MATERIALIZED (
+  SELECT v FROM a{i-1} a
+  WHERE NOT EXISTS (SELECT 1 FROM rem{i} r WHERE r.v = a.v))""",
+            f"""e{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{i-1} e
+  WHERE NOT EXISTS (SELECT 1 FROM rem{i} r WHERE r.v = e.src)
+    AND NOT EXISTS (SELECT 1 FROM rem{i} r WHERE r.v = e.dst))""",
+        ]
+    sel = " UNION ALL ".join(f"SELECT v FROM win{i}"
+                             for i in range(1, rounds + 1))
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT v FROM ({sel}) ORDER BY v")
+
+
+ORACLES["mis_labels"] = _mis_sql(12)

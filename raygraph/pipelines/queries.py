@@ -1817,3 +1817,15 @@ def q_degree_hist(sf_dir):
 
 QUERIES["closeness3"] = q_closeness3
 QUERIES["degree_hist"] = q_degree_hist
+
+
+def q_mis_labels(sf_dir):
+    """Deterministic Luby MIS (mix64 priorities) of the simple undirected
+    g1 graph."""
+    from raygraph.algorithms.mis import maximal_independent_set
+
+    out = maximal_independent_set(_edges_dedup(sf_dir))
+    return K.to_table(out, sort_by="v")
+
+
+QUERIES["mis_labels"] = q_mis_labels

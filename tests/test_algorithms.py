@@ -289,3 +289,42 @@ def test_closeness_matches_bfs_oracle():
         want = round((len(ds_) - 1) / sum(ds_), 6) if sum(ds_) else 0.0
         assert c[s]["closeness"] == want
         assert c[s]["n_reached"] == len(ds_)
+
+
+# ------------------------------------------------------------------ MIS ----
+
+
+def test_mis_matches_brute_force_and_is_valid():
+    from raygraph.algorithms.mis import maximal_independent_set
+    from raygraph.util import mix64
+
+    def brute(A):
+        S = (A + A.T) > 0
+        np.fill_diagonal(S, False)
+        alive = {int(v) for v in
+                 set(np.flatnonzero(A.any(0))) | set(np.flatnonzero(A.any(1)))}
+        mis = []
+        while alive:
+            pri = {v: int(mix64(np.array([v], np.uint64))[0]) for v in alive}
+            win = [v for v in alive
+                   if all(pri[v] < pri[u] for u in alive if S[v, u])]
+            mis += win
+            rm = set(win)
+            for v in win:
+                rm |= {int(u) for u in np.flatnonzero(S[v]) if u in alive}
+            alive -= rm
+        return sorted(mis)
+
+    for seed, p in ((4, 0.08), (9, 0.2), (13, 0.4)):
+        A = fx.random_graph(36, p, seed=seed)
+        got = sorted(r["v"] for r in maximal_independent_set(
+            rd.from_arrow(fx.dense_to_edge_table(A))).take_all())
+        assert got == brute(A), f"seed={seed}"
+        # independence + maximality invariants
+        S = (A + A.T) > 0
+        np.fill_diagonal(S, False)
+        gs = set(got)
+        assert all(not S[u, v] for u in gs for v in gs if u < v)
+        present = set(np.flatnonzero(A.any(0))) | set(np.flatnonzero(A.any(1)))
+        for v in present - gs:
+            assert any(S[v, u] for u in gs), f"{v} not dominated"
