@@ -36,14 +36,23 @@ def pagerank(
     resume: bool = True,
     mode: str = "fused",  # "fused" (production: refs-only raw-task BSP) | "dataset" (cross-check)
     check_every: int = 1,
+    weighted: bool = False,
 ) -> tuple[list[np.ndarray], dict]:
-    """Returns (score slices per partition, info dict with iteration metrics)."""
+    """Returns (score slices per partition, info dict with iteration metrics).
+
+    ``weighted=True``: mass splits proportionally to out-edge weights
+    (w_uv / out-strength) instead of uniformly over out-neighbors —
+    build the graph WITHOUT ``binarize`` so edge weights survive.
+    Fused-path only (the dataset cross-check path stays the unweighted
+    reference formula)."""
     if mode == "fused":
         from raygraph.fused import pagerank_fused
 
         return pagerank_fused(graph, damping=damping, tol=tol, itermax=itermax,
                               ckpt_dir=ckpt_dir, ckpt_every=ckpt_every, resume=resume,
-                              check_every=check_every)
+                              check_every=check_every, weighted=weighted)
+    if weighted:
+        raise NotImplementedError("weighted pagerank: fused mode only")
     n = graph.n_vertices
     if n == 0:
         return graph.state(0.0), {"iters": 0, "residual": 0.0, "edges_traversed": 0}

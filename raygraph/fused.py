@@ -29,8 +29,13 @@ import pyarrow as pa
 from raygraph.ops import MONOID, local_combine
 
 
-def _prep_block(row: dict, num_parts: int) -> dict:
-    """Precompute routing for one CSR block (driver-side, once)."""
+def _prep_block(row: dict, num_parts: int, weighted: bool = False) -> dict:
+    """Precompute routing for one CSR block (driver-side, once).
+
+    ``weighted=True`` additionally carries the per-edge weights in packet
+    order (``wperm``) and replaces ``deg`` with the per-vertex
+    out-STRENGTH Σ_j w_ij — the two extra arrays weighted PageRank needs;
+    the unweighted cache stays weight-free (w was dead weight there)."""
     src_pos = np.asarray(row["src_pos"], np.int64)
     indptr = np.asarray(row["indptr"], np.int64)
     dst_part = np.asarray(row["dst_part"], np.int32)
@@ -57,7 +62,7 @@ def _prep_block(row: dict, num_parts: int) -> dict:
             starts_rel = np.flatnonzero(np.r_[True, seg_pos[1:] != seg_pos[:-1]])
             segs.append((q, int(s), int(e), starts_rel.astype(idx_t),
                          seg_pos[starts_rel].astype(pos_t)))
-    return {
+    out = {
         "src_pos": src_pos,
         "counts": counts.astype(idx_t),
         "perm": perm.astype(idx_t),
@@ -65,37 +70,47 @@ def _prep_block(row: dict, num_parts: int) -> dict:
         "segs": segs,
         "nnz": nnz,
     }
+    if weighted:
+        w = np.asarray(row["w"], np.float64)
+        srcidx = np.repeat(src_pos, counts)
+        out["deg"] = np.bincount(srcidx, weights=w,
+                                 minlength=len(out["deg"]))
+        out["wperm"] = w[perm]
+    return out
 
 
-def block_cache(graph) -> list:
-    """Per-partition routing caches as object refs (built once per Graph)."""
+def block_cache(graph, *, weighted: bool = False) -> list:
+    """Per-partition routing caches as object refs (built once per Graph).
+
+    Weighted and unweighted caches are cached independently — the
+    unweighted one stays lean (no per-edge weights) for the common
+    pagerank/CC/BFS path."""
     import ray
 
-    if getattr(graph, "_fused_cache", None) is not None:
-        return graph._fused_cache
+    attr = "_fused_cache_w" if weighted else "_fused_cache"
+    if getattr(graph, attr, None) is not None:
+        return getattr(graph, attr)
+    cols = ["src_pos", "indptr", "dst_part", "dst_pos", "deg"]
+    if weighted:
+        cols.append("w")
     refs = [None] * graph.num_parts
     block_refs = getattr(graph, "_block_refs", None)
     if block_refs is not None:
         # fast path: prep directly from the build's per-partition table refs
         # (exchange output index == partition), zero driver data movement
-        def _prep_tbl(tbl, P):
-            row = {
-                c: np.asarray(tbl[c][0].values)
-                for c in ("src_pos", "indptr", "dst_part", "dst_pos", "deg")
-            }
-            return _prep_block(row, P)
+        def _prep_tbl(tbl, P, wtd, cc):
+            row = {c: np.asarray(tbl[c][0].values) for c in cc}
+            return _prep_block(row, P, wtd)
 
         prep_t = ray.remote(_prep_tbl)
         for p, r in enumerate(block_refs):
             if r is not None:
-                refs[p] = prep_t.remote(r, graph.num_parts)
+                refs[p] = prep_t.remote(r, graph.num_parts, weighted, cols)
     else:
         prep = ray.remote(_prep_block)
-        for p, row in graph.iter_block_rows(
-            ["src_pos", "indptr", "dst_part", "dst_pos", "deg"]
-        ):
-            refs[p] = prep.remote(row, graph.num_parts)
-    graph._fused_cache = refs
+        for p, row in graph.iter_block_rows(cols):
+            refs[p] = prep.remote(row, graph.num_parts, weighted)
+    setattr(graph, attr, refs)
     return refs
 
 
@@ -110,6 +125,7 @@ def pagerank_fused(
     resume: bool = True,
     check_every: int = 1,
     personalization: list | None = None,
+    weighted: bool = False,
 ):
     """pagerank_3f with the fused superstep. Semantics identical to
     algorithms.pagerank (same formula, FP64, deterministic packet order).
@@ -127,7 +143,12 @@ def pagerank_fused(
     initial state is p itself (r0 = p). With None, uniform teleport —
     classic pagerank_3f. The iteration body is unchanged: the teleport
     operand is simply an array instead of a scalar in the reduce, so PPR
-    costs exactly what PageRank costs per superstep."""
+    costs exactly what PageRank costs per superstep.
+
+    ``weighted=True`` distributes each vertex's mass proportionally to
+    its out-edge WEIGHTS (r/out-strength · w_uv) instead of uniformly —
+    the scatter multiplies by the packet-ordered weight array carried in
+    the weighted block cache; nothing else changes."""
     import ray
 
     from raygraph import checkpoint as ck
@@ -137,15 +158,18 @@ def pagerank_fused(
     if n == 0:
         return graph.state(0.0), {"iters": 0, "residual": 0.0, "edges_traversed": 0}
     teleport = (1.0 - damping) / n
-    cache = block_cache(graph)
+    cache = block_cache(graph, weighted=weighted)
     live = [p for p in range(P) if cache[p] is not None]
     sizes = [int(s) for s in graph.sizes]
 
     def _scatter_body(blk, t_p):
+        # blk["deg"] is out-degree (unweighted) or out-strength (weighted)
         w = np.divide(t_p * damping, blk["deg"],
                       out=np.zeros_like(t_p), where=blk["deg"] > 0)
         xv = np.repeat(w[blk["src_pos"]], blk["counts"])  # edge order
         valp = xv[blk["perm"]]
+        if "wperm" in blk:
+            valp = valp * blk["wperm"]
         out = [None] * P
         for q, s, e, starts_rel, out_pos in blk["segs"]:
             out[q] = (out_pos, np.add.reduceat(valp[s:e], starts_rel))

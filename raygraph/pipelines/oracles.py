@@ -1460,3 +1460,31 @@ def _mis_sql(rounds: int = 12) -> str:
 
 
 ORACLES["mis_labels"] = _mis_sql(12)
+
+
+def _pagerank_weighted_sql(k: int = 8, damping: float = 0.85) -> str:
+    """Weighted PageRank unrolled: contributions r_u * w_uv / strength_u."""
+    parts = [
+        _E, _N,
+        "sout AS (SELECT src, sum(w) AS s FROM e GROUP BY 1)",
+        "nn AS (SELECT count(*) AS c FROM n)",
+        "r0 AS (SELECT v, 1.0 / (SELECT c FROM nn) AS score FROM n)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(f"""r{i} AS MATERIALIZED (
+  SELECT n.v,
+         ({1 - damping} / (SELECT c FROM nn))
+         + {damping} * COALESCE(s.x, 0) AS score
+  FROM n LEFT JOIN (
+    SELECT e.dst AS v, sum(r{i-1}.score * e.w / d.s) AS x
+    FROM e
+    JOIN r{i-1} ON r{i-1}.v = e.src
+    JOIN sout d ON d.src = e.src
+    GROUP BY e.dst
+  ) s ON s.v = n.v
+)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT v, round(score, 6) AS score FROM r{k} ORDER BY v")
+
+
+ORACLES["pagerank_weighted_k8"] = _pagerank_weighted_sql(8)

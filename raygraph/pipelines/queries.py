@@ -1829,3 +1829,17 @@ def q_mis_labels(sf_dir):
 
 
 QUERIES["mis_labels"] = q_mis_labels
+
+
+def q_pagerank_weighted_k8(sf_dir):
+    """Weighted PageRank, 8 iterations: mass splits by w_uv/out-strength
+    (graph built WITHOUT binarize so the dup-summed weights survive)."""
+    from raygraph.algorithms.pagerank import pagerank
+
+    g = _g1_graph(sf_dir)
+    r, _ = pagerank(g, damping=0.85, tol=0.0, itermax=8, weighted=True)
+    t = g.to_vertex_table(r, "score")
+    return _round_col(_int64_col(t, "v"), "score")
+
+
+QUERIES["pagerank_weighted_k8"] = q_pagerank_weighted_k8

@@ -328,3 +328,37 @@ def test_mis_matches_brute_force_and_is_valid():
         present = set(np.flatnonzero(A.any(0))) | set(np.flatnonzero(A.any(1)))
         for v in present - gs:
             assert any(S[v, u] for u in gs), f"{v} not dominated"
+
+
+def test_weighted_pagerank_matches_dense_formula():
+    from raygraph.algorithms.pagerank import pagerank
+
+    rng = np.random.default_rng(31)
+    A = fx.random_graph(40, 0.1, seed=31) * rng.uniform(0.5, 5.0, (40, 40))
+    A[7, :] = 0  # dangling
+    verts = rd.from_arrow(fx.vertex_table(40))
+    g = build_graph(_edges_ds(A), vertices_ds=verts, num_parts=5)
+    r, _ = pagerank(g, tol=0.0, itermax=30, weighted=True)
+    got = _scores(g, r)
+
+    n = 40
+    s = A.sum(axis=1)
+    p = np.full(n, 1.0 / n)
+    W = np.divide(A, s[:, None], out=np.zeros_like(A), where=s[:, None] > 0)
+    for _ in range(30):
+        p = (1 - 0.85) / n + 0.85 * (W.T @ p)
+    np.testing.assert_allclose([got[i] for i in range(n)], p, atol=1e-12)
+
+
+def test_weighted_equals_unweighted_on_binary_graph():
+    from raygraph.algorithms.pagerank import pagerank
+
+    A = fx.random_graph(30, 0.12, seed=37)
+    verts = rd.from_arrow(fx.vertex_table(30))
+    g = build_graph(_edges_ds(A), vertices_ds=verts, num_parts=4)
+    rw, _ = pagerank(g, tol=0.0, itermax=10, weighted=True)
+    g2 = build_graph(_edges_ds(A), vertices_ds=verts, num_parts=4,
+                     binarize=True)
+    ru, _ = pagerank(g2, tol=0.0, itermax=10)
+    for a, b in zip(rw, ru):
+        np.testing.assert_allclose(a, b, atol=1e-15)
