@@ -166,3 +166,51 @@ def random_walks(edges, *, start_pred=None, starts=None, steps: int = 4,
     for o in outputs[1:]:
         out = out.union(o)
     return out
+
+
+def walk_skipgram_pairs(edges, *, start_pred=None, starts=None,
+                        steps: int = 8, window: int = 2,
+                        num_buckets: int = _B):
+    """DeepWalk corpus → skip-gram pairs: generate deterministic walks,
+    then count ordered vertex pairs ``(walk[i], walk[i+d])`` for
+    ``1 <= d <= window`` across all walks — the full embedding-training
+    prep composition (Perozzi et al. 2014) in two stages.
+
+    Pair generation groups each walk's rows by start (walks are short —
+    ``steps+1`` rows — so a walk always fits a group), sorts by step,
+    and emits index-shifted pairs; counting is the same combiner-first
+    ``groupby(pair).sum`` as the text-side skip-gram op."""
+    wk = random_walks(edges, start_pred=start_pred, starts=starts,
+                      steps=steps, num_buckets=num_buckets)
+
+    def pairs(g: pa.Table) -> pa.Table:
+        st = np.asarray(g["step"].to_numpy(zero_copy_only=False), np.int64)
+        v = np.asarray(g["v"].to_numpy(zero_copy_only=False), np.int64)
+        o = np.argsort(st, kind="stable")
+        st, v = st[o], v[o]
+        outs_a, outs_b = [], []
+        for d in range(1, window + 1):
+            # steps are consecutive from 0 while the walk lives, so an
+            # index shift of d IS a step shift of d
+            if len(v) > d:
+                outs_a.append(v[:-d])
+                outs_b.append(v[d:])
+        if not outs_a:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        a = np.concatenate(outs_a)
+        b = np.concatenate(outs_b)
+        t = pa.table({"a": a, "b": b}).group_by(["a", "b"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"a": t["a"], "b": t["b"],
+                         "n": t["count_all"].cast(pa.int64())})
+
+    agg = wk.groupby("start").map_groups(
+        pairs, batch_format="pyarrow").groupby(["a", "b"]).sum("n")
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({"a": t["a"], "b": t["b"],
+                         "n": t["sum(n)"].cast(pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow").sort(key=["a", "b"])

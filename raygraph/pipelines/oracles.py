@@ -1488,3 +1488,33 @@ def _pagerank_weighted_sql(k: int = 8, damping: float = 0.85) -> str:
 
 
 ORACLES["pagerank_weighted_k8"] = _pagerank_weighted_sql(8)
+
+
+def _walk_skipgrams_sql(steps: int = 8, window: int = 2) -> str:
+    """Walk corpus from _walks_sql's recurrence, then pairs with step
+    distance in [1, window], counted."""
+    K1 = 0x9E3779B97F4A7C15
+    K2 = 0xD1B54A32D192ED03
+    parts = [_E, _EBIN, _N,
+             "w0 AS (SELECT v AS start, v AS cur FROM n WHERE v % 29 = 0)"]
+    for t in range(1, steps + 1):
+        salt = (t * K2) % (1 << 64)
+        key = _mix64_sql(
+            "xor(xor(" + _mulmod_sql("CAST(w.cur AS UBIGINT)", K1)
+            + f", CAST({salt} AS UBIGINT)), CAST(eb.dst AS UBIGINT))")
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT w.start, arg_min(eb.dst, {key}) AS cur "
+            f"FROM w{t-1} w JOIN ebin eb ON eb.src = w.cur GROUP BY w.start)")
+    walk = " UNION ALL ".join(
+        f"SELECT start, {t} AS step, cur AS v FROM w{t}"
+        for t in range(steps + 1))
+    parts.append(f"walk AS MATERIALIZED ({walk})")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT CAST(p.v AS BIGINT) AS a, CAST(q.v AS BIGINT) AS b,
+       CAST(count(*) AS BIGINT) AS n
+FROM walk p JOIN walk q
+  ON q.start = p.start AND q.step - p.step BETWEEN 1 AND {window}
+GROUP BY 1, 2 ORDER BY a, b""")
+
+
+ORACLES["walk_skipgrams"] = _walk_skipgrams_sql(8, 2)

@@ -1843,3 +1843,22 @@ def q_pagerank_weighted_k8(sf_dir):
 
 
 QUERIES["pagerank_weighted_k8"] = q_pagerank_weighted_k8
+
+
+def q_walk_skipgrams(sf_dir):
+    """DeepWalk prep composition: 8-step walks from {v % 29 == 0}, then
+    window-2 skip-gram vertex-pair counts over the walk corpus."""
+    from raygraph.algorithms.walks import walk_skipgram_pairs
+
+    out = walk_skipgram_pairs(_edges_dedup(sf_dir),
+                              start_pred=lambda ids: ids % np.uint64(29) == 0,
+                              steps=8, window=2)
+    t = K.to_table(out, sort_by=None)
+    if "a" not in t.column_names:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    return t
+
+
+QUERIES["walk_skipgrams"] = q_walk_skipgrams

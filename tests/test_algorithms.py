@@ -362,3 +362,26 @@ def test_weighted_equals_unweighted_on_binary_graph():
     ru, _ = pagerank(g2, tol=0.0, itermax=10)
     for a, b in zip(rw, ru):
         np.testing.assert_allclose(a, b, atol=1e-15)
+
+
+def test_walk_skipgrams_match_walk_corpus():
+    import collections
+
+    from raygraph.algorithms.walks import random_walks, walk_skipgram_pairs
+
+    A = fx.random_graph(30, 0.12, seed=41)
+    edges = rd.from_arrow(fx.dense_to_edge_table(A))
+    starts = [0, 3, 6, 9]
+    walks = collections.defaultdict(dict)
+    for r in random_walks(rd.from_arrow(fx.dense_to_edge_table(A)),
+                          starts=starts, steps=5).take_all():
+        walks[r["start"]][r["step"]] = r["v"]
+    want = collections.Counter()
+    for s, seq in walks.items():
+        vs = [seq[t] for t in sorted(seq)]
+        for d in (1, 2):
+            want.update(zip(vs[:-d], vs[d:]))
+    got = {(r["a"], r["b"]): r["n"]
+           for r in walk_skipgram_pairs(edges, starts=starts, steps=5,
+                                        window=2).take_all()}
+    assert got == dict(want) and len(got) > 0
