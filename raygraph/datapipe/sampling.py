@@ -121,3 +121,64 @@ def column_quantiles(ds, *, col: str, pcts: tuple[int, ...] = (25, 50, 75, 90, 9
         out_p.append(int(p))
         out_v.append(int(vals[np.searchsorted(cum, thresh, side="left")]))
     return pa.table({"pct": pa.array(out_p, pa.int64()), "v": pa.array(out_v, pa.int64())})
+
+
+def hll_registers(ds, *, col: str, p: int = 10):
+    """HyperLogLog register table for approximate-distinct-count of an
+    integer column: ``(register, maxrank)`` with ``register = top p bits
+    of mix64(value)`` and ``maxrank = max over values of (position of the
+    leftmost 1-bit in the remaining 64-p bits, or 64-p+1 for zero)`` —
+    the standard Flajolet HLL sketch (m = 2^p registers), made
+    fully deterministic (splitmix64) so the registers themselves are
+    oracle-checkable bit for bit; the cardinality estimate is a trivial
+    driver-side fold of the m rows.
+
+    Scale shape: textbook sketch mergeability — each batch reduces to at
+    most m (register, rank) partials via sort + ``maximum.reduceat``,
+    and ONE ``groupby(register).max`` shuffle of m-bounded partials
+    merges them. 100 TB of values shuffle at most m rows per block.
+    Bit lengths are computed integer-exactly (power-of-two searchsorted,
+    never float log2 — 2^54-1 rounds up in float64)."""
+    from raygraph.util import mix64
+
+    m_bits = 64 - p
+    pow2 = (np.uint64(1) << np.arange(0, m_bits, dtype=np.uint64))
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.asarray(t[col].to_numpy(zero_copy_only=False)).astype(np.uint64)
+        h = mix64(x)
+        reg = (h >> np.uint64(m_bits)).astype(np.int64)
+        w = h & ((np.uint64(1) << np.uint64(m_bits)) - np.uint64(1))
+        # bitlen(w) = #powers-of-two <= w, exact; rank = m_bits - bitlen + 1
+        bitlen = np.searchsorted(pow2, w, side="right")
+        rank = (m_bits - bitlen + 1).astype(np.int64)
+        order = np.argsort(reg, kind="stable")
+        reg, rank = reg[order], rank[order]
+        starts = np.flatnonzero(np.r_[True, reg[1:] != reg[:-1]])
+        return pa.table({"register": reg[starts],
+                         "maxrank": np.maximum.reduceat(rank, starts)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("register").max("maxrank"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({"register": t["register"],
+                         "maxrank": t["max(maxrank)"].cast(pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow").sort(key="register")
+
+
+def hll_estimate(registers: pa.Table, *, p: int = 10) -> float:
+    """Cardinality estimate from :func:`hll_registers` output (registers
+    absent from the table count as zero): the standard HLL-with-
+    small-range-correction formula."""
+    m = 1 << p
+    ranks = np.zeros(m, np.float64)
+    ranks[np.asarray(registers["register"].to_numpy(zero_copy_only=False))] = \
+        np.asarray(registers["maxrank"].to_numpy(zero_copy_only=False))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-ranks))
+    zeros = int((ranks == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting
+    return float(est)

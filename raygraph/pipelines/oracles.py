@@ -1518,3 +1518,28 @@ GROUP BY 1, 2 ORDER BY a, b""")
 
 
 ORACLES["walk_skipgrams"] = _walk_skipgrams_sql(8, 2)
+
+
+def _hll_sql(p: int = 10) -> str:
+    """HLL registers: top-p bits of mix64(user_id) pick the register,
+    leftmost-1 position of the low 64-p bits is the rank (integer-exact
+    CASE ladder — no float log2)."""
+    m_bits = 64 - p
+    h = _mix64_sql("CAST(user_id AS UBIGINT)")
+    ladder = " ".join(
+        f"WHEN w >= CAST({1 << (b - 1)} AS UBIGINT) THEN {m_bits - b + 1}"
+        for b in range(m_bits, 0, -1))
+    return f"""WITH hx AS (
+  SELECT {h} AS h FROM events
+),
+rw AS (
+  SELECT CAST(h >> {m_bits} AS BIGINT) AS register,
+         h & CAST({(1 << m_bits) - 1} AS UBIGINT) AS w
+  FROM hx
+)
+SELECT register,
+       CAST(max(CASE {ladder} ELSE {m_bits + 1} END) AS BIGINT) AS maxrank
+FROM rw GROUP BY register ORDER BY register"""
+
+
+ORACLES["events_hll"] = _hll_sql(10)

@@ -1862,3 +1862,16 @@ def q_walk_skipgrams(sf_dir):
 
 
 QUERIES["walk_skipgrams"] = q_walk_skipgrams
+
+
+def q_events_hll(sf_dir):
+    """HyperLogLog registers (p=10) for distinct-user approximation over
+    events — bit-exact, mergeable sketch."""
+    from raygraph.datapipe.sampling import hll_registers
+
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    t = K.to_table(hll_registers(ev, col="user_id", p=10), sort_by=None)
+    return _int64_col(_int64_col(t, "register"), "maxrank")
+
+
+QUERIES["events_hll"] = q_events_hll

@@ -567,3 +567,44 @@ def test_redact_patterns_apply_sequentially():
                            ("zip", r"zip", "X")]).take_all()[0]
     assert out["n_zap"] == 2 and out["n_zip"] == 3
     assert out["text"] == "X X X"
+
+
+def test_hll_registers_and_estimate_accuracy():
+    from raygraph.datapipe.sampling import hll_estimate, hll_registers
+    from raygraph.util import mix64
+
+    n = 20_000
+    vals = np.arange(n, dtype=np.int64) * 7 + 3
+    ds = rd.from_arrow(pa.table({"user_id": vals}))
+    regs = pa.concat_tables(
+        b for b in hll_registers(ds, col="user_id", p=10).iter_batches(
+            batch_size=None, batch_format="pyarrow"))
+
+    # brute-force registers
+    h = mix64(vals.astype(np.uint64))
+    reg = (h >> np.uint64(54)).astype(np.int64)
+    w = h & np.uint64((1 << 54) - 1)
+    want = {}
+    for r, x in zip(reg, w):
+        bl = int(x).bit_length()
+        rank = 54 - bl + 1
+        want[int(r)] = max(want.get(int(r), 0), rank)
+    got = dict(zip(regs["register"].to_pylist(), regs["maxrank"].to_pylist()))
+    assert got == want
+
+    est = hll_estimate(regs, p=10)
+    assert abs(est - n) / n < 0.05  # ~1.04/sqrt(1024) expected error
+
+
+def test_hll_registers_merge_invariance():
+    from raygraph.datapipe.sampling import hll_registers
+
+    vals = np.arange(5000, dtype=np.int64)
+    one = rd.from_arrow(pa.table({"user_id": vals}))
+    # same values split across many small blocks must merge identically
+    many = rd.from_arrow(pa.table({"user_id": vals})).repartition(17)
+    t1 = [(r["register"], r["maxrank"])
+          for r in hll_registers(one, col="user_id").take_all()]
+    t2 = [(r["register"], r["maxrank"])
+          for r in hll_registers(many, col="user_id").take_all()]
+    assert t1 == t2
