@@ -42,6 +42,7 @@ rounds shrink work, not layout.
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 
 from raygraph.fused import U64MAX, block_cache
 from raygraph.ops import MONOID, local_combine
@@ -209,3 +210,60 @@ def scc_fused(g, gT, *, max_rounds: int = 64, max_sweeps: int = 4096):
         f"scc_fused: {n_active} vertices unassigned after {max_rounds} "
         f"rounds / {max_sweeps - sweeps_left} sweeps (SCC chain deeper "
         "than max_rounds — raise the bound)")
+
+
+def condensation(g, label_slices, edges, *, count_edges: bool = True):
+    """Condensed DAG of the strongly connected components: one row per
+    distinct inter-component edge ``(cfrom, cto, n_edges)`` where
+    labels come from :func:`scc_fused` (min member id — canonical).
+
+    Scale shape: the label vector is O(V) ≪ O(E) — shipped ONCE via
+    ``ray.put`` (same broadcast regime as the metrics degree lookups,
+    bounded like graph.build's GRAFT_BROADCAST_VERTS_MAX path; at
+    extreme V swap for a bucketed label join, same call shape). Each
+    edge batch resolves both endpoints with two zero-copy searchsorted
+    lookups and locally combines duplicate component pairs, so the one
+    ``groupby(pair).sum`` shuffle carries per-batch distinct pairs —
+    bounded by the (much smaller) condensation, not the edge stream.
+    """
+    import ray
+
+    from raygraph import kernels as K
+
+    ids = np.concatenate(g.ids_slices())
+    lab = np.concatenate([np.asarray(s, np.uint64) for s in label_slices])
+    o = np.argsort(ids)
+    ids_ref = ray.put(ids[o])
+    lab_ref = ray.put(lab[o])
+
+    def m(t, _i=ids_ref, _l=lab_ref):
+        ids_a = ray.get(_i)
+        lab_a = ray.get(_l)
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        ls = lab_a[np.searchsorted(ids_a, s)]
+        ld = lab_a[np.searchsorted(ids_a, d)]
+        keep = ls != ld
+        ls, ld = ls[keep], ld[keep]
+        if len(ls) == 0:
+            return pa.table({"cfrom": pa.array([], pa.int64()),
+                             "cto": pa.array([], pa.int64()),
+                             "n_edges": pa.array([], pa.int64())})
+        order = np.lexsort((ld, ls))
+        ls, ld = ls[order], ld[order]
+        starts = np.flatnonzero(np.r_[True, (ls[1:] != ls[:-1])
+                                      | (ld[1:] != ld[:-1])])
+        cnt = np.diff(np.r_[starts, len(ls)])
+        return pa.table({"cfrom": ls[starts].astype(np.int64),
+                         "cto": ld[starts].astype(np.int64),
+                         "n_edges": cnt.astype(np.int64)})
+
+    agg = (K._ds(edges).map_batches(m, batch_format="pyarrow")
+           .groupby(["cfrom", "cto"]).sum("n_edges"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({"cfrom": t["cfrom"], "cto": t["cto"],
+                         "n_edges": t["sum(n_edges)"].cast(pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow").sort(
+        key=["cfrom", "cto"])

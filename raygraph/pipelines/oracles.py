@@ -1543,3 +1543,31 @@ FROM rw GROUP BY register ORDER BY register"""
 
 
 ORACLES["events_hll"] = _hll_sql(10)
+
+
+# condensed SCC DAG: label edges by min-mutually-reachable-id, count
+# distinct-edge multiplicity between different components
+ORACLES["scc_condensation"] = f"""WITH RECURSIVE {_E}, {_EBIN}, {_N},
+nd AS (SELECT DISTINCT v FROM n),
+reach(a, b) AS (
+  SELECT src, dst FROM ebin
+  UNION
+  SELECT r.a, eb.dst FROM reach r JOIN ebin eb ON eb.src = r.b
+),
+mut AS (SELECT r1.a AS v, r1.b AS u
+        FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a),
+lab AS (SELECT nd.v AS v, least(nd.v, coalesce(m.mn, nd.v)) AS scc
+        FROM nd LEFT JOIN (SELECT v, min(u) AS mn FROM mut GROUP BY 1) m
+        ON m.v = nd.v)
+SELECT CAST(la.scc AS BIGINT) AS cfrom, CAST(lb.scc AS BIGINT) AS cto,
+       CAST(count(*) AS BIGINT) AS n_edges
+FROM ebin e JOIN lab la ON la.v = e.src JOIN lab lb ON lb.v = e.dst
+WHERE la.scc <> lb.scc
+GROUP BY 1, 2 ORDER BY cfrom, cto"""
+
+
+ORACLES["harmonic3"] = f"""WITH RECURSIVE {_E}, {_EBIN}, {_BFS_MULTI_REACH},
+md AS (SELECT source, v, min(d) AS dist FROM reach GROUP BY source, v)
+SELECT source, round(sum(1.0 / dist), 6) AS harmonic,
+       CAST(count(*) AS BIGINT) AS n_reached
+FROM md WHERE dist > 0 GROUP BY source ORDER BY source"""

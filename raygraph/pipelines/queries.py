@@ -1875,3 +1875,38 @@ def q_events_hll(sf_dir):
 
 
 QUERIES["events_hll"] = q_events_hll
+
+
+def q_scc_condensation(sf_dir):
+    """Condensed SCC DAG: distinct inter-component edges with counts."""
+    from raygraph.algorithms.scc import condensation, scc_fused
+
+    eds = _edges_dedup(sf_dir).materialize()
+    g = build_graph(eds, num_parts=16, dup_op="first", binarize=True)
+
+    def swap(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["dst"], "dst": t["src"], "w": t["w"]})
+
+    gT = build_graph(eds.map_batches(swap, batch_format="pyarrow"),
+                     num_parts=16, dup_op="first", binarize=True)
+    labels = scc_fused(g, gT)
+    t = K.to_table(condensation(g, labels, eds), sort_by=None)
+    if "cfrom" not in t.column_names:
+        return pa.table({"cfrom": pa.array([], pa.int64()),
+                         "cto": pa.array([], pa.int64()),
+                         "n_edges": pa.array([], pa.int64())})
+    return t
+
+
+QUERIES["scc_condensation"] = q_scc_condensation
+
+
+def q_harmonic3(sf_dir):
+    """Per-landmark harmonic centrality from {1, 2, 5}."""
+    from raygraph.algorithms.paths import harmonic
+
+    g = _g1_graph(sf_dir, binarize=True)
+    return harmonic(g, [1, 2, 5])
+
+
+QUERIES["harmonic3"] = q_harmonic3

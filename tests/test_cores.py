@@ -361,3 +361,25 @@ def test_ktruss_peels_to_empty():
                   "w": np.ones(10)})
     out = ktruss(rd.from_arrow(t), 3).take_all()
     assert out == []
+
+
+def test_scc_condensation_two_cycles_chain():
+    from raygraph.algorithms.scc import condensation, scc_fused
+    from raygraph.graph import build_graph
+
+    # cycle {0,1} -> cycle {2,3} -> 4; 6 -> 0; 5 self-loop
+    pairs = [(0, 1), (1, 0), (1, 2), (2, 3), (3, 2), (3, 4), (5, 5), (6, 0)]
+    e = _edges(pairs).materialize()
+    g = build_graph(e, num_parts=4, dup_op="first", binarize=True)
+
+    def swap(t):
+        return pa.table({"src": t["dst"], "dst": t["src"], "w": t["w"]})
+
+    gT = build_graph(e.map_batches(swap, batch_format="pyarrow"),
+                     num_parts=4, dup_op="first", binarize=True)
+    labels = scc_fused(g, gT)
+    got = sorted((r["cfrom"], r["cto"], r["n_edges"])
+                 for r in condensation(g, labels, e).take_all())
+    # inter-component edges: {0,1}->{2,3} (1 edge), {2,3}->4, 6->{0,1};
+    # the 5 self-loop is intra-component and drops out
+    assert got == [(0, 2, 1), (2, 4, 1), (6, 0, 1)]
