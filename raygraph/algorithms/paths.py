@@ -142,3 +142,41 @@ def harmonic(graph, sources, *, itermax: int = 10_000) -> "pa.Table":
     return pa.table({"source": src[starts],
                      "harmonic": np.round(h, 6),
                      "n_reached": cnt.astype(np.int64)})
+
+
+def khop_induced_subgraph(graph, edges, sources, k: int, *,
+                          itermax: int = 10_000):
+    """k-hop neighborhood extraction: the induced subgraph on all
+    vertices within hop distance <= k of the source set — the GNN
+    mini-batch / snowball-sampling prep. Returns the induced edge
+    Dataset (src, dst, w) of ``edges`` restricted to the neighborhood.
+
+    Shape: one fused BFS sweep per source gives the membership set; the
+    O(|N|) member vector broadcasts once via ``ray.put`` and every edge
+    batch keeps rows with BOTH endpoints members via two zero-copy
+    ``isin``-style searchsorted probes — the edge stream is filtered in
+    place, never shuffled."""
+    import pyarrow as pa
+    import ray
+
+    from raygraph import kernels as K
+
+    t = multi_source_bfs(graph, sources, itermax=itermax)
+    v = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.int64)
+    d = np.asarray(t["dist"].to_numpy(zero_copy_only=False), np.int64)
+    members = np.unique(v[d <= k]).astype(np.uint64)
+    mem_ref = ray.put(members)
+
+    def m(tbl, _m=mem_ref):
+        mem = ray.get(_m)
+        s = np.asarray(tbl["src"].to_numpy(zero_copy_only=False), np.uint64)
+        dd = np.asarray(tbl["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        pos_s = np.searchsorted(mem, s)
+        pos_d = np.searchsorted(mem, dd)
+        in_s = (pos_s < len(mem)) & (mem[np.minimum(pos_s, len(mem) - 1)] == s)
+        in_d = (pos_d < len(mem)) & (mem[np.minimum(pos_d, len(mem) - 1)] == dd)
+        keep = in_s & in_d
+        out = {c: tbl[c].filter(pa.array(keep)) for c in tbl.column_names}
+        return pa.table(out)
+
+    return K._ds(edges).map_batches(m, batch_format="pyarrow")

@@ -1571,3 +1571,19 @@ md AS (SELECT source, v, min(d) AS dist FROM reach GROUP BY source, v)
 SELECT source, round(sum(1.0 / dist), 6) AS harmonic,
        CAST(count(*) AS BIGINT) AS n_reached
 FROM md WHERE dist > 0 GROUP BY source ORDER BY source"""
+
+
+# induced 2-hop subgraph of sources {1,2}: members = min-dist <= 2
+ORACLES["khop_subgraph"] = f"""WITH RECURSIVE {_E}, {_EBIN},
+reach(v, dd) AS (
+  SELECT s.v, CAST(0 AS BIGINT)
+  FROM (SELECT unnest([CAST(1 AS BIGINT), 2]) AS v) s
+  UNION
+  SELECT eb.dst, reach.dd + 1
+  FROM reach JOIN ebin eb ON eb.src = reach.v
+  WHERE reach.dd < 2
+),
+mem AS (SELECT DISTINCT v FROM reach)
+SELECT e.src, e.dst, e.w, e.n
+FROM e JOIN mem a ON a.v = e.src JOIN mem b ON b.v = e.dst
+ORDER BY e.src, e.dst"""

@@ -1910,3 +1910,18 @@ def q_harmonic3(sf_dir):
 
 
 QUERIES["harmonic3"] = q_harmonic3
+
+
+def q_khop_subgraph(sf_dir):
+    """Induced subgraph within 2 hops of sources {1, 2} (GNN
+    neighbor-sampling prep): edges of g1 with both endpoints members."""
+    from raygraph.algorithms.paths import khop_induced_subgraph
+
+    eds = _edges_dedup(sf_dir).materialize()
+    g = _g1_graph(sf_dir, binarize=True)
+    out = khop_induced_subgraph(g, eds, [1, 2], 2)
+    t = K.to_table(out, sort_by=None)
+    return _int64_col(_int64_col(_int64_col(t, "src"), "dst"), "n")
+
+
+QUERIES["khop_subgraph"] = q_khop_subgraph

@@ -385,3 +385,32 @@ def test_walk_skipgrams_match_walk_corpus():
            for r in walk_skipgram_pairs(edges, starts=starts, steps=5,
                                         window=2).take_all()}
     assert got == dict(want) and len(got) > 0
+
+
+def test_khop_induced_subgraph():
+    from raygraph.algorithms.paths import khop_induced_subgraph
+
+    A = fx.random_graph(36, 0.07, seed=43)
+    edges = fx.dense_to_edge_table(A)
+    verts = rd.from_arrow(fx.vertex_table(36))
+    g = build_graph(rd.from_arrow(edges), vertices_ds=verts, num_parts=4,
+                    binarize=True)
+    got = sorted((r["src"], r["dst"]) for r in khop_induced_subgraph(
+        g, rd.from_arrow(edges), [0, 5], 2).take_all())
+
+    # dense membership oracle
+    B = A != 0
+    dist = {0: 0, 5: 0}
+    frontier = [0, 5]
+    for hop in (1, 2):
+        nxt = []
+        for u in frontier:
+            for w in np.flatnonzero(B[u]):
+                if int(w) not in dist:
+                    dist[int(w)] = hop
+                    nxt.append(int(w))
+        frontier = nxt
+    mem = set(dist)
+    want = sorted((int(i), int(j)) for i, j in zip(*np.nonzero(A))
+                  if int(i) in mem and int(j) in mem)
+    assert got == want
