@@ -95,9 +95,16 @@ def random_walks(edges, *, start_pred=None, starts=None, steps: int = 4,
                          "b": np.zeros(len(v), np.uint64),
                          "side": np.ones(len(v), np.int8)})
 
+    # coalesce after every grouped exchange: the frontier's real content
+    # is one row per live walk, but Ray's sort-shuffle emits ~input-many
+    # mostly-empty blocks — left alone, each step unions the previous
+    # step's empties and task-scheduling overhead (not data) dominates
+    _RP = 16
+
     frontier = (K._ds(edges).map_batches(to_starts, batch_format="pyarrow")
                 .groupby("bucket").map_groups(dedup_starts,
-                                              batch_format="pyarrow"))
+                                              batch_format="pyarrow")
+                .repartition(_RP))
 
     def out_rows(start: np.ndarray, step: int, v: np.ndarray) -> pa.Table:
         return pa.table({"start": start.astype(np.int64),
@@ -153,7 +160,7 @@ def random_walks(edges, *, start_pred=None, starts=None, steps: int = 4,
 
         frontier = (ebin.union(frontier).groupby("bucket")
                     .map_groups(advance, batch_format="pyarrow")
-                    .materialize())
+                    .repartition(_RP).materialize())
 
         def emit(t: pa.Table, _t=t_step) -> pa.Table:
             st = np.asarray(t["a"].to_numpy(zero_copy_only=False), np.uint64)
@@ -206,8 +213,11 @@ def walk_skipgram_pairs(edges, *, start_pred=None, starts=None,
         return pa.table({"a": t["a"], "b": t["b"],
                          "n": t["count_all"].cast(pa.int64())})
 
-    agg = wk.groupby("start").map_groups(
-        pairs, batch_format="pyarrow").groupby(["a", "b"]).sum("n")
+    # coalesce the unioned per-step outputs before grouping (see the
+    # block-explosion note in random_walks)
+    agg = (wk.repartition(16).groupby("start")
+           .map_groups(pairs, batch_format="pyarrow")
+           .groupby(["a", "b"]).sum("n"))
 
     def fin(t: pa.Table) -> pa.Table:
         return pa.table({"a": t["a"], "b": t["b"],

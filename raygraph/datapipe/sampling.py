@@ -182,3 +182,86 @@ def hll_estimate(registers: pa.Table, *, p: int = 10) -> float:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)  # linear counting
     return float(est)
+
+
+_CMS_K1 = np.uint64(0x9E3779B97F4A7C15)
+_CMS_K2 = np.uint64(0xD1B54A32D192ED03)
+
+
+def cms_counters(ds, *, text_col: str = "text", depth: int = 4,
+                 width: int = 1024):
+    """Count-Min sketch of the corpus token-frequency distribution:
+    ``(row, counter, count)`` nonzero cells of a depth × width counter
+    matrix, where token occurrences hash to ``mix64(token_hash ^
+    seed_row) % width`` per row — the standard CMS (Cormode &
+    Muthukrishnan), deterministic (splitmix64 row seeds + the repo's
+    code-point Horner token hash) so the counters are oracle-checkable
+    bit for bit. Point estimates are ``min over rows`` of the queried
+    cells — a driver-side fold of at most depth rows per query.
+
+    Scale shape: textbook mergeability again — each batch reduces to at
+    most depth × width partial cells (bincount per row), ONE
+    ``groupby(cell).sum`` shuffle merges them; 100 TB of text shuffles
+    ≤ depth·width rows per block."""
+    import pyarrow.compute as pc
+
+    from raygraph.datapipe.dedup import _token_hashes
+    from raygraph.util import mix64
+
+    seeds = [(np.uint64(r) * _CMS_K2) ^ _CMS_K1 for r in range(depth)]
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        lst = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(txt, "")), r"\s+")
+        toks = [s for s in lst.values.to_pylist() if s != ""]
+        rows, ctrs, cnts = [], [], []
+        if toks:
+            h = _token_hashes(toks)
+            for r, seed in enumerate(seeds):
+                c = (mix64(h ^ seed) % np.uint64(width)).astype(np.int64)
+                bc = np.bincount(c, minlength=width)
+                nz = np.flatnonzero(bc)
+                rows.append(np.full(len(nz), r, np.int64))
+                ctrs.append(nz.astype(np.int64))
+                cnts.append(bc[nz].astype(np.int64))
+        if not rows:
+            return pa.table({"row": pa.array([], pa.int64()),
+                             "counter": pa.array([], pa.int64()),
+                             "count": pa.array([], pa.int64())})
+        return pa.table({"row": np.concatenate(rows),
+                         "counter": np.concatenate(ctrs),
+                         "count": np.concatenate(cnts)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["row", "counter"]).sum("count"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({"row": t["row"], "counter": t["counter"],
+                         "count": t["sum(count)"].cast(pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow").sort(
+        key=["row", "counter"])
+
+
+def cms_estimate(cells: pa.Table, tokens: list[str], *, depth: int = 4,
+                 width: int = 1024) -> dict[str, int]:
+    """Point frequency estimates (min over rows) for ``tokens`` from
+    :func:`cms_counters` output."""
+    from raygraph.datapipe.dedup import _token_hashes
+    from raygraph.util import mix64
+
+    grid = np.zeros((depth, width), np.int64)
+    grid[np.asarray(cells["row"].to_numpy(zero_copy_only=False)),
+         np.asarray(cells["counter"].to_numpy(zero_copy_only=False))] = \
+        np.asarray(cells["count"].to_numpy(zero_copy_only=False))
+    h = _token_hashes(list(tokens))
+    out = {}
+    for i, tok in enumerate(tokens):
+        est = min(int(grid[r, int(mix64(h[i:i + 1]
+                    ^ ((np.uint64(r) * _CMS_K2) ^ _CMS_K1))[0]
+                    % np.uint64(width))]) for r in range(depth))
+        out[tok] = est
+    return out

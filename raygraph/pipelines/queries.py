@@ -1753,7 +1753,8 @@ def q_random_walks(sf_dir):
     over the distinct directed edge set (DeepWalk sampling prep)."""
     from raygraph.algorithms.walks import random_walks
 
-    out = random_walks(_edges_dedup(sf_dir),
+    # materialize: random_walks scans the edge table twice (ebin + starts)
+    out = random_walks(_edges_dedup(sf_dir).materialize(),
                        start_pred=lambda ids: ids % np.uint64(29) == 0,
                        steps=4)
     return K.to_table(out, sort_by=None)
@@ -1850,7 +1851,7 @@ def q_walk_skipgrams(sf_dir):
     window-2 skip-gram vertex-pair counts over the walk corpus."""
     from raygraph.algorithms.walks import walk_skipgram_pairs
 
-    out = walk_skipgram_pairs(_edges_dedup(sf_dir),
+    out = walk_skipgram_pairs(_edges_dedup(sf_dir).materialize(),
                               start_pred=lambda ids: ids % np.uint64(29) == 0,
                               steps=8, window=2)
     t = K.to_table(out, sort_by=None)
