@@ -77,12 +77,26 @@ def maximal_independent_set(edges, *, num_buckets: int = _B,
         return _tbl((mix64(v) % nb).astype(np.int32), v, v,
                     np.full(len(v), _VERT))
 
+    # coalesce after a grouped exchange WHEN blocks exploded (see
+    # walks.py: Ray's sort-shuffle emits ~input-many mostly-empty
+    # blocks, and per-round unions compound them into task-scheduling
+    # overhead); gated on the actual block count so small runs skip the
+    # extra shuffle barrier
+    _rp_e = max(4, num_buckets // 2)
+    _rp_v = 16
+
+    def _coalesce(ds, target: int):
+        m = ds.materialize()
+        if m.num_blocks() > 2 * target:
+            m = m.repartition(target).materialize()
+        return m
+
     sym = sym_edges(edges, num_buckets=num_buckets)
-    alive_e = sym.map_batches(split_sym, batch_format="pyarrow").materialize()
-    alive_v = (sym.map_batches(vert_rows, batch_format="pyarrow")
-               .groupby("bucket").map_groups(dedup_verts,
-                                             batch_format="pyarrow")
-               .materialize())
+    alive_e = _coalesce(sym.map_batches(split_sym, batch_format="pyarrow"),
+                        _rp_e)
+    alive_v = _coalesce(sym.map_batches(vert_rows, batch_format="pyarrow")
+                        .groupby("bucket").map_groups(
+                            dedup_verts, batch_format="pyarrow"), _rp_v)
 
     mis_parts: list = []
     n_alive = alive_v.count()
@@ -127,9 +141,9 @@ def maximal_independent_set(edges, *, num_buckets: int = _B,
                          np.full(len(wset), _REM))
             return pa.concat_tables([out_w, out_r])
 
-        picked = (alive_e.union(alive_v).groupby("bucket")
-                  .map_groups(pick_winners, batch_format="pyarrow")
-                  .materialize())
+        picked = _coalesce(alive_e.union(alive_v).groupby("bucket")
+                           .map_groups(pick_winners,
+                                       batch_format="pyarrow"), _rp_v)
 
         def winners_only(t: pa.Table) -> pa.Table:
             side = np.asarray(t["side"].to_numpy(zero_copy_only=False))
@@ -160,9 +174,10 @@ def maximal_independent_set(edges, *, num_buckets: int = _B,
                              np.int32)
             return _tbl(bkt[keep], key[keep], oth[keep], side[keep])
 
-        stage1 = (alive_e.union(alive_v).union(removed).groupby("bucket")
-                  .map_groups(drop_by_key, batch_format="pyarrow")
-                  .materialize())
+        stage1 = _coalesce(alive_e.union(alive_v).union(removed)
+                           .groupby("bucket")
+                           .map_groups(drop_by_key,
+                                       batch_format="pyarrow"), _rp_e)
 
         def verts_of(t: pa.Table) -> pa.Table:
             side = np.asarray(t["side"].to_numpy(zero_copy_only=False))
@@ -197,11 +212,11 @@ def maximal_independent_set(edges, *, num_buckets: int = _B,
             return _tbl((mix64(src) % nb).astype(np.int32), src, dst,
                         np.full(len(src), _EDGE))
 
-        alive_e = (stage1.map_batches(edges_rekey_dst,
-                                      batch_format="pyarrow")
-                   .union(removed).groupby("bucket")
-                   .map_groups(drop_by_dst, batch_format="pyarrow")
-                   .materialize())
+        alive_e = _coalesce(stage1.map_batches(edges_rekey_dst,
+                                               batch_format="pyarrow")
+                            .union(removed).groupby("bucket")
+                            .map_groups(drop_by_dst,
+                                        batch_format="pyarrow"), _rp_e)
 
         n_alive = alive_v.count()
 
