@@ -1587,3 +1587,28 @@ mem AS (SELECT DISTINCT v FROM reach)
 SELECT e.src, e.dst, e.w, e.n
 FROM e JOIN mem a ON a.v = e.src JOIN mem b ON b.v = e.dst
 ORDER BY e.src, e.dst"""
+
+
+def _cms_sql(depth: int = 4, width: int = 1024) -> str:
+    """Count-Min cells: counter = mix64(token_hash ^ seed_row) % width,
+    seeds = (row*K2) ^ K1 — same Horner token hash as repeated_ngrams."""
+    K1 = 0x9E3779B97F4A7C15
+    K2 = 0xD1B54A32D192ED03
+    rows = []
+    for r in range(depth):
+        seed = ((r * K2) % (1 << 64)) ^ K1
+        cell = _mix64_sql(f"xor(h, CAST({seed} AS UBIGINT))")
+        rows.append(f"SELECT {r} AS crow, CAST(({cell}) % {width} AS BIGINT)"
+                    " AS counter FROM th")
+    return f"""WITH toks AS (
+  SELECT unnest(CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
+                     ELSE regexp_split_to_array(trim(text), '\\s+') END) AS t
+  FROM documents
+),
+th AS (SELECT {_TOKEN_HASH_SQL} AS h FROM toks),
+cells AS ({' UNION ALL '.join(rows)})
+SELECT crow AS "row", counter, CAST(count(*) AS BIGINT) AS count
+FROM cells GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+ORACLES["doc_cms"] = _cms_sql(4, 1024)

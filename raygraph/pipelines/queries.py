@@ -1926,3 +1926,16 @@ def q_khop_subgraph(sf_dir):
 
 
 QUERIES["khop_subgraph"] = q_khop_subgraph
+
+
+def q_doc_cms(sf_dir):
+    """Count-Min sketch (4 x 1024) of corpus token frequencies."""
+    from raygraph.datapipe.sampling import cms_counters
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    t = K.to_table(cms_counters(docs, depth=4, width=1024), sort_by=None)
+    return _int64_col(_int64_col(_int64_col(t, "row"), "counter"), "count")
+
+
+QUERIES["doc_cms"] = q_doc_cms

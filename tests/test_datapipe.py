@@ -608,3 +608,27 @@ def test_hll_registers_merge_invariance():
     t2 = [(r["register"], r["maxrank"])
           for r in hll_registers(many, col="user_id").take_all()]
     assert t1 == t2
+
+
+def test_cms_counters_and_estimates():
+    import collections
+
+    from raygraph.datapipe.sampling import cms_counters, cms_estimate
+
+    texts = ["spark merge join " * 20, "merge join", "window " * 7, None, ""]
+    true = collections.Counter(w for s in texts for w in (s or "").split())
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))),
+                                 "text": texts}))
+    cells = pa.concat_tables(
+        b for b in cms_counters(ds).iter_batches(batch_size=None,
+                                                 batch_format="pyarrow"))
+    # total mass per row equals the token count
+    import numpy as np2
+    rows = np2.asarray(cells["row"].to_numpy(zero_copy_only=False))
+    cnts = np2.asarray(cells["count"].to_numpy(zero_copy_only=False))
+    n_tok = sum(true.values())
+    for r in range(4):
+        assert cnts[rows == r].sum() == n_tok
+    # CMS never underestimates; with 5 distinct tokens in 4x1024 it is exact
+    est = cms_estimate(cells, list(true))
+    assert est == dict(true)
