@@ -572,3 +572,58 @@ def redact(docs_ds, patterns=None, *, text_col: str = "text"):
         return pa.table(cols)
 
     return docs_ds.map_batches(m, batch_format="pyarrow")
+
+
+_FH_SIGN = np.uint64(0xA24BAED4963EE407)
+
+
+def feature_hash(docs_ds, *, dim: int = 4096, text_col: str = "text",
+                 id_col: str = "doc_id"):
+    """Hashing-trick sparse document vectors (Weinberger et al. 2009):
+    ``(doc_id, feature, count, signed)`` where ``feature =
+    mix64(token_hash) % dim`` and ``signed`` is the sign-hash-corrected
+    sum (±1 per occurrence from bit 63 of mix64(token_hash ^ SIGN_SEED))
+    — the unbiased estimator variant. Fixed-width features with no
+    vocabulary pass, the standard trick for streaming featurization.
+
+    Scale shape: each document lives entirely inside one batch, so the
+    per-(doc, feature) counts are complete after a batch-local lexsort +
+    reduceat — NO shuffle at all; the op streams. Tokens are the
+    whitespace split; the token hash is the repo's code-point Horner
+    (SQL-replicable)."""
+    import pyarrow.compute as pc
+
+    from raygraph.datapipe.dedup import _token_hashes
+    from raygraph.util import mix64
+
+    def m(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        lst = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(txt, "")), r"\s+")
+        offs = np.asarray(lst.offsets, np.int64)
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), np.int64)
+        parent = np.repeat(ids, np.diff(offs))
+        toks = lst.values.to_pylist()
+        keep = np.array([s != "" for s in toks], bool) if toks else \
+            np.zeros(0, bool)
+        if not keep.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "feature": pa.array([], pa.int64()),
+                             "count": pa.array([], pa.int64()),
+                             "signed": pa.array([], pa.int64())})
+        h = _token_hashes([s for s, k in zip(toks, keep) if k])
+        parent = parent[keep]
+        feat = (mix64(h) % np.uint64(dim)).astype(np.int64)
+        sign = np.where(mix64(h ^ _FH_SIGN) >> np.uint64(63) == 1, 1, -1)
+        order = np.lexsort((feat, parent))
+        p, f, s = parent[order], feat[order], sign[order]
+        starts = np.flatnonzero(np.r_[True, (p[1:] != p[:-1])
+                                      | (f[1:] != f[:-1])])
+        cnt = np.diff(np.r_[starts, len(p)])
+        return pa.table({"doc_id": p[starts], "feature": f[starts],
+                         "count": cnt.astype(np.int64),
+                         "signed": np.add.reduceat(s, starts).astype(np.int64)})
+
+    return docs_ds.map_batches(m, batch_format="pyarrow")

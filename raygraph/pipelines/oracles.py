@@ -1612,3 +1612,28 @@ FROM cells GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
 ORACLES["doc_cms"] = _cms_sql(4, 1024)
+
+
+def _feature_hash_sql(dim: int = 4096) -> str:
+    sign_seed = 0xA24BAED4963EE407
+    feat = _mix64_sql("h")
+    sgn = _mix64_sql(f"xor(h, CAST({sign_seed} AS UBIGINT))")
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest(CASE WHEN trim(coalesce(text, '')) = ''
+                             THEN CAST([] AS VARCHAR[])
+                             ELSE regexp_split_to_array(trim(text), '\\s+')
+                        END) AS t
+  FROM documents
+),
+th AS (SELECT doc_id, {_TOKEN_HASH_SQL} AS h FROM toks),
+fx AS (
+  SELECT doc_id, CAST(({feat}) % {dim} AS BIGINT) AS feature,
+         CASE WHEN ({sgn}) >> 63 = 1 THEN 1 ELSE -1 END AS s
+  FROM th
+)
+SELECT doc_id, feature, CAST(count(*) AS BIGINT) AS count,
+       CAST(sum(s) AS BIGINT) AS signed
+FROM fx GROUP BY 1, 2 ORDER BY doc_id, feature"""
+
+
+ORACLES["doc_feature_hash"] = _feature_hash_sql(4096)

@@ -1939,3 +1939,16 @@ def q_doc_cms(sf_dir):
 
 
 QUERIES["doc_cms"] = q_doc_cms
+
+
+def q_doc_feature_hash(sf_dir):
+    """Hashing-trick sparse doc vectors (dim 4096, signed variant)."""
+    from raygraph.datapipe.text import feature_hash
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    t = K.to_table(feature_hash(docs, dim=4096), sort_by=None)
+    return t.sort_by([("doc_id", "ascending"), ("feature", "ascending")])
+
+
+QUERIES["doc_feature_hash"] = q_doc_feature_hash

@@ -632,3 +632,26 @@ def test_cms_counters_and_estimates():
     # CMS never underestimates; with 5 distinct tokens in 4x1024 it is exact
     est = cms_estimate(cells, list(true))
     assert est == dict(true)
+
+
+def test_feature_hash_counts_and_signs():
+    import collections
+
+    from raygraph.datapipe.dedup import _token_hashes
+    from raygraph.datapipe.text import feature_hash, _FH_SIGN
+    from raygraph.util import mix64
+
+    texts = ["a b a c", "", None, "b b b"]
+    ds = rd.from_arrow(pa.table({"doc_id": [0, 1, 2, 3], "text": texts}))
+    got = {(r["doc_id"], r["feature"]): (r["count"], r["signed"])
+           for r in feature_hash(ds, dim=64).take_all()}
+
+    want = collections.defaultdict(lambda: [0, 0])
+    for did, s in enumerate(texts):
+        for tok in (s or "").split():
+            h = _token_hashes([tok])
+            f = int(mix64(h)[0]) % 64
+            sg = 1 if (int(mix64(h ^ _FH_SIGN)[0]) >> 63) == 1 else -1
+            want[(did, f)][0] += 1
+            want[(did, f)][1] += sg
+    assert got == {k: tuple(v) for k, v in want.items()}
