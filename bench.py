@@ -416,7 +416,10 @@ def run_bench() -> dict:
                  "doc_vocab_topk", "doc_tfidf_topk", "doc_pack_sequences",
                  "emb_centroids", "events_range_join", "mxv_int64_exact",
                  "edge_support", "kcore3", "doc_chunks", "doc_decontaminate",
-                 "hits_k8", "events_props_agg"):
+                 "hits_k8", "events_props_agg",
+                 "ppr_k8", "pagerank_weighted_k8", "random_walks",
+                 "skipgram_pairs", "doc_redact", "mis_labels", "bfs_multi",
+                 "events_hll", "doc_cms", "doc_feature_hash"):
         t = time.perf_counter()
         out = QUERIES[name](SF_DIR)
         if hasattr(out, "materialize"):
