@@ -330,3 +330,61 @@ def props_field_agg(events_ds, *, field: str = "k",
         return pa.table(cols)
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def sessionize(events_ds, *, key: str = "user_id", ts_col: str = "ts",
+               val_col: str = "value", gap_s: int = 1800,
+               num_buckets: int = 32):
+    """Gap-based sessionization: per key, consecutive events closer than
+    ``gap_s`` seconds belong to one session — the classic clickstream /
+    event-log primitive. Returns one summary row per session:
+    ``(key, session_start_us, n_events, duration_us, sum_value)``
+    (timestamps as integer epoch microseconds, value sum rounded to 6).
+
+    Distributed shape: ONE grouped exchange keyed on ``mix64(key)``
+    buckets co-locates each key's events; inside the group a single
+    lexsort by (key, ts) + a vectorized gap scan numbers the sessions
+    and reduceat folds the per-session aggregates — no per-event Python,
+    no driver state. Same documented hot-key bound as the as-of join:
+    one pathological key bounds one bucket."""
+    from raygraph.util import mix64
+
+    gap_us = np.int64(gap_s) * 1_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t[key].to_numpy(zero_copy_only=False), np.int64)
+        bk = (mix64(keys.astype(np.uint64))
+              % np.uint64(num_buckets)).astype(np.int32)
+        ts = np.asarray(t[ts_col].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False)).astype("datetime64[us]").astype(np.int64)
+        val = np.asarray(t[val_col].to_numpy(zero_copy_only=False),
+                         np.float64)
+        return pa.table({"bucket": bk, "k": keys, "tus": ts, "val": val})
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        k = np.asarray(g["k"].to_numpy(zero_copy_only=False), np.int64)
+        tus = np.asarray(g["tus"].to_numpy(zero_copy_only=False), np.int64)
+        val = np.asarray(g["val"].to_numpy(zero_copy_only=False), np.float64)
+        if len(k) == 0:
+            return pa.table({key: pa.array([], pa.int64()),
+                             "session_start_us": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "duration_us": pa.array([], pa.int64()),
+                             "sum_value": pa.array([], pa.float64())})
+        order = np.lexsort((tus, k))
+        k, tus, val = k[order], tus[order], val[order]
+        brk = np.r_[True, (k[1:] != k[:-1])
+                    | (tus[1:] - tus[:-1] > gap_us)]
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(k)]
+        return pa.table({
+            key: k[starts],
+            "session_start_us": tus[starts],
+            "n_events": (ends - starts).astype(np.int64),
+            "duration_us": tus[ends - 1] - tus[starts],
+            "sum_value": np.round(np.add.reduceat(val, starts), 6),
+        })
+
+    return (events_ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("bucket").map_groups(per_bucket,
+                                          batch_format="pyarrow"))

@@ -1637,3 +1637,25 @@ FROM fx GROUP BY 1, 2 ORDER BY doc_id, feature"""
 
 
 ORACLES["doc_feature_hash"] = _feature_hash_sql(4096)
+
+
+# gap sessionization: lag + windowed cumsum session numbering
+ORACLES["events_sessions"] = """WITH x AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+)
+SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us,
+       round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us"""

@@ -1952,3 +1952,17 @@ def q_doc_feature_hash(sf_dir):
 
 
 QUERIES["doc_feature_hash"] = q_doc_feature_hash
+
+
+def q_events_sessions(sf_dir):
+    """Gap-based sessionization of events (30-min gap) per user."""
+    from raygraph.datapipe.windows import sessionize
+
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "value"])
+    t = K.to_table(sessionize(ev, gap_s=1800), sort_by=None)
+    return t.sort_by([("user_id", "ascending"),
+                      ("session_start_us", "ascending")])
+
+
+QUERIES["events_sessions"] = q_events_sessions

@@ -655,3 +655,28 @@ def test_feature_hash_counts_and_signs():
             want[(did, f)][0] += 1
             want[(did, f)][1] += sg
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_sessionize_matches_pandas():
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    got = windows.sessionize(ev, gap_s=900).to_pandas().sort_values(
+        ["user_id", "session_start_us"]).reset_index(drop=True)
+
+    df = ev.to_pandas().sort_values(["user_id", "ts"])
+    us = df["ts"].astype("datetime64[us]").astype("int64")
+    brk = (df["user_id"].ne(df["user_id"].shift())
+           | (us - us.shift() > 900_000_000))
+    df = df.assign(us=us, sid=brk.cumsum())
+    want = df.groupby(["user_id", "sid"]).agg(
+        session_start_us=("us", "min"), n_events=("us", "size"),
+        dur=("us", lambda x: x.max() - x.min()),
+        sum_value=("value", "sum")).reset_index().sort_values(
+        ["user_id", "session_start_us"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["user_id"].to_numpy() == want["user_id"].to_numpy()).all()
+    assert (got["session_start_us"].to_numpy()
+            == want["session_start_us"].to_numpy()).all()
+    assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
+    assert (got["duration_us"].to_numpy() == want["dur"].to_numpy()).all()
+    np.testing.assert_allclose(got["sum_value"], np.round(want["sum_value"], 6),
+                               atol=1e-6)
