@@ -627,3 +627,133 @@ def feature_hash(docs_ds, *, dim: int = 4096, text_col: str = "text",
                          "signed": np.add.reduceat(s, starts).astype(np.int64)})
 
     return docs_ds.map_batches(m, batch_format="pyarrow")
+
+
+def lm_bigram_score(docs_ds, *, text_col: str = "text",
+                    id_col: str = "doc_id", max_table: int = 50_000_000):
+    """Bigram language-model self-scoring (perplexity-style quality
+    filter): train bigram counts on the corpus itself, then score each
+    document's mean log-probability ``avg ln(n(a,b) / n(a,·))`` over its
+    consecutive token pairs — documents far below the corpus mean read
+    as disfluent/noisy. Returns ``(doc_id, n_bigrams, avg_logprob)``.
+
+    Two passes, the tfidf shape: pass 1 counts bigram-chain keys (the
+    SAME mix64 gram chain as repeated_ngrams — collisions, were they to
+    occur, affect the SQL oracle identically) and prefix totals with
+    per-batch combiners and one grouped merge; the two count tables
+    (vocab-bounded, ≪ corpus) broadcast once via ``ray.put`` — above
+    ``max_table`` entries the broadcast regime raises rather than
+    silently degrading (the out-of-regime path is a partitioned hash
+    join, same call shape). Pass 2 re-tokenizes and scores per batch
+    with searchsorted lookups — no per-doc shuffle."""
+    import ray
+
+    from raygraph.datapipe.dedup import _token_hashes
+    from raygraph.util import mix64
+
+    def _doc_tokens(t: pa.Table):
+        txt = t[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        lst = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(txt, "")), r"\s+")
+        offs = np.asarray(lst.offsets, np.int64)
+        toks = lst.values.to_pylist()
+        h = _token_hashes(toks) if toks else np.empty(0, np.uint64)
+        # empty text tokenizes to [""]: a 1-token doc, no bigrams — its
+        # lone hash is never used as a pair, so no special-casing needed
+        return offs, h
+
+    def _pair_arrays(offs, h):
+        lens = np.diff(offs)
+        cnt = np.maximum(lens - 1, 0)
+        total = int(cnt.sum())
+        if total == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.uint64),
+                    np.empty(0, np.uint64))
+        base = np.repeat(offs[:-1], cnt)
+        local = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt)
+        i = base + local
+        with np.errstate(over="ignore"):
+            g = mix64(mix64(h[i]) ^ h[i + 1])
+        doc_idx = np.repeat(np.arange(len(cnt)), cnt)
+        return doc_idx, g, h[i]
+
+    _NB = 32
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        offs, h = _doc_tokens(t)
+        _, g, pre = _pair_arrays(offs, h)
+        out_k, out_c, out_kind = [], [], []
+        for kind, arr in ((0, g), (1, pre)):
+            if len(arr):
+                u, c = np.unique(arr, return_counts=True)
+                out_k.append(u)
+                out_c.append(c.astype(np.int64))
+                out_kind.append(np.full(len(u), kind, np.int8))
+        if not out_k:
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "kind": pa.array([], pa.int8()),
+                             "key": pa.array([], pa.uint64()),
+                             "cnt": pa.array([], pa.int64())})
+        kk = np.concatenate(out_k)
+        # bucketed exchange, NOT Ray's native groupby: mix64 keys are
+        # full-range uint64 and round-trip through Python there (see
+        # kernels.salted_aggregate)
+        bk = (mix64(kk) % np.uint64(_NB)).astype(np.int32)
+        return pa.table({"bucket": bk, "kind": np.concatenate(out_kind),
+                         "key": kk, "cnt": np.concatenate(out_c)})
+
+    def merge(gt: pa.Table) -> pa.Table:
+        kd = np.asarray(gt["kind"].to_numpy(zero_copy_only=False))
+        kk = np.asarray(gt["key"].to_numpy(zero_copy_only=False), np.uint64)
+        cc = np.asarray(gt["cnt"].to_numpy(zero_copy_only=False), np.int64)
+        order = np.lexsort((kk, kd))
+        kd, kk, cc = kd[order], kk[order], cc[order]
+        starts = np.flatnonzero(np.r_[True, (kd[1:] != kd[:-1])
+                                      | (kk[1:] != kk[:-1])])
+        return pa.table({"kind": kd[starts], "key": kk[starts],
+                         "cnt": np.add.reduceat(cc, starts)})
+
+    counts = (docs_ds.map_batches(count_partial, batch_format="pyarrow")
+              .groupby("bucket").map_groups(merge, batch_format="pyarrow"))
+    tbl = pa.concat_tables(
+        (b for b in counts.iter_batches(batch_size=None,
+                                        batch_format="pyarrow")),
+        promote_options="permissive")
+    if tbl.num_rows > max_table:
+        raise ValueError(
+            f"lm_bigram_score: count table {tbl.num_rows} rows exceeds the "
+            f"broadcast regime ({max_table}); use a partitioned hash join")
+    kind = np.asarray(tbl["kind"].to_numpy(zero_copy_only=False))
+    key = np.asarray(tbl["key"].to_numpy(zero_copy_only=False)).astype(np.uint64)
+    cnt = np.asarray(tbl["cnt"].to_numpy(zero_copy_only=False), np.int64)
+
+    def _sorted(kd):
+        m = kind == kd
+        k, c = key[m], cnt[m]
+        o = np.argsort(k)
+        return k[o], c[o]
+
+    bg_k, bg_c = _sorted(0)
+    pf_k, pf_c = _sorted(1)
+    refs = [ray.put(x) for x in (bg_k, bg_c, pf_k, pf_c)]
+
+    def score(t: pa.Table, _r=refs) -> pa.Table:
+        bk, bc, pk, pcnt = (ray.get(r) for r in _r)
+        offs, h = _doc_tokens(t)
+        doc_idx, g, pre = _pair_arrays(offs, h)
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), np.int64)
+        n_docs = len(ids)
+        nb = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+        s = np.zeros(n_docs, np.float64)
+        if len(g):
+            lp = np.log(bc[np.searchsorted(bk, g)].astype(np.float64)
+                        / pcnt[np.searchsorted(pk, pre)].astype(np.float64))
+            s = np.bincount(doc_idx, weights=lp, minlength=n_docs)
+        avg = np.where(nb > 0, s / np.maximum(nb, 1), 0.0)
+        return pa.table({"doc_id": ids, "n_bigrams": nb,
+                         "avg_logprob": np.round(avg, 6)})
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")

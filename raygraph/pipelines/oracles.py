@@ -1659,3 +1659,34 @@ SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
        CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us,
        round(sum(value), 6) AS sum_value
 FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us"""
+
+
+# bigram LM self-score: avg ln(n(a,b)/n(a,*)) over consecutive pairs,
+# keys = the repeated_ngrams mix64 chain at n=2
+ORACLES["doc_lm_score"] = f"""WITH toks AS (
+  SELECT doc_id, CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+  FROM documents
+),
+th AS (
+  SELECT doc_id, list_transform(ts, t -> {_TOKEN_HASH_SQL}) AS hs
+  FROM toks WHERE len(ts) >= 2
+),
+pairs AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS UBIGINT), hs[i:i + 1]),
+                     {_GRAM_LAMBDA_SQL}) AS g,
+         hs[i] AS pre
+  FROM th, LATERAL (SELECT unnest(range(1, len(hs))) AS i) u
+),
+bg AS (SELECT g, count(*) AS nb FROM pairs GROUP BY 1),
+pf AS (SELECT pre, count(*) AS npf FROM pairs GROUP BY 1),
+sc AS (
+  SELECT p.doc_id, count(*) AS n_bigrams,
+         sum(ln(CAST(b.nb AS DOUBLE) / CAST(f.npf AS DOUBLE))) AS s
+  FROM pairs p JOIN bg b ON b.g = p.g JOIN pf f ON f.pre = p.pre
+  GROUP BY 1
+)
+SELECT t.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(coalesce(sc.s / sc.n_bigrams, 0.0), 6) AS avg_logprob
+FROM toks t LEFT JOIN sc ON sc.doc_id = t.doc_id ORDER BY t.doc_id"""

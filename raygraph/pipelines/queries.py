@@ -1966,3 +1966,16 @@ def q_events_sessions(sf_dir):
 
 
 QUERIES["events_sessions"] = q_events_sessions
+
+
+def q_doc_lm_score(sf_dir):
+    """Bigram LM self-scoring (perplexity-style quality filter)."""
+    from raygraph.datapipe.text import lm_bigram_score
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    t = K.to_table(lm_bigram_score(docs), sort_by=None)
+    return t.sort_by([("doc_id", "ascending")])
+
+
+QUERIES["doc_lm_score"] = q_doc_lm_score

@@ -680,3 +680,37 @@ def test_sessionize_matches_pandas():
     assert (got["duration_us"].to_numpy() == want["dur"].to_numpy()).all()
     np.testing.assert_allclose(got["sum_value"], np.round(want["sum_value"], 6),
                                atol=1e-6)
+
+
+def test_lm_bigram_score_matches_brute_force():
+    import collections
+    import math
+
+    texts = ["a b a b c", "a b", "c c c", "", "zz"]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))),
+                                 "text": texts}))
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+           for r in text.lm_bigram_score(ds).take_all()}
+
+    bg = collections.Counter()
+    pf = collections.Counter()
+    for s in texts:
+        toks = (s or "").split()
+        for a, b in zip(toks[:-1], toks[1:]):
+            bg[(a, b)] += 1
+            pf[a] += 1
+    for did, s in enumerate(texts):
+        toks = (s or "").split()
+        pairs = list(zip(toks[:-1], toks[1:]))
+        if pairs:
+            avg = sum(math.log(bg[p] / pf[p[0]]) for p in pairs) / len(pairs)
+        else:
+            avg = 0.0
+        assert got[did] == (len(pairs), round(avg, 6)), did
+
+
+def test_lm_bigram_score_broadcast_bound():
+    ds = rd.from_arrow(pa.table({"doc_id": [0], "text": ["a b c d e"]}))
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        text.lm_bigram_score(ds, max_table=2).take_all()
