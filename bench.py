@@ -419,7 +419,8 @@ def run_bench() -> dict:
                  "hits_k8", "events_props_agg",
                  "ppr_k8", "pagerank_weighted_k8", "random_walks",
                  "skipgram_pairs", "doc_redact", "mis_labels", "bfs_multi",
-                 "events_hll", "doc_cms", "doc_feature_hash"):
+                 "events_hll", "doc_cms", "doc_feature_hash",
+                 "events_sessions", "doc_lm_score"):
         t = time.perf_counter()
         out = QUERIES[name](SF_DIR)
         if hasattr(out, "materialize"):
