@@ -736,3 +736,35 @@ def decontaminate(docs_ds, bench_ds, *, n: int = 5, threshold: int = 1,
         _DecontaminateScorer, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
         fn_constructor_args=(ref, n, id_col, text_col, threshold))
+
+
+def dedup_apply(docs_ds, *, text_col: str = "text", id_col: str = "doc_id",
+                num_partitions: int | None = None):
+    """Apply exact-dedup decisions back to the corpus: keep ONE canonical
+    row per distinct content (the min-id winner) with its duplicate count
+    attached — the step that actually shrinks a training corpus after
+    :func:`exact_dedup` has decided the winners.
+
+    Scale shape: the winner set is tiny relative to the corpus — one
+    ``(keep_id, n_dups)`` pair per DISTINCT content, produced by the
+    combiner-shaped exact_dedup groupby (only (hash, id) pairs shuffle,
+    never text) — and the apply step is a hash-partitioned inner join on
+    the id key through Ray Data's partitioned join (both sides shuffle by
+    id bucket; no broadcast of either side, no driver materialization).
+    Full-width document rows travel through exactly one exchange.
+    """
+    import ray
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(16, cpus // 2))
+
+    winners = exact_dedup(docs_ds, text_col=text_col, id_col=id_col)
+
+    def keep_side(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t["keep_id"],
+                         "n_dups": pa.compute.cast(t["n_dups"], pa.int64())})
+
+    side = winners.map_batches(keep_side, batch_format="pyarrow")
+    return docs_ds.join(side, "inner", num_partitions, on=(id_col,),
+                        aggregator_ray_remote_args={"num_cpus": 0.25})

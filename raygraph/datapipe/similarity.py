@@ -631,3 +631,57 @@ def group_centroids(emb_ds, *, group_col: str = "label",
                              "centroid": c})
 
     return parts.groupby("grp").map_groups(fin, batch_format="pandas")
+
+
+def dim_stats(emb_ds, *, emb_col: str = "embedding"):
+    """Per-dimension embedding statistics ``(dim, n, mean, std, min_v,
+    max_v)`` — the embedding-column health check of a training-data
+    pipeline (dead dimensions, scale drift, outlier screens before
+    normalization / quantization).
+
+    Scale shape: combiner-first moment aggregate. Each batch collapses to
+    ONE row per dimension — ``(dim, n, s, ss, mn, mx)`` via column-axis
+    numpy reductions over the batch matrix — so the ``groupby(dim)``
+    exchange moves |dims| rows per batch regardless of corpus size; the
+    embeddings themselves never shuffle. Moments accumulate in float64
+    (float32 payload widens exactly); variance finishes as
+    ``(ss - s²/n)/n`` once at the reduce, matching SQL ``stddev_pop``
+    within the 6-decimal rounding the oracle pins."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        M = _emb_matrix(t, emb_col)
+        if M.size == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "ss": pa.array([], pa.float64()),
+                             "mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        d = M.shape[1]
+        return pa.table({
+            "dim": np.arange(d, dtype=np.int64),
+            "n": np.full(d, M.shape[0], np.int64),
+            "s": M.sum(axis=0),
+            "ss": (M * M).sum(axis=0),
+            "mn": M.min(axis=0),
+            "mx": M.max(axis=0),
+        })
+
+    parts = emb_ds.map_batches(partial, batch_format="pyarrow")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        n = int(df["n"].sum())
+        s = float(df["s"].sum())
+        ss = float(df["ss"].sum())
+        mean = s / n
+        var = max(ss / n - mean * mean, 0.0)
+        return pd.DataFrame({
+            "dim": [np.int64(df["dim"].iloc[0])],
+            "n": [np.int64(n)],
+            "mean": [mean],
+            "std": [float(np.sqrt(var))],
+            "min_v": [float(df["mn"].min())],
+            "max_v": [float(df["mx"].max())],
+        })
+
+    return parts.groupby("dim").map_groups(fin, batch_format="pandas")

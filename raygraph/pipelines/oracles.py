@@ -1690,3 +1690,18 @@ sc AS (
 SELECT t.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
        round(coalesce(sc.s / sc.n_bigrams, 0.0), 6) AS avg_logprob
 FROM toks t LEFT JOIN sc ON sc.doc_id = t.doc_id ORDER BY t.doc_id"""
+
+ORACLES["emb_dim_stats"] = """SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(e), 6) AS mean, round(stddev_pop(e), 6) AS std,
+       round(min(e), 6) AS min_v, round(max(e), 6) AS max_v
+FROM (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding) AS e
+      FROM embeddings)
+GROUP BY dim ORDER BY dim"""
+
+ORACLES["dedup_apply"] = """WITH w AS (
+  SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+  FROM documents GROUP BY md5(text))
+SELECT d.doc_id, d.lang, w.n_dups
+FROM documents d JOIN w USING (doc_id) ORDER BY d.doc_id"""

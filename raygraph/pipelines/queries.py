@@ -1979,3 +1979,35 @@ def q_doc_lm_score(sf_dir):
 
 
 QUERIES["doc_lm_score"] = q_doc_lm_score
+
+
+def q_emb_dim_stats(sf_dir):
+    """Per-dimension embedding health stats (n, mean, std, min, max) —
+    combiner-first moment aggregate; only |dims| rows per batch shuffle."""
+    from raygraph.datapipe.similarity import dim_stats
+
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["embedding"])
+    t = K.to_table(dim_stats(emb), sort_by="dim")
+    for c in ("mean", "std", "min_v", "max_v"):
+        t = _round_col(t, c, 6)
+    return _int64_col(_int64_col(t, "dim"), "n")
+
+
+QUERIES["emb_dim_stats"] = q_emb_dim_stats
+
+
+def q_dedup_apply(sf_dir):
+    """Canonical corpus after exact dedup: winners semi-joined back to the
+    full-width rows via Ray Data's hash-partitioned join (no broadcast)."""
+    from raygraph.datapipe.dedup import dedup_apply
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "lang", "text"])
+    out = dedup_apply(docs, text_col="text", id_col="doc_id")
+    t = K.to_table(out, sort_by=None).select(["doc_id", "lang", "n_dups"])
+    t = _int64_col(_int64_col(t, "doc_id"), "n_dups")
+    return t.sort_by([("doc_id", "ascending")])
+
+
+QUERIES["dedup_apply"] = q_dedup_apply

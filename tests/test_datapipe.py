@@ -714,3 +714,30 @@ def test_lm_bigram_score_broadcast_bound():
     import pytest as _pt
     with _pt.raises(ValueError):
         text.lm_bigram_score(ds, max_table=2).take_all()
+
+
+def test_dedup_apply_keeps_one_row_per_content():
+    base = _docs().to_pandas()[["doc_id", "lang", "text"]]
+    dup = base.head(7).copy()
+    dup["doc_id"] = dup["doc_id"] + 100_000
+    docs = rd.from_pandas(pd.concat([base, dup], ignore_index=True))
+    out = dedup.dedup_apply(docs).to_pandas().sort_values("doc_id")
+    # one canonical row per distinct text, min-id winner, counts conserved
+    assert len(out) == base["text"].nunique()
+    assert out["n_dups"].sum() == len(base) + 7
+    winners = (pd.concat([base, dup]).groupby("text")["doc_id"].min()
+               .sort_values().to_numpy())
+    assert np.array_equal(np.sort(out["doc_id"].to_numpy()), np.sort(winners))
+
+
+def test_dim_stats_matches_numpy_moments():
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["embedding"])
+    out = similarity.dim_stats(emb).to_pandas().sort_values("dim")
+    M = np.stack(pd.read_parquet(f"{SF}/embeddings.parquet")["embedding"]
+                 .to_numpy()).astype(np.float64)
+    assert len(out) == M.shape[1]
+    assert (out["n"] == M.shape[0]).all()
+    np.testing.assert_allclose(out["mean"], M.mean(axis=0), atol=1e-9)
+    np.testing.assert_allclose(out["std"], M.std(axis=0), atol=1e-7)
+    np.testing.assert_allclose(out["min_v"], M.min(axis=0), atol=0)
+    np.testing.assert_allclose(out["max_v"], M.max(axis=0), atol=0)
