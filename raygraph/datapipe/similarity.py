@@ -685,3 +685,54 @@ def dim_stats(emb_ds, *, emb_col: str = "embedding"):
         })
 
     return parts.groupby("dim").map_groups(fin, batch_format="pandas")
+
+
+def normalize_embeddings(emb_ds, *, id_col: str = "vec_id",
+                         emb_col: str = "embedding"):
+    """L2-normalize each embedding to unit length — the standard prep
+    before cosine ANN / clustering / quantization.
+
+    Scale shape: embarrassingly parallel — one zero-copy Arrow batch in,
+    one batch out, no shuffle, no state; float64 math regardless of the
+    stored float32 payload so downstream dot products are stable. Zero
+    vectors pass through as zeros (norm clamped at 1e-12, matching the
+    brute-force ANN path's convention in :func:`_normalize`)."""
+
+    def m(t: pa.Table) -> pa.Table:
+        M = _emb_matrix(t, emb_col)
+        if M.size:
+            M = M / np.maximum(np.sqrt((M * M).sum(axis=1, keepdims=True)),
+                               1e-12)
+        return pa.table({id_col: t[id_col],
+                         emb_col: pa.array(list(M), pa.list_(pa.float64()))})
+
+    return emb_ds.map_batches(m, batch_format="pyarrow")
+
+
+def quantize_embeddings(emb_ds, *, id_col: str = "vec_id",
+                        emb_col: str = "embedding"):
+    """Symmetric per-vector int8 quantization: ``scale = max|e| / 127``,
+    ``code = floor(e / scale + 0.5)`` (round-half-up on BOTH the numpy and
+    SQL sides — np.round's banker's rounding would diverge from SQL at
+    exact .5 boundaries). 4× memory cut for ANN candidate scoring; the
+    scale column restores approximate magnitudes.
+
+    Scale shape: row-local map, no shuffle; codes are int8 in the output
+    schema so a 100-TB embedding table shrinks on the wire, scale rides
+    along as one float64 per vector."""
+
+    def m(t: pa.Table) -> pa.Table:
+        M = _emb_matrix(t, emb_col)
+        n = t.num_rows
+        if M.size:
+            scale = np.abs(M).max(axis=1) / 127.0
+            safe = np.where(scale == 0.0, 1.0, scale)
+            codes = np.floor(M / safe[:, None] + 0.5).astype(np.int8)
+        else:
+            scale = np.zeros(0)
+            codes = np.zeros((n, 0), np.int8)
+        return pa.table({id_col: t[id_col],
+                         "codes": pa.array(list(codes), pa.list_(pa.int8())),
+                         "scale": pa.array(scale, pa.float64())})
+
+    return emb_ds.map_batches(m, batch_format="pyarrow")

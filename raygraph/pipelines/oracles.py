@@ -1705,3 +1705,23 @@ ORACLES["dedup_apply"] = """WITH w AS (
   FROM documents GROUP BY md5(text))
 SELECT d.doc_id, d.lang, w.n_dups
 FROM documents d JOIN w USING (doc_id) ORDER BY d.doc_id"""
+
+ORACLES["emb_normalize"] = """WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS e
+  FROM embeddings)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(dim AS BIGINT) AS dim,
+       round(e / greatest(sqrt(sum(e*e) OVER (PARTITION BY vec_id)), 1e-12),
+             6) AS val
+FROM x ORDER BY vec_id, dim"""
+
+ORACLES["emb_quantize"] = """WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS e
+  FROM embeddings),
+s AS (SELECT vec_id, max(abs(e)) / 127.0 AS scale FROM x GROUP BY vec_id)
+SELECT CAST(x.vec_id AS BIGINT) AS vec_id, CAST(x.dim AS BIGINT) AS dim,
+       CAST(floor(x.e / (CASE WHEN s.scale = 0 THEN 1.0 ELSE s.scale END)
+                  + 0.5) AS BIGINT) AS code,
+       round(s.scale, 9) AS scale
+FROM x JOIN s USING (vec_id) ORDER BY x.vec_id, x.dim"""

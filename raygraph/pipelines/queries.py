@@ -2011,3 +2011,52 @@ def q_dedup_apply(sf_dir):
 
 
 QUERIES["dedup_apply"] = q_dedup_apply
+
+
+def q_emb_normalize(sf_dir):
+    """Unit-norm embeddings, flattened to (vec_id, dim, val) long format
+    for the hash compare (the op itself keeps the list layout)."""
+    from raygraph.datapipe.similarity import normalize_embeddings
+
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    t = K.to_table(normalize_embeddings(emb), sort_by=None)
+
+    ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), np.int64)
+    lists = t["embedding"].combine_chunks()
+    d = len(lists[0]) if t.num_rows else 0
+    flat = np.asarray(lists.flatten(), np.float64)
+    out = pa.table({
+        "vec_id": np.repeat(ids, d),
+        "dim": np.tile(np.arange(d, dtype=np.int64), t.num_rows),
+        "val": np.round(flat, 6),
+    })
+    return out.sort_by([("vec_id", "ascending"), ("dim", "ascending")])
+
+
+QUERIES["emb_normalize"] = q_emb_normalize
+
+
+def q_emb_quantize(sf_dir):
+    """Per-vector symmetric int8 codes + scale, long format."""
+    from raygraph.datapipe.similarity import quantize_embeddings
+
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    t = K.to_table(quantize_embeddings(emb), sort_by=None)
+
+    ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), np.int64)
+    lists = t["codes"].combine_chunks()
+    d = len(lists[0]) if t.num_rows else 0
+    flat = np.asarray(lists.flatten(), np.int64)
+    scale = np.asarray(t["scale"].to_numpy(zero_copy_only=False), np.float64)
+    out = pa.table({
+        "vec_id": np.repeat(ids, d),
+        "dim": np.tile(np.arange(d, dtype=np.int64), t.num_rows),
+        "code": flat,
+        "scale": np.round(np.repeat(scale, d), 9),
+    })
+    return out.sort_by([("vec_id", "ascending"), ("dim", "ascending")])
+
+
+QUERIES["emb_quantize"] = q_emb_quantize

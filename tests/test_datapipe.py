@@ -741,3 +741,21 @@ def test_dim_stats_matches_numpy_moments():
     np.testing.assert_allclose(out["std"], M.std(axis=0), atol=1e-7)
     np.testing.assert_allclose(out["min_v"], M.min(axis=0), atol=0)
     np.testing.assert_allclose(out["max_v"], M.max(axis=0), atol=0)
+
+
+def test_normalize_and_quantize_embeddings():
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    out = similarity.normalize_embeddings(emb).to_pandas()
+    M = np.stack(out["embedding"].to_numpy())
+    np.testing.assert_allclose(np.linalg.norm(M, axis=1), 1.0, atol=1e-9)
+
+    q = similarity.quantize_embeddings(emb).to_pandas()
+    C = np.stack(q["codes"].to_numpy())
+    assert C.dtype == np.int8
+    assert np.abs(C).max() == 127  # max-magnitude component maps to ±127
+    # dequantized reconstruction stays within half a quantization step
+    raw = np.stack(pd.read_parquet(f"{SF}/embeddings.parquet")["embedding"]
+                   .to_numpy()).astype(np.float64)
+    recon = C * q["scale"].to_numpy()[:, None]
+    assert np.abs(recon - raw).max() <= (q["scale"].to_numpy().max() / 2) + 1e-12
