@@ -420,7 +420,9 @@ def run_bench() -> dict:
                  "ppr_k8", "pagerank_weighted_k8", "random_walks",
                  "skipgram_pairs", "doc_redact", "mis_labels", "bfs_multi",
                  "events_hll", "doc_cms", "doc_feature_hash",
-                 "events_sessions", "doc_lm_score"):
+                 "events_sessions", "doc_lm_score",
+                 "emb_dim_stats", "dedup_apply",
+                 "emb_normalize", "emb_quantize"):
         t = time.perf_counter()
         out = QUERIES[name](SF_DIR)
         if hasattr(out, "materialize"):
