@@ -2855,3 +2855,60 @@ def mxm_update(c_edges, a_edges, b_edges, semiring: str = "plus_times",
     return merge_matrix(c_edges, prod, mask=mask, complement=complement,
                         value_mask=value_mask, accum=accum, replace=replace,
                         num_buckets=num_buckets)
+
+
+def contract(edges, mapping, *, agg: str = "plus", keep_count: bool = True):
+    """Vertex contraction (quotient graph): relabel every endpoint through
+    a vectorized ``mapping(ids) -> ids`` and dup-reduce the resulting
+    multi-edges with ``agg`` — the host-graph collapse of a Common-Crawl
+    url graph (urls -> hosts) and the coarsening step of multilevel
+    partitioners. Reference analog: ``Matrix.from_coo(map(r), map(c), v,
+    dup_op=agg)`` over ``A.to_coo()`` (matrix.py:643-698); re-expressed
+    here as one map_batches relabel + combiner-first grouped reduce.
+
+    Scale shape: contraction shrinks the keyspace (hosts << urls), so each
+    batch is pre-combined locally (lexsort + reduceat on a fused
+    ``src*2^32+dst`` key when ids fit 32 bits, else a structured sort) —
+    the groupby exchange then moves one row per distinct contracted edge
+    per batch, never the raw edge stream. Self-loops created by the
+    contraction are kept (standard quotient-graph semantics; drop with
+    :func:`select` ``"offdiag"`` after).
+    """
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    red = {"plus": np.add, "min": np.minimum, "max": np.maximum}[agg]
+
+    def relabel_combine(t: pa.Table) -> pa.Table:
+        s = mapping(np.asarray(t["src"].to_numpy(zero_copy_only=False),
+                               np.uint64)).astype(np.uint64)
+        d = mapping(np.asarray(t["dst"].to_numpy(zero_copy_only=False),
+                               np.uint64)).astype(np.uint64)
+        w = (np.asarray(t["w"].to_numpy(zero_copy_only=False), np.float64)
+             if "w" in t.column_names else np.ones(len(s)))
+        if len(s) and max(s.max(), d.max()) < (1 << 32):
+            key = (s << np.uint64(32)) | d
+            order = np.argsort(key, kind="stable")
+            k, sw, sm = key[order], w[order], None
+            starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+            ks = k[starts]
+            out_s, out_d = ks >> np.uint64(32), ks & np.uint64(0xFFFFFFFF)
+            out_w = red.reduceat(sw, starts)
+            cnt = np.diff(np.r_[starts, len(k)]).astype(np.int64)
+        else:  # full-range ids: structured lexsort, same combine
+            order = np.lexsort((d, s))
+            ss, dd, sw = s[order], d[order], w[order]
+            new = np.r_[True, (ss[1:] != ss[:-1]) | (dd[1:] != dd[:-1])]
+            starts = np.flatnonzero(new)
+            out_s, out_d = ss[starts], dd[starts]
+            out_w = red.reduceat(sw, starts)
+            cnt = np.diff(np.r_[starts, len(ss)]).astype(np.int64)
+        return pa.table({"src": out_s, "dst": out_d, "w": out_w, "m": cnt})
+
+    parts = _ds(edges).map_batches(relabel_combine, batch_format="pyarrow")
+    aggs = [{"plus": Sum, "min": Min, "max": Max}[agg]("w", alias_name="w")]
+    if keep_count:
+        aggs.append(Sum("m", alias_name="m"))
+    out = parts.groupby(["src", "dst"]).aggregate(*aggs)
+    if not keep_count:
+        out = out.select_columns(["src", "dst", "w"])
+    return out

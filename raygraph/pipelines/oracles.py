@@ -1725,3 +1725,8 @@ SELECT CAST(x.vec_id AS BIGINT) AS vec_id, CAST(x.dim AS BIGINT) AS dim,
                   + 0.5) AS BIGINT) AS code,
        round(s.scale, 9) AS scale
 FROM x JOIN s USING (vec_id) ORDER BY x.vec_id, x.dim"""
+
+ORACLES["contract_mod7"] = f"""WITH {_E}
+SELECT src % 7 AS src, dst % 7 AS dst, round(sum(w), 6) AS w,
+       CAST(count(*) AS BIGINT) AS m
+FROM e GROUP BY 1, 2 ORDER BY src, dst"""

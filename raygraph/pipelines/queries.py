@@ -2060,3 +2060,18 @@ def q_emb_quantize(sf_dir):
 
 
 QUERIES["emb_quantize"] = q_emb_quantize
+
+
+def q_contract_mod7(sf_dir):
+    """Quotient graph (host-graph collapse shape): contract g1 vertices by
+    v % 7, sum weights, count merged edges."""
+    from raygraph.kernels import contract
+
+    out = contract(_edges_dedup(sf_dir), lambda v: v % np.uint64(7))
+    t = K.to_table(out, sort_by=None)
+    t = _round_col(t, "w", 6)
+    t = _int64_col(_int64_col(_int64_col(t, "src"), "dst"), "m")
+    return t.sort_by([("src", "ascending"), ("dst", "ascending")])
+
+
+QUERIES["contract_mod7"] = q_contract_mod7

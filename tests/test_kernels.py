@@ -1184,3 +1184,35 @@ def test_positional_semiring_uint64_exact():
                     "val": np.ones(2)})
     t = K.to_table(K.mxv(edges, vec, "min_secondi"))
     assert t["val"].to_pylist() == [int(hi + np.uint64(3))]
+
+
+def test_contract_quotient_graph():
+    # 32-bit fused-key path
+    e = pa.table({"src": np.array([0, 1, 2, 8, 9], np.uint64),
+                  "dst": np.array([1, 2, 3, 9, 10], np.uint64),
+                  "w": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    out = K.to_table(K.contract(rd.from_arrow(e), lambda v: v % np.uint64(2)),
+                     sort_by=None).sort_by([("src", "ascending"),
+                                            ("dst", "ascending")])
+    got = {(s, d): (w, m) for s, d, w, m in
+           zip(out["src"].to_pylist(), out["dst"].to_pylist(),
+               out["w"].to_pylist(), out["m"].to_pylist())}
+    # mod2: (0,1)<-{(0,1),(2,3),(8,9)} = 1+3+4; (1,0)<-{(1,2),(9,10)} = 2+5
+    assert got == {(0, 1): (8.0, 3), (1, 0): (7.0, 2)}
+
+    # full-range ids exercise the structured lexsort branch
+    big = np.uint64(1) << np.uint64(40)
+    e2 = pa.table({"src": np.array([big, big + np.uint64(1)], np.uint64),
+                   "dst": np.array([big + np.uint64(1), big], np.uint64),
+                   "w": [1.5, 2.5]})
+    out2 = K.to_table(K.contract(rd.from_arrow(e2),
+                                 lambda v: v - big, keep_count=False),
+                      sort_by=None).sort_by([("src", "ascending")])
+    assert out2["src"].to_pylist() == [0, 1]
+    assert out2["w"].to_pylist() == [1.5, 2.5]
+
+    # min-agg variant
+    out3 = K.to_table(K.contract(rd.from_arrow(e),
+                                 lambda v: np.zeros_like(v), agg="min"),
+                      sort_by=None)
+    assert out3["w"].to_pylist() == [1.0] and out3["m"].to_pylist() == [5]
