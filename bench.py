@@ -422,7 +422,8 @@ def run_bench() -> dict:
                  "events_hll", "doc_cms", "doc_feature_hash",
                  "events_sessions", "doc_lm_score",
                  "emb_dim_stats", "dedup_apply",
-                 "emb_normalize", "emb_quantize"):
+                 "emb_normalize", "emb_quantize",
+                 "contract_mod7", "sample_neighbors"):
         t = time.perf_counter()
         out = QUERIES[name](SF_DIR)
         if hasattr(out, "materialize"):

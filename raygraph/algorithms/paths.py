@@ -180,3 +180,85 @@ def khop_induced_subgraph(graph, edges, sources, k: int, *,
         return pa.table(out)
 
     return K._ds(edges).map_batches(m, batch_format="pyarrow")
+
+
+def sample_neighbors(edges, sources, *, fanout: int = 3, hops: int = 2):
+    """GraphSAGE-style fanout-bounded neighbor sampling: from each
+    frontier vertex keep the ``fanout`` out-neighbors with the smallest
+    ``md5("src:dst")`` digests, for ``hops`` layers — the GNN mini-batch
+    sampler. md5 ranking is a uniform pseudo-random draw with no RNG
+    state: stable under repartitioning/restarts and exactly reproducible
+    by a SQL oracle (``row_number() OVER (PARTITION BY src ORDER BY
+    md5(src || ':' || dst), dst) <= fanout``).
+
+    Returns a pyarrow.Table ``(hop, src, dst)`` of sampled edges.
+
+    Scale shape: per hop, the frontier broadcasts once via ``ray.put``
+    (it is fanout^hop x |seeds| ids, tiny by construction); each edge
+    batch filters to frontier sources with a searchsorted probe and keeps
+    at most ``fanout`` candidates per source (combiner), so the
+    groupby(src) exchange carries <= fanout x |frontier| x batches rows —
+    never the edge stream. The sampled layer (<= fanout x |frontier|
+    rows) returns to the driver only to seed the next hop's broadcast.
+    """
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from raygraph import kernels as K
+
+    frontier = np.unique(np.asarray(sources, np.uint64))
+    ds = K._ds(edges)
+    layers = []
+    for hop in range(1, hops + 1):
+        if len(frontier) == 0:
+            break
+        ref = ray.put(frontier)
+
+        def partial(t: pa.Table, _ref=ref) -> pa.Table:
+            f = ray.get(_ref)
+            s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+            d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+            pos = np.searchsorted(f, s)
+            hit = (pos < len(f)) & (f[np.minimum(pos, len(f) - 1)] == s)
+            s, d = s[hit], d[hit]
+            if len(s) == 0:
+                return pa.table({"src": pa.array([], pa.uint64()),
+                                 "dst": pa.array([], pa.uint64()),
+                                 "h": pa.array([], pa.string())})
+            hx = np.array([hashlib.md5(b"%d:%d" % (a, b)).hexdigest()
+                           for a, b in zip(s.tolist(), d.tolist())])
+            order = np.lexsort((d, hx, s))
+            ss = s[order]
+            idx = np.arange(len(order))
+            change = np.r_[True, ss[1:] != ss[:-1]]
+            run_start = np.maximum.accumulate(np.where(change, idx, 0))
+            keep = order[(idx - run_start) < fanout]
+            return pa.table({"src": s[keep], "dst": d[keep],
+                             "h": pa.array(hx[keep])})
+
+        partials = ds.map_batches(partial, batch_format="pyarrow")
+
+        def final(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["h", "dst"]).head(fanout)
+            return g.drop(columns=["h"]).reset_index(drop=True)
+
+        layer = K.to_table(
+            partials.groupby("src").map_groups(final, batch_format="pandas"),
+            sort_by=None)
+        layer = pa.table({
+            "hop": np.full(layer.num_rows, hop, np.int64),
+            "src": layer["src"],
+            "dst": layer["dst"],
+        })
+        layers.append(layer)
+        frontier = np.unique(
+            np.asarray(layer["dst"].to_numpy(zero_copy_only=False),
+                       np.uint64))
+    if not layers:
+        return pa.table({"hop": pa.array([], pa.int64()),
+                         "src": pa.array([], pa.uint64()),
+                         "dst": pa.array([], pa.uint64())})
+    return pa.concat_tables(layers)

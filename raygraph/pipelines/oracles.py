@@ -1730,3 +1730,21 @@ ORACLES["contract_mod7"] = f"""WITH {_E}
 SELECT src % 7 AS src, dst % 7 AS dst, round(sum(w), 6) AS w,
        CAST(count(*) AS BIGINT) AS m
 FROM e GROUP BY 1, 2 ORDER BY src, dst"""
+
+ORACLES["sample_neighbors"] = f"""WITH {_E}, {_EBIN},
+h AS (SELECT src, dst,
+             md5(CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)) AS hx
+      FROM ebin),
+l1 AS (SELECT src, dst FROM (
+         SELECT src, dst,
+                row_number() OVER (PARTITION BY src ORDER BY hx, dst) AS rn
+         FROM h WHERE src IN (1, 2)) WHERE rn <= 3),
+f2 AS (SELECT DISTINCT dst AS v FROM l1),
+l2 AS (SELECT src, dst FROM (
+         SELECT h.src, h.dst,
+                row_number() OVER (PARTITION BY h.src ORDER BY hx, dst) AS rn
+         FROM h JOIN f2 ON h.src = f2.v) WHERE rn <= 3)
+SELECT CAST(1 AS BIGINT) AS hop, src, dst FROM l1
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS hop, src, dst FROM l2
+ORDER BY hop, src, dst"""

@@ -2075,3 +2075,18 @@ def q_contract_mod7(sf_dir):
 
 
 QUERIES["contract_mod7"] = q_contract_mod7
+
+
+def q_sample_neighbors(sf_dir):
+    """2-hop fanout-3 GraphSAGE sampling from seeds {1, 2} over the
+    distinct g1 edge pattern."""
+    from raygraph.algorithms.paths import sample_neighbors
+
+    eds = _edges_dedup(sf_dir).materialize()
+    t = sample_neighbors(eds, [1, 2], fanout=3, hops=2)
+    t = _int64_col(_int64_col(_int64_col(t, "hop"), "src"), "dst")
+    return t.sort_by([("hop", "ascending"), ("src", "ascending"),
+                      ("dst", "ascending")])
+
+
+QUERIES["sample_neighbors"] = q_sample_neighbors

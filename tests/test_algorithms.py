@@ -414,3 +414,40 @@ def test_khop_induced_subgraph():
     want = sorted((int(i), int(j)) for i, j in zip(*np.nonzero(A))
                   if int(i) in mem and int(j) in mem)
     assert got == want
+
+
+def test_sample_neighbors_fanout_and_determinism():
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygraph.algorithms.paths import sample_neighbors
+
+    # star from 1 with 5 neighbors + second-hop fan from each
+    src, dst = [], []
+    for d in range(10, 15):
+        src.append(1); dst.append(d)
+        for e in range(5):
+            src.append(d); dst.append(100 + 10 * d + e)
+    e = pa.table({"src": np.array(src, np.uint64),
+                  "dst": np.array(dst, np.uint64),
+                  "w": np.ones(len(src))})
+    t = sample_neighbors(rd.from_arrow(e), [1], fanout=3, hops=2)
+    df = t.to_pandas()
+    l1 = df[df.hop == 1]
+    assert len(l1) == 3 and (l1.src == 1).all()
+    # hop-1 picks exactly the 3 smallest md5("1:d") neighbors
+    want = sorted(range(10, 15),
+                  key=lambda d: hashlib.md5(b"1:%d" % d).hexdigest())[:3]
+    assert sorted(l1.dst) == sorted(want)
+    l2 = df[df.hop == 2]
+    assert set(l2.src) == set(l1.dst)
+    assert l2.groupby("src").size().max() <= 3
+    # deterministic under re-run and repartitioning
+    t2 = sample_neighbors(rd.from_arrow(e).repartition(7), [1],
+                          fanout=3, hops=2)
+    assert t.sort_by([("hop", "ascending"), ("src", "ascending"),
+                      ("dst", "ascending")]).equals(
+        t2.sort_by([("hop", "ascending"), ("src", "ascending"),
+                    ("dst", "ascending")]))
