@@ -736,3 +736,62 @@ def quantize_embeddings(emb_ds, *, id_col: str = "vec_id",
                          "scale": pa.array(scale, pa.float64())})
 
     return emb_ds.map_batches(m, batch_format="pyarrow")
+
+
+def pq_codes(emb_ds, *, nsub: int = 4, ncent: int = 16,
+             id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Product-quantization codes (Jégou et al., PAMI 2011): split each
+    embedding into ``nsub`` contiguous subvectors and assign each to the
+    nearest of ``ncent`` per-subspace codebook entries — the memory layout
+    behind billion-scale ANN (an n×nsub uint8 table replaces n×d floats).
+
+    Codebooks are deterministic: the ``ncent`` corpus vectors with the
+    smallest ``md5(str(vec_id))`` digests seed every subspace (the same
+    RNG-free draw as :func:`knn_cosine_ivf`'s coarse quantizer), and
+    distances are exact int64 L2 on 2^20-quantized components, so a SQL
+    oracle reproduces every code bit-for-bit (tie -> smallest seed id).
+
+    Scale shape: the codebook is ncent tiny vectors broadcast once via
+    ``ray.put``; encoding is one vectorized (batch × ncent) integer
+    distance per subspace inside map_batches — no shuffle at all. Returns
+    ``(id_col, sub, code)`` long-format; ``code`` is the seed vec_id
+    (stable across codebook growth), not the dense 0..ncent-1 rank.
+    """
+    import ray
+
+    cids, C = _ivf_centroids(emb_ds, ncent, id_col, emb_col)
+    Cq = _quantize(C)  # (ncent, d) int64
+    ref = ray.put((cids, Cq))
+
+    def encode(t: pa.Table, _ref=ref) -> pa.Table:
+        cids_, Cq_ = ray.get(_ref)
+        M = _quantize(_emb_matrix(t, emb_col))
+        n = t.num_rows
+        if n == 0 or M.size == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "sub": pa.array([], pa.int64()),
+                             "code": pa.array([], pa.int64())})
+        d = M.shape[1]
+        width = d // nsub
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), np.int64)
+        subs = np.empty((n, nsub), np.int64)
+        for s in range(nsub):
+            lo, hi = s * width, (s + 1) * width
+            X, Cs = M[:, lo:hi], Cq_[:, lo:hi]
+            # exact int64 squared L2: components are <= ~2^24 after the
+            # 2^20 quantization, so (x-c)^2 summed over the subspace stays
+            # far below 2^63 — argmin ties break to the smallest seed id
+            # because cids_ arrive md5-rank-sorted then id-sorted
+            diff = X[:, None, :] - Cs[None, :, :]
+            dist = (diff * diff).sum(axis=2)
+            order = np.argsort(cids_, kind="stable")
+            dist_by_id = dist[:, order]
+            best = np.argmin(dist_by_id, axis=1)  # first (=smallest id) win
+            subs[:, s] = cids_[order][best]
+        return pa.table({
+            id_col: np.repeat(ids, nsub),
+            "sub": np.tile(np.arange(nsub, dtype=np.int64), n),
+            "code": subs.reshape(-1),
+        })
+
+    return emb_ds.map_batches(encode, batch_format="pyarrow")

@@ -1748,3 +1748,27 @@ SELECT CAST(1 AS BIGINT) AS hop, src, dst FROM l1
 UNION ALL
 SELECT CAST(2 AS BIGINT) AS hop, src, dst FROM l2
 ORDER BY hop, src, dst"""
+
+ORACLES["pq_codes"] = """WITH ev AS MATERIALIZED (
+  SELECT vec_id, CAST(floor(x * 1048576.0) AS BIGINT) AS xq, ord - 1 AS d
+  FROM (SELECT vec_id, embedding AS l FROM embeddings),
+       LATERAL (SELECT unnest(l) AS x, generate_subscripts(l, 1) AS ord) AS u
+),
+cent AS (
+  SELECT vec_id AS cid FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+cv AS MATERIALIZED (
+  SELECT c.cid, ev.d, ev.xq AS cq FROM cent c JOIN ev ON ev.vec_id = c.cid
+),
+dists AS MATERIALIZED (
+  SELECT ev.vec_id, CAST(ev.d // 16 AS BIGINT) AS sub, cv.cid,
+         sum((ev.xq - cv.cq) * (ev.xq - cv.cq)) AS dist
+  FROM ev JOIN cv ON cv.d = ev.d GROUP BY 1, 2, 3
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, sub, CAST(cid AS BIGINT) AS code
+FROM (SELECT vec_id, sub, cid,
+             row_number() OVER (PARTITION BY vec_id, sub
+                                ORDER BY dist ASC, cid ASC) AS rn
+      FROM dists) WHERE rn = 1
+ORDER BY vec_id, sub"""

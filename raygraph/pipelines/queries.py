@@ -2090,3 +2090,18 @@ def q_sample_neighbors(sf_dir):
 
 
 QUERIES["sample_neighbors"] = q_sample_neighbors
+
+
+def q_pq_codes(sf_dir):
+    """Product-quantization codes: 4 subspaces x 16 md5-seeded centroids,
+    exact int64 L2 assignment (long format, code = seed vec_id)."""
+    from raygraph.datapipe.similarity import pq_codes
+
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    t = K.to_table(pq_codes(emb, nsub=4, ncent=16), sort_by=None)
+    t = _int64_col(_int64_col(_int64_col(t, "vec_id"), "sub"), "code")
+    return t.sort_by([("vec_id", "ascending"), ("sub", "ascending")])
+
+
+QUERIES["pq_codes"] = q_pq_codes

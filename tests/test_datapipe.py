@@ -759,3 +759,26 @@ def test_normalize_and_quantize_embeddings():
                    .to_numpy()).astype(np.float64)
     recon = C * q["scale"].to_numpy()[:, None]
     assert np.abs(recon - raw).max() <= (q["scale"].to_numpy().max() / 2) + 1e-12
+
+
+def test_pq_codes_are_valid_and_deterministic():
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    out = similarity.pq_codes(emb, nsub=4, ncent=8).to_pandas()
+    n_vec = 500
+    assert len(out) == n_vec * 4
+    assert set(out["sub"]) == {0, 1, 2, 3}
+    assert out["code"].nunique() <= 8  # codes come from the 8 seed ids
+    # every seed encodes to ITSELF in every subspace (distance 0)
+    seeds = set(out["code"])
+    own = out[out["vec_id"].isin(seeds)]
+    same = own[own["vec_id"] == own["code"]]
+    assert len(same) == len(seeds) * 4
+    # deterministic under repartitioning
+    out2 = similarity.pq_codes(
+        rd.read_parquet(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).repartition(9),
+        nsub=4, ncent=8).to_pandas()
+    a = out.sort_values(["vec_id", "sub"]).reset_index(drop=True)
+    b = out2.sort_values(["vec_id", "sub"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
