@@ -423,7 +423,8 @@ def run_bench() -> dict:
                  "events_sessions", "doc_lm_score",
                  "emb_dim_stats", "dedup_apply",
                  "emb_normalize", "emb_quantize",
-                 "contract_mod7", "sample_neighbors", "pq_codes"):
+                 "contract_mod7", "sample_neighbors", "pq_codes",
+                 "jl_project"):
         t = time.perf_counter()
         out = QUERIES[name](SF_DIR)
         if hasattr(out, "materialize"):

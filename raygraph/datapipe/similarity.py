@@ -795,3 +795,45 @@ def pq_codes(emb_ds, *, nsub: int = 4, ncent: int = 16,
         })
 
     return emb_ds.map_batches(encode, batch_format="pyarrow")
+
+
+def random_projection(emb_ds, *, out_dim: int = 16,
+                      id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Johnson-Lindenstrauss dimensionality reduction with deterministic
+    ±1 Rademacher planes (Achlioptas 2003): ``y_j = Σ_d s_{j,d} · x_d /
+    sqrt(out_dim)`` where the sign s comes from the low bit of
+    ``md5("j:d")`` — the same RNG-free plane construction the sign-LSH
+    path uses, so a SQL oracle rebuilds the projection exactly.
+
+    The dot products run on 2^20-quantized int64 components (exact,
+    order-independent); the single float division by ``sqrt(out_dim) ·
+    2^20`` happens once at the end, so numpy and SQL agree to the 6
+    decimals the oracle pins.
+
+    Scale shape: the (out_dim × d) sign matrix is built once per worker
+    from md5 (a few KB — not even worth a broadcast); projection is one
+    integer matmul per batch, zero shuffle.
+    """
+
+    planes: dict[int, np.ndarray] = {}  # per-worker-process cache by d
+
+    def project(t: pa.Table) -> pa.Table:
+        M = _quantize(_emb_matrix(t, emb_col))
+        n = t.num_rows
+        if n == 0 or M.size == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.float64())})
+        d = M.shape[1]
+        if d not in planes:
+            planes[d] = _md5_sign_planes(out_dim, d)
+        Y = M @ planes[d].T  # exact int64: |x_q| ~ 2^24, d=64 -> < 2^31
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), np.int64)
+        vals = Y.astype(np.float64) / (np.sqrt(out_dim) * _QUANT)
+        return pa.table({
+            id_col: np.repeat(ids, out_dim),
+            "dim": np.tile(np.arange(out_dim, dtype=np.int64), n),
+            "val": vals.reshape(-1),
+        })
+
+    return emb_ds.map_batches(project, batch_format="pyarrow")

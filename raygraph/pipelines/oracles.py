@@ -1772,3 +1772,20 @@ FROM (SELECT vec_id, sub, cid,
                                 ORDER BY dist ASC, cid ASC) AS rn
       FROM dists) WHERE rn = 1
 ORDER BY vec_id, sub"""
+
+ORACLES["jl_project"] = """WITH planes AS (
+  SELECT j, d,
+         CASE WHEN (\'0x\' || substr(md5(CAST(j AS VARCHAR) || \':\' ||
+                                       CAST(d AS VARCHAR)), 1, 16))::UBIGINT & 1 = 1
+              THEN 1 ELSE -1 END AS s
+  FROM range(16) t(j) CROSS JOIN range(64) r(d)
+),
+ev AS MATERIALIZED (
+  SELECT vec_id, CAST(floor(x * 1048576.0) AS BIGINT) AS xq, ord - 1 AS d
+  FROM (SELECT vec_id, embedding AS l FROM embeddings),
+       LATERAL (SELECT unnest(l) AS x, generate_subscripts(l, 1) AS ord) AS u
+)
+SELECT CAST(ev.vec_id AS BIGINT) AS vec_id, CAST(p.j AS BIGINT) AS dim,
+       round(sum(ev.xq * p.s) / (sqrt(16.0) * 1048576.0), 6) AS val
+FROM ev JOIN planes p ON p.d = ev.d
+GROUP BY 1, 2 ORDER BY vec_id, dim"""

@@ -2105,3 +2105,19 @@ def q_pq_codes(sf_dir):
 
 
 QUERIES["pq_codes"] = q_pq_codes
+
+
+def q_jl_project(sf_dir):
+    """Johnson-Lindenstrauss projection to 16 dims via md5 ±1 planes
+    (long format, round 6)."""
+    from raygraph.datapipe.similarity import random_projection
+
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    t = K.to_table(random_projection(emb, out_dim=16), sort_by=None)
+    t = _round_col(t, "val", 6)
+    t = _int64_col(_int64_col(t, "vec_id"), "dim")
+    return t.sort_by([("vec_id", "ascending"), ("dim", "ascending")])
+
+
+QUERIES["jl_project"] = q_jl_project

@@ -782,3 +782,28 @@ def test_pq_codes_are_valid_and_deterministic():
     a = out.sort_values(["vec_id", "sub"]).reset_index(drop=True)
     b = out2.sort_values(["vec_id", "sub"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_random_projection_jl_property():
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    out = similarity.random_projection(emb, out_dim=16).to_pandas()
+    assert len(out) == 500 * 16
+    # exact reproduction of the direct numpy construction
+    raw = pd.read_parquet(f"{SF}/embeddings.parquet")
+    M = np.floor(np.stack(raw["embedding"].to_numpy()).astype(np.float64)
+                 * 1048576.0).astype(np.int64)
+    S = similarity._md5_sign_planes(16, 64)
+    want = (M @ S.T).astype(np.float64) / (np.sqrt(16) * 1048576.0)
+    got = (out.sort_values(["vec_id", "dim"])["val"]
+           .to_numpy().reshape(500, 16))
+    np.testing.assert_allclose(
+        got, want[np.argsort(raw["vec_id"].to_numpy())], atol=0)
+    # JL property: projected pairwise sq-distances concentrate around true
+    X = np.stack(raw.sort_values("vec_id")["embedding"].to_numpy()).astype(np.float64)
+    Y = got
+    i, j = np.arange(0, 100), np.arange(100, 200)
+    dt = ((X[i] - X[j]) ** 2).sum(1)
+    dp = ((Y[i] - Y[j]) ** 2).sum(1)
+    ratio = dp / dt
+    assert 0.4 < np.median(ratio) < 1.6
