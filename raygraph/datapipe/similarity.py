@@ -837,3 +837,91 @@ def random_projection(emb_ds, *, out_dim: int = 16,
         })
 
     return emb_ds.map_batches(project, batch_format="pyarrow")
+
+
+def knn_pq_adc(emb_ds, queries: np.ndarray, *, k: int = 10,
+               nsub: int = 4, ncent: int = 16,
+               id_col: str = "vec_id", emb_col: str = "embedding",
+               query_ids: np.ndarray | None = None):
+    """Approximate top-k via product-quantization asymmetric distance
+    (ADC, Jégou et al. 2011): the corpus is its PQ codes, each query
+    stays full precision as a per-subspace lookup table ``LUT[s][c] =
+    ||q_s - C[s,c]||²``, and a candidate's distance is ``Σ_s
+    LUT[s][code_s]`` — nsub table lookups instead of a d-dim float dot.
+
+    All arithmetic is exact int64 over 2^20-quantized components (same
+    codebook construction as :func:`pq_codes`), ties break by ascending
+    ``vec_id``, so a SQL oracle reproduces every rank. Returns a Dataset
+    ``(query_id, vec_id, adist, rank)``.
+
+    Scale shape: codebook + LUTs broadcast once via ``ray.put`` (Q × nsub
+    × ncent ints); each batch encodes itself (no stored-code shuffle —
+    compose with :func:`pq_codes`-written parquet to skip re-encoding),
+    sums LUT rows, keeps a per-batch partial top-k per query, and the
+    grouped final top-k reduces Q × k × batches rows.
+    """
+    import ray
+
+    import pandas as pd
+
+    Q = np.asarray(queries, np.float64)
+    qids = (np.arange(Q.shape[0], dtype=np.int64) if query_ids is None
+            else np.asarray(query_ids, np.int64))
+    if Q.shape[0] > 10_000:
+        raise ValueError("knn_pq_adc: broadcast-Q design is for <= 10000 "
+                         "queries (see knn_cosine)")
+
+    cids, C = _ivf_centroids(emb_ds, ncent, id_col, emb_col)
+    order = np.argsort(cids, kind="stable")
+    cids_sorted, Cq = cids[order], _quantize(C)[order]
+    Qq = _quantize(Q)
+    d = Qq.shape[1]
+    width = d // nsub
+    # LUT[q, s, c] = exact int64 squared L2 between query subvector and
+    # codebook entry c of subspace s
+    lut = np.empty((Q.shape[0], nsub, len(cids_sorted)), np.int64)
+    for s in range(nsub):
+        lo, hi = s * width, (s + 1) * width
+        diff = Qq[:, None, lo:hi] - Cq[None, :, lo:hi]
+        lut[:, s, :] = (diff * diff).sum(axis=2)
+    ref = ray.put((cids_sorted, Cq, lut, qids))
+
+    def partial(t: pa.Table, _ref=ref) -> pa.Table:
+        cids_, Cq_, lut_, qids_ = ray.get(_ref)
+        M = _quantize(_emb_matrix(t, emb_col))
+        n = t.num_rows
+        if n == 0 or M.size == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "adist": pa.array([], pa.int64())})
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), np.int64)
+        codes = np.empty((n, nsub), np.int64)  # positions into cids_
+        for s in range(nsub):
+            lo, hi = s * width, (s + 1) * width
+            diff = M[:, None, lo:hi] - Cq_[None, :, lo:hi]
+            codes[:, s] = np.argmin((diff * diff).sum(axis=2), axis=1)
+        # adist[q, x] = sum_s lut[q, s, codes[x, s]]
+        adist = np.zeros((len(qids_), n), np.int64)
+        for s in range(nsub):
+            adist += lut_[:, s, codes[:, s]]
+        kk = min(k, n)
+        out_q, out_i, out_d = [], [], []
+        for qi in range(len(qids_)):
+            row = adist[qi]
+            sel = np.lexsort((ids, row))[:kk]
+            out_q.append(np.full(kk, qids_[qi], np.int64))
+            out_i.append(ids[sel])
+            out_d.append(row[sel])
+        return pa.table({"query_id": np.concatenate(out_q),
+                         id_col: np.concatenate(out_i),
+                         "adist": np.concatenate(out_d)})
+
+    partials = emb_ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["adist", id_col]).head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(final,
+                                                   batch_format="pandas")

@@ -1789,3 +1789,43 @@ SELECT CAST(ev.vec_id AS BIGINT) AS vec_id, CAST(p.j AS BIGINT) AS dim,
        round(sum(ev.xq * p.s) / (sqrt(16.0) * 1048576.0), 6) AS val
 FROM ev JOIN planes p ON p.d = ev.d
 GROUP BY 1, 2 ORDER BY vec_id, dim"""
+
+ORACLES["pq_knn"] = """WITH ev AS MATERIALIZED (
+  SELECT vec_id, CAST(floor(x * 1048576.0) AS BIGINT) AS xq, ord - 1 AS d
+  FROM (SELECT vec_id, embedding AS l FROM embeddings),
+       LATERAL (SELECT unnest(l) AS x, generate_subscripts(l, 1) AS ord) AS u
+),
+cent AS (
+  SELECT vec_id AS cid FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+cv AS MATERIALIZED (
+  SELECT c.cid, ev.d, ev.xq AS cq FROM cent c JOIN ev ON ev.vec_id = c.cid
+),
+dists AS MATERIALIZED (
+  SELECT ev.vec_id, CAST(ev.d // 16 AS BIGINT) AS sub, cv.cid,
+         sum((ev.xq - cv.cq) * (ev.xq - cv.cq)) AS dist
+  FROM ev JOIN cv ON cv.d = ev.d GROUP BY 1, 2, 3
+),
+assign AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT vec_id, sub, cid,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY dist ASC, cid ASC) AS rn
+    FROM dists) WHERE rn = 1
+),
+qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5),
+qlut AS (
+  SELECT d.vec_id AS query_id, d.sub, d.cid, d.dist
+  FROM dists d JOIN qids ON qids.vec_id = d.vec_id
+),
+ad AS (
+  SELECT q.query_id, a.vec_id, sum(q.dist) AS adist
+  FROM assign a JOIN qlut q ON q.sub = a.sub AND q.cid = a.cid
+  GROUP BY 1, 2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(adist AS BIGINT) AS adist,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY adist ASC, vec_id ASC) AS BIGINT) AS rank
+FROM ad QUALIFY rank <= 10 ORDER BY query_id, rank"""

@@ -2121,3 +2121,22 @@ def q_jl_project(sf_dir):
 
 
 QUERIES["jl_project"] = q_jl_project
+
+
+def q_pq_knn(sf_dir):
+    """PQ asymmetric-distance top-10 for the first 5 vec_ids (exact int64
+    LUT distances; ties by ascending vec_id)."""
+    from raygraph.datapipe.similarity import knn_pq_adc
+
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    ids, q = _query_embeddings(sf_dir)
+    out = knn_pq_adc(emb, q, k=10, nsub=4, ncent=16, query_ids=ids)
+    t = K.to_table(out, sort_by=None).select(
+        ["query_id", "vec_id", "adist", "rank"])
+    for c in ("query_id", "vec_id", "adist", "rank"):
+        t = _int64_col(t, c)
+    return t.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+QUERIES["pq_knn"] = q_pq_knn

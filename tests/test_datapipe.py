@@ -807,3 +807,32 @@ def test_random_projection_jl_property():
     dp = ((Y[i] - Y[j]) ** 2).sum(1)
     ratio = dp / dt
     assert 0.4 < np.median(ratio) < 1.6
+
+
+def test_knn_pq_adc_recall_vs_exact():
+    raw = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values("vec_id")
+    ids = raw["vec_id"].to_numpy()[:5].astype(np.int64)
+    Q = np.stack(raw["embedding"].to_numpy()[:5]).astype(np.float64)
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    out = similarity.knn_pq_adc(emb, Q, k=10, nsub=4, ncent=16,
+                                query_ids=ids).to_pandas()
+    assert len(out) == 50
+    # per-query: ranks 1..10, adist non-decreasing, self is rank 1 only if
+    # its own PQ cell is nearest — but self adist must be the MIN possible
+    # for its own codes, so self always appears in the top-10 here
+    for qid, g in out.groupby("query_id"):
+        assert list(g.sort_values("rank")["rank"]) == list(range(1, 11))
+        assert (np.diff(g.sort_values("rank")["adist"].to_numpy()) >= 0).all()
+    # ADC recall@10 vs exact L2 top-10 on this corpus is well above chance
+    X = np.stack(raw["embedding"].to_numpy()).astype(np.float64)
+    vid = raw["vec_id"].to_numpy().astype(np.int64)
+    hits = 0
+    for i, qid in enumerate(ids):
+        d = ((X - Q[i]) ** 2).sum(1)
+        exact = set(vid[np.lexsort((vid, d))[:10]])
+        approx = set(out[out.query_id == qid]["vec_id"])
+        hits += len(exact & approx)
+    # 16-cell codebook on ~orthogonal random vectors is deliberately
+    # coarse; chance recall@10 is 10/500 = 0.02 — require >= 5x chance
+    assert hits / 50 >= 0.1
