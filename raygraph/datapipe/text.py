@@ -757,3 +757,75 @@ def lm_bigram_score(docs_ds, *, text_col: str = "text",
                          "avg_logprob": np.round(avg, 6)})
 
     return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+def pmi_collocations(docs_ds, *, min_count: int = 5, k: int = 50,
+                     text_col: str = "text"):
+    """Pointwise-mutual-information collocations (phrase detection, à la
+    word2vec's phrase pass): for adjacent token pairs with corpus count
+    >= ``min_count``, ``pmi = ln(N·c(a,b) / (c(a)·c(b)))`` with N the
+    total bigram count — the standard "New York"-detector over a corpus.
+    Returns the top-``k`` pairs by (pmi desc, tok_a, tok_b), pmi rounded
+    to 6 decimals (all counts are exact ints, so a SQL oracle reproduces
+    the ranking).
+
+    Scale shape: bigram counts reuse :func:`skipgram_pairs` (offset
+    arithmetic + per-batch combine; the exchange is vocab²-bounded
+    partials), unigram counts are one combiner-first groupby, and the
+    two count attachments are hash-partitioned joins on the token key —
+    no broadcast of either vocabulary. Only the min_count survivors
+    reach the final sort.
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    pairs = skipgram_pairs(docs_ds, window=1, min_count=1,
+                           text_col=text_col).materialize()
+    n_total = int(pairs.sum("n"))
+
+    def toks(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(
+            pc.fill_null(t[text_col].combine_chunks()
+                         if isinstance(t[text_col], pa.ChunkedArray)
+                         else t[text_col], ""))
+        lst = pc.split_pattern_regex(txt, r"\s+")
+        flat = lst.values
+        lens = np.diff(np.asarray(lst.offsets, np.int64))
+        nonempty = pc.not_equal(
+            pc.utf8_trim_whitespace(txt), "").to_numpy(zero_copy_only=False)
+        # empty docs split to [''] — drop their phantom token
+        keep = np.repeat(nonempty, lens)
+        agg = pa.table({"tok": flat.filter(pa.array(keep))}) \
+            .group_by("tok").aggregate([("tok", "count")])
+        return pa.table({"tok": agg["tok"], "c": agg["tok_count"]})
+
+    uni = (docs_ds.map_batches(toks, batch_format="pyarrow")
+           .groupby("tok").aggregate(Sum("c", alias_name="c")))
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nparts = max(2, min(16, cpus // 2))
+
+    surv = pairs.filter(expr=f"n >= {min_count}")
+    ua = uni.map_batches(
+        lambda t: pa.table({"tok_a": t["tok"], "ca": t["c"]}),
+        batch_format="pyarrow")
+    ub = uni.map_batches(
+        lambda t: pa.table({"tok_b": t["tok"], "cb": t["c"]}),
+        batch_format="pyarrow")
+    j = (surv.join(ua, "inner", nparts, on=("tok_a",),
+                   aggregator_ray_remote_args={"num_cpus": 0.25})
+             .join(ub, "inner", nparts, on=("tok_b",),
+                   aggregator_ray_remote_args={"num_cpus": 0.25}))
+
+    def score(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n"].to_numpy(zero_copy_only=False), np.int64)
+        ca = np.asarray(t["ca"].to_numpy(zero_copy_only=False), np.int64)
+        cb = np.asarray(t["cb"].to_numpy(zero_copy_only=False), np.int64)
+        pmi = np.round(np.log((float(n_total) * n) / (ca * cb)), 6)
+        return pa.table({"tok_a": t["tok_a"], "tok_b": t["tok_b"],
+                         "n": n, "pmi": pmi})
+
+    scored = j.map_batches(score, batch_format="pyarrow")
+    return (scored.sort(["pmi", "tok_a", "tok_b"],
+                        descending=[True, False, False]).limit(k))

@@ -1829,3 +1829,21 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
        CAST(row_number() OVER (PARTITION BY query_id
                                ORDER BY adist ASC, vec_id ASC) AS BIGINT) AS rank
 FROM ad QUALIFY rank <= 10 ORDER BY query_id, rank"""
+
+ORACLES["pmi_collocations"] = """WITH tt AS (
+  SELECT CASE WHEN trim(coalesce(text, \'\')) = \'\' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), \'\\s+\') END AS toks
+  FROM documents),
+tok AS (SELECT unnest(toks) AS tok FROM tt),
+uni AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+p AS (SELECT toks[i] AS tok_a, toks[i+1] AS tok_b
+      FROM tt, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u
+      WHERE i + 1 <= len(toks)),
+bg AS (SELECT tok_a, tok_b, count(*) AS n FROM p GROUP BY 1, 2),
+tot AS (SELECT sum(n) AS N FROM bg)
+SELECT tok_a, tok_b, CAST(bg.n AS BIGINT) AS n,
+       round(ln(CAST(tot.N AS DOUBLE) * bg.n / (ua.c * ub.c)), 6) AS pmi
+FROM bg CROSS JOIN tot
+JOIN uni ua ON ua.tok = bg.tok_a JOIN uni ub ON ub.tok = bg.tok_b
+WHERE bg.n >= 5
+ORDER BY pmi DESC, tok_a, tok_b LIMIT 50"""

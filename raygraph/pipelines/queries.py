@@ -2140,3 +2140,17 @@ def q_pq_knn(sf_dir):
 
 
 QUERIES["pq_knn"] = q_pq_knn
+
+
+def q_pmi_collocations(sf_dir):
+    """Top-50 PMI collocations (phrase detection) over adjacent token
+    pairs with count >= 5."""
+    from raygraph.datapipe.text import pmi_collocations
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    t = K.to_table(pmi_collocations(docs, min_count=5, k=50), sort_by=None)
+    return _int64_col(t.select(["tok_a", "tok_b", "n", "pmi"]), "n")
+
+
+QUERIES["pmi_collocations"] = q_pmi_collocations

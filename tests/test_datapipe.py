@@ -836,3 +836,28 @@ def test_knn_pq_adc_recall_vs_exact():
     # 16-cell codebook on ~orthogonal random vectors is deliberately
     # coarse; chance recall@10 is 10/500 = 0.02 — require >= 5x chance
     assert hits / 50 >= 0.1
+
+
+def test_pmi_collocations_brute_force():
+    import collections
+    import math
+
+    base = _docs().to_pandas()
+    out = text.pmi_collocations(
+        rd.from_pandas(base[["doc_id", "text"]]), min_count=3, k=20
+    ).to_pandas()
+    uni: collections.Counter = collections.Counter()
+    bg: collections.Counter = collections.Counter()
+    for s in base["text"]:
+        toks = (s or "").split()
+        uni.update(toks)
+        bg.update(zip(toks, toks[1:]))
+    N = sum(bg.values())
+    rows = [(a, b, n, round(math.log((float(N) * n) / (uni[a] * uni[b])), 6))
+            for (a, b), n in bg.items() if n >= 3]
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    want = rows[:20]
+    got = list(zip(out["tok_a"], out["tok_b"], out["n"], out["pmi"]))
+    assert [(a, b, n) for a, b, n, _ in got] == [(a, b, n) for a, b, n, _ in want]
+    np.testing.assert_allclose([p for *_, p in got], [p for *_, p in want],
+                               atol=2e-6)
