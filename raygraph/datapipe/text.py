@@ -829,3 +829,88 @@ def pmi_collocations(docs_ds, *, min_count: int = 5, k: int = 50,
     scored = j.map_batches(score, batch_format="pyarrow")
     return (scored.sort(["pmi", "tok_a", "tok_b"],
                         descending=[True, False, False]).limit(k))
+
+
+def bm25_search(docs_ds, query_tokens, *, k: int = 10, k1: float = 1.2,
+                b: float = 0.75, text_col: str = "text",
+                id_col: str = "doc_id"):
+    """BM25 ranked retrieval (Robertson-Spärck Jones, Lucene idf variant):
+    ``score(d) = Σ_t ln(1 + (N - df_t + 0.5)/(df_t + 0.5)) · tf·(k1+1) /
+    (tf + k1·(1 - b + b·dl/avgdl))`` over whitespace tokens, top-``k``
+    docs by (score desc, id asc), score rounded to 6 decimals. Query
+    tokens are summed in SORTED order so the float accumulation is
+    deterministic.
+
+    Scale shape: two passes. Pass 1 reduces each batch to ONE stats row
+    (n_docs, Σdl, one df partial per query token — |Q|+2 numbers), so
+    corpus statistics cost a scalar reduce. Pass 2 broadcasts the stats,
+    scores each batch vectorized (one ``np.isin``-style match per query
+    token against the flattened token array), keeps a per-batch top-k
+    (combiner), and only |Q|-bounded survivors reach the final
+    sort+limit. The corpus text never shuffles.
+    """
+    qtoks = sorted(set(query_tokens))
+
+    def stats(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(
+            pc.fill_null(t[text_col].combine_chunks()
+                         if isinstance(t[text_col], pa.ChunkedArray)
+                         else t[text_col], ""))
+        lst = pc.split_pattern_regex(txt, r"\s+")
+        lens = np.diff(np.asarray(lst.offsets, np.int64))
+        empty = ~pc.not_equal(txt, "").to_numpy(zero_copy_only=False)
+        dl = np.where(empty, 0, lens)
+        flat = lst.values
+        parent = np.repeat(np.arange(t.num_rows), lens)
+        dfs = []
+        for qt in qtoks:
+            hit = pc.equal(flat, qt).to_numpy(zero_copy_only=False)
+            dfs.append(len(np.unique(parent[hit])))
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "sum_dl": pa.array([int(dl.sum())], pa.int64()),
+            **{f"df_{i}": pa.array([d], pa.int64())
+               for i, d in enumerate(dfs)},
+        })
+
+    st = docs_ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    N = int(st["n"].sum())
+    avgdl = float(st["sum_dl"].sum()) / max(N, 1)
+    df = {qt: int(st[f"df_{i}"].sum()) for i, qt in enumerate(qtoks)}
+    idf = {qt: np.log(1.0 + (N - df[qt] + 0.5) / (df[qt] + 0.5))
+           for qt in qtoks}
+
+    def score(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(
+            pc.fill_null(t[text_col].combine_chunks()
+                         if isinstance(t[text_col], pa.ChunkedArray)
+                         else t[text_col], ""))
+        lst = pc.split_pattern_regex(txt, r"\s+")
+        lens = np.diff(np.asarray(lst.offsets, np.int64))
+        empty = ~pc.not_equal(txt, "").to_numpy(zero_copy_only=False)
+        dl = np.where(empty, 0, lens).astype(np.float64)
+        flat = lst.values
+        parent = np.repeat(np.arange(t.num_rows), lens)
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), np.int64)
+        s = np.zeros(t.num_rows)
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        for qt in qtoks:  # sorted order fixes the accumulation order
+            hit = pc.equal(flat, qt).to_numpy(zero_copy_only=False)
+            tf = np.bincount(parent[hit], minlength=t.num_rows).astype(
+                np.float64)
+            s += idf[qt] * tf * (k1 + 1.0) / (tf + norm)
+        cand = np.flatnonzero(s > 0)
+        kk = min(k, len(cand))
+        if kk and len(cand) > kk:
+            # tie-aware partial top-k: widen the cut by half a rounding
+            # step so a doc that ROUNDS equal to the batch k-th (and
+            # would win the global id tie-break) is never pruned early
+            kth = np.partition(s[cand], len(cand) - kk)[len(cand) - kk]
+            cand = cand[s[cand] >= kth - 5e-7]
+        order = cand[np.lexsort((ids[cand], -s[cand]))]
+        return pa.table({id_col: ids[order],
+                         "score": np.round(s[order], 6)})
+
+    scored = docs_ds.map_batches(score, batch_format="pyarrow")
+    return scored.sort(["score", id_col],
+                       descending=[True, False]).limit(k)

@@ -1847,3 +1847,24 @@ FROM bg CROSS JOIN tot
 JOIN uni ua ON ua.tok = bg.tok_a JOIN uni ub ON ub.tok = bg.tok_b
 WHERE bg.n >= 5
 ORDER BY pmi DESC, tok_a, tok_b LIMIT 50"""
+
+ORACLES["bm25_topk"] = """WITH tt AS (
+  SELECT doc_id,
+         CASE WHEN trim(coalesce(text, \'\')) = \'\' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), \'\\s+\') END AS toks
+  FROM documents),
+stats AS (SELECT count(*) AS N, avg(len(toks)) AS avgdl FROM tt),
+f AS (SELECT doc_id, unnest(toks) AS tok FROM tt),
+q AS (SELECT unnest([\'column\', \'hash\', \'join\']) AS tok),
+tf AS (SELECT f.doc_id, f.tok, count(*) AS tf FROM f JOIN q USING (tok)
+       GROUP BY 1, 2),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tt),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.N - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY 1)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score
+FROM sc ORDER BY score DESC, doc_id LIMIT 10"""

@@ -2154,3 +2154,18 @@ def q_pmi_collocations(sf_dir):
 
 
 QUERIES["pmi_collocations"] = q_pmi_collocations
+
+
+def q_bm25_topk(sf_dir):
+    """BM25 top-10 docs for the query {column, hash, join} (Lucene idf,
+    k1=1.2, b=0.75)."""
+    from raygraph.datapipe.text import bm25_search
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    out = bm25_search(docs, ["column", "hash", "join"], k=10)
+    t = K.to_table(out, sort_by=None)
+    return _int64_col(t.select(["doc_id", "score"]), "doc_id")
+
+
+QUERIES["bm25_topk"] = q_bm25_topk

@@ -861,3 +861,30 @@ def test_pmi_collocations_brute_force():
     assert [(a, b, n) for a, b, n, _ in got] == [(a, b, n) for a, b, n, _ in want]
     np.testing.assert_allclose([p for *_, p in got], [p for *_, p in want],
                                atol=2e-6)
+
+
+def test_bm25_matches_brute_force():
+    base = _docs().to_pandas()
+    q = ["customer", "order"]
+    out = text.bm25_search(rd.from_pandas(base[["doc_id", "text"]]),
+                           q, k=8).to_pandas()
+    # brute force
+    toks = [(s or "").split() for s in base["text"]]
+    N = len(toks)
+    avgdl = sum(len(t) for t in toks) / N
+    df = {t: sum(1 for d in toks if t in d) for t in q}
+    scores = {}
+    for did, d in zip(base["doc_id"], toks):
+        s = 0.0
+        for t in sorted(q):
+            tf = d.count(t)
+            if tf:
+                idf = np.log(1.0 + (N - df[t] + 0.5) / (df[t] + 0.5))
+                s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(d) / avgdl))
+        if s > 0:
+            scores[int(did)] = round(s, 6)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+    got = list(zip(out["doc_id"], out["score"]))
+    assert [d for d, _ in got] == [d for d, _ in want]
+    np.testing.assert_allclose([s for _, s in got], [s for _, s in want],
+                               atol=2e-6)
