@@ -424,7 +424,8 @@ def run_bench() -> dict:
                  "emb_dim_stats", "dedup_apply",
                  "emb_normalize", "emb_quantize",
                  "contract_mod7", "sample_neighbors", "pq_codes",
-                 "jl_project", "pq_knn", "pmi_collocations", "bm25_topk"):
+                 "jl_project", "pq_knn", "pmi_collocations", "bm25_topk",
+                 "ngram_scrub"):
         t = time.perf_counter()
         out = QUERIES[name](SF_DIR)
         if hasattr(out, "materialize"):

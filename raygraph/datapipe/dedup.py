@@ -137,6 +137,87 @@ def repeated_ngrams(docs_ds, *, n: int = 8, min_docs: int = 2,
     return pairs.groupby("bucket").map_groups(stats, batch_format="pyarrow")
 
 
+def ngram_scrub(docs_ds, *, n: int = 8, min_docs: int = 2,
+                text_col: str = "text", id_col: str = "doc_id",
+                num_buckets: int = 64, max_grams: int = 8_000_000):
+    """The removal step of substring-level dedup (Lee et al. 2022): every
+    token position covered by a cross-document repeated n-gram is marked
+    for scrubbing. Returns per non-empty doc
+    ``(doc_id, n_tok, n_covered, n_spans, keep_tok)`` — the span count and
+    surviving-token count a downstream filter/rewrite stage consumes.
+
+    Scale shape: pass 1 is the distributed :func:`repeated_ngrams` stats
+    (combiner-first bucketed reduce); its output — the boilerplate
+    dictionary, keys only — is corpus-SUBLINEAR (only grams seen in >=
+    ``min_docs`` distinct docs survive), so it is collected once, sorted,
+    and broadcast via ``ray.put`` (``max_grams`` guards the regime:
+    8 M keys = 64 MB; above it raise ``min_docs`` — same documented-bound
+    pattern as graph._build_broadcast). Pass 2 recomputes the rolling
+    mix64 gram chain per doc and marks coverage with a single
+    ``searchsorted`` membership probe + difference-array accumulation per
+    doc — no shuffle at all in pass 2.
+    """
+    import ray
+
+    rep = repeated_ngrams(docs_ds, n=n, min_docs=min_docs, text_col=text_col,
+                          id_col=id_col, num_buckets=num_buckets)
+    gram_hex = pa.concat_tables(ray.get(rep.to_arrow_refs()))
+    gram_hex = gram_hex["gram"].to_pylist()
+    if len(gram_hex) > max_grams:
+        raise ValueError(
+            f"repeated-gram dictionary has {len(gram_hex)} keys > max_grams="
+            f"{max_grams}; raise min_docs (or max_grams) — the broadcast "
+            "regime assumes a corpus-sublinear boilerplate set")
+    keys = np.sort(np.array([int(g, 16) for g in gram_hex], dtype=np.uint64))
+    keys_ref = ray.put(keys)
+    nn = n
+
+    def scrub(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), np.int64)
+        texts = t[text_col].to_pylist()
+        o_id, o_nt, o_cov, o_sp = [], [], [], []
+        with np.errstate(over="ignore"):
+            for did, s in zip(ids, texts):
+                toks = (s or "").split()
+                nt = len(toks)
+                if nt == 0:
+                    continue
+                cov_n = spans = 0
+                if nt >= nn and len(ks):
+                    hs = _token_hashes(toks)
+                    m = nt - nn + 1
+                    g = mix64(hs[:m])
+                    for j in range(1, nn):
+                        g = mix64(g ^ hs[j:m + j])
+                    idx = np.searchsorted(ks, g)
+                    ok = idx < len(ks)
+                    ok[ok] = ks[idx[ok]] == g[ok]
+                    hits = np.flatnonzero(ok)
+                    if len(hits):
+                        delta = np.zeros(nt + 1, np.int64)
+                        np.add.at(delta, hits, 1)
+                        np.add.at(delta, hits + nn, -1)
+                        cov = np.cumsum(delta[:nt]) > 0
+                        cov_n = int(cov.sum())
+                        spans = int((cov & ~np.r_[False, cov[:-1]]).sum())
+                o_id.append(did)
+                o_nt.append(nt)
+                o_cov.append(cov_n)
+                o_sp.append(spans)
+        nt_a = np.asarray(o_nt, np.int64)
+        cov_a = np.asarray(o_cov, np.int64)
+        return pa.table({
+            id_col: pa.array(o_id, pa.int64()),
+            "n_tok": nt_a,
+            "n_covered": cov_a,
+            "n_spans": pa.array(o_sp, pa.int64()),
+            "keep_tok": nt_a - cov_a,
+        })
+
+    return docs_ds.map_batches(scrub, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- minhash ----
 
 

@@ -1868,3 +1868,43 @@ sc AS (
   GROUP BY 1)
 SELECT CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score
 FROM sc ORDER BY score DESC, doc_id LIMIT 10"""
+
+
+# ngram_scrub: the Lee et al. removal step — coverage/span arithmetic over
+# the SAME mix64 gram chain as repeated_ngrams; span heads via window lag.
+ORACLES["ngram_scrub"] = f"""WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+),
+th AS (
+  SELECT doc_id, len(ts) AS n_tok,
+         list_transform(ts, t -> {_TOKEN_HASH_SQL}) AS hs
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, i,
+         list_reduce(list_prepend(CAST(0 AS UBIGINT), hs[i:i + {_NGRAM_N - 1}]),
+                     {_GRAM_LAMBDA_SQL}) AS gram
+  FROM th, LATERAL (SELECT unnest(range(1, len(hs) - {_NGRAM_N} + 2)) AS i) u
+  WHERE n_tok >= {_NGRAM_N}
+),
+rep AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+),
+cov AS (
+  SELECT DISTINCT g.doc_id, g.i + o.o AS p
+  FROM grams g JOIN rep USING (gram),
+       LATERAL (SELECT unnest(range(0, {_NGRAM_N})) AS o) o
+),
+covn AS (SELECT doc_id, count(*) AS n_covered FROM cov GROUP BY doc_id),
+spans AS (
+  SELECT doc_id, count(*) AS n_spans FROM (
+    SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp
+    FROM cov
+  ) WHERE pp IS NULL OR p - pp > 1 GROUP BY doc_id)
+SELECT t.doc_id, CAST(t.n_tok AS BIGINT) AS n_tok,
+       CAST(coalesce(c.n_covered, 0) AS BIGINT) AS n_covered,
+       CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(t.n_tok - coalesce(c.n_covered, 0) AS BIGINT) AS keep_tok
+FROM th t LEFT JOIN covn c USING (doc_id) LEFT JOIN spans s USING (doc_id)
+ORDER BY t.doc_id"""

@@ -2169,3 +2169,21 @@ def q_bm25_topk(sf_dir):
 
 
 QUERIES["bm25_topk"] = q_bm25_topk
+
+
+def q_ngram_scrub(sf_dir):
+    """Substring-dedup removal step (Lee et al. 2022): per-doc covered
+    token positions / maximal spans under the cross-doc repeated-8-gram
+    dictionary, hash-checked — the SQL oracle reproduces the mix64 gram
+    chain AND the coverage/span arithmetic (window lag for span heads)."""
+    from raygraph.datapipe.dedup import ngram_scrub
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    out = ngram_scrub(docs, n=8, min_docs=2)
+    t = K.to_table(out, sort_by=None).select(
+        ["doc_id", "n_tok", "n_covered", "n_spans", "keep_tok"])
+    return t.sort_by([("doc_id", "ascending")])
+
+
+QUERIES["ngram_scrub"] = q_ngram_scrub

@@ -331,6 +331,41 @@ def test_repeated_ngrams_finds_planted_span():
     assert set(out["gram"]) == set(out2["gram"])
 
 
+def test_ngram_scrub_coverage_and_spans():
+    import pandas as pd
+
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    filler = " ".join(f"u{i}" for i in range(10))
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            span + " " + filler + " " + span,   # two disjoint spans
+            "lead " + span + " tail",           # one span mid-doc
+            " ".join(f"z{i}" for i in range(14)),  # clean doc, disjoint vocab
+            "",                                  # empty -> dropped
+        ],
+    }))
+    out = dedup.ngram_scrub(docs, n=8, min_docs=2).to_pandas()
+    out = out.set_index("doc_id").sort_index()
+    assert list(out.index) == [1, 2, 3]
+    # doc 1: 8 + 10 + 8 tokens, both planted spans covered, 2 spans
+    assert out.loc[1, "n_tok"] == 26
+    assert out.loc[1, "n_covered"] == 16
+    assert out.loc[1, "n_spans"] == 2
+    assert out.loc[1, "keep_tok"] == 10
+    # doc 2: the span is covered, lead/tail survive
+    assert out.loc[2, "n_tok"] == 10
+    assert out.loc[2, "n_covered"] == 8
+    assert out.loc[2, "n_spans"] == 1
+    # doc 3: untouched
+    assert out.loc[3, "n_covered"] == 0 and out.loc[3, "n_spans"] == 0
+    assert out.loc[3, "keep_tok"] == out.loc[3, "n_tok"]
+    # partition-invariant
+    out2 = dedup.ngram_scrub(docs.repartition(4), n=8, min_docs=2).to_pandas()
+    assert out2.sort_values("doc_id").reset_index(drop=True).equals(
+        out.reset_index().sort_values("doc_id").reset_index(drop=True))
+
+
 def test_media_real_codecs_round_trip():
     """Pure-numpy public-format codecs (VERDICT r3 next #5): PPM/PGM and
     WAV PCM16 must round-trip bit-exactly; RAWV frame container too."""
