@@ -1908,3 +1908,60 @@ SELECT t.doc_id, CAST(t.n_tok AS BIGINT) AS n_tok,
        CAST(t.n_tok - coalesce(c.n_covered, 0) AS BIGINT) AS keep_tok
 FROM th t LEFT JOIN covn c USING (doc_id) LEFT JOIN spans s USING (doc_id)
 ORDER BY t.doc_id"""
+
+
+# betweenness4: Brandes from landmarks {1,2,5,7}, depth-4 truncated,
+# programmatically unrolled level-synchronous sigma + dependency CTEs
+# (same pattern as the other unrolled BFS-family oracles).
+_BC_SOURCES = [1, 2, 5, 7]
+_BC_D = 4
+
+
+def _bc_sql(sources, D):
+    srcs = ", ".join(f"CAST({s} AS BIGINT)" for s in sources)
+    parts = [
+        f"reach(source, v, d) AS (SELECT s.v, s.v, CAST(0 AS BIGINT) "
+        f"FROM (SELECT unnest([{srcs}]) AS v) s "
+        f"UNION SELECT reach.source, eb.dst, reach.d + 1 "
+        f"FROM reach JOIN ebin eb ON eb.src = reach.v WHERE reach.d < {D})",
+        "md AS (SELECT source, v, min(d) AS dist FROM reach "
+        "GROUP BY source, v)",
+        f"sig0 AS (SELECT v AS source, v, CAST(1 AS DOUBLE) AS sigma "
+        f"FROM (SELECT unnest([{srcs}]) AS v))",
+    ]
+    for k in range(1, D + 1):
+        parts.append(
+            f"sig{k} AS (SELECT s.source, eb.dst AS v, "
+            f"CAST(sum(s.sigma) AS DOUBLE) AS sigma "
+            f"FROM sig{k - 1} s JOIN ebin eb ON eb.src = s.v "
+            f"JOIN md m ON m.source = s.source AND m.v = eb.dst "
+            f"AND m.dist = {k} GROUP BY 1, 2)")
+    parts.append("sig AS (" + " UNION ALL ".join(
+        f"SELECT source, v, sigma, {k} AS dist FROM sig{k}"
+        for k in range(D + 1)) + ")")
+    parts.append(
+        f"delta{D} AS (SELECT CAST(NULL AS BIGINT) AS source, "
+        f"CAST(NULL AS BIGINT) AS v, CAST(0 AS DOUBLE) AS delta "
+        f"WHERE 1 = 0)")
+    for k in range(D - 1, -1, -1):
+        parts.append(
+            f"delta{k} AS (SELECT m.source, m.v, "
+            f"coalesce(x.delta, 0) AS delta FROM md m LEFT JOIN ("
+            f"SELECT sv.source, sv.v, sum(sv.sigma / sw.sigma * "
+            f"(1 + coalesce(dn.delta, 0))) AS delta "
+            f"FROM sig sv JOIN ebin eb ON eb.src = sv.v "
+            f"JOIN sig sw ON sw.source = sv.source AND sw.v = eb.dst "
+            f"AND sw.dist = {k + 1} "
+            f"LEFT JOIN delta{k + 1} dn ON dn.source = sv.source "
+            f"AND dn.v = eb.dst "
+            f"WHERE sv.dist = {k} GROUP BY 1, 2"
+            f") x ON x.source = m.source AND x.v = m.v "
+            f"WHERE m.dist = {k})")
+    alld = " UNION ALL ".join(f"SELECT * FROM delta{k}" for k in range(D))
+    return ("WITH RECURSIVE " + _E + ", " + _EBIN + ",\n"
+            + ",\n".join(parts)
+            + f"\nSELECT v, round(sum(delta), 6) AS bc FROM ({alld}) "
+            "WHERE v <> source GROUP BY v ORDER BY v")
+
+
+ORACLES["betweenness4"] = _bc_sql(_BC_SOURCES, _BC_D)

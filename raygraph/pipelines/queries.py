@@ -2187,3 +2187,25 @@ def q_ngram_scrub(sf_dir):
 
 
 QUERIES["ngram_scrub"] = q_ngram_scrub
+
+
+def q_betweenness4(sf_dir):
+    """Landmark betweenness (Brandes batch recipe, depth-4 truncation)
+    from sources {1, 2, 5, 7}: forward sigma supersteps on A, backward
+    dependency supersteps on the reversed twin A^T; hash-checked against
+    a programmatically-unrolled level-synchronous SQL oracle."""
+    from raygraph.algorithms.betweenness import betweenness
+
+    edges = _edges_dedup(sf_dir).materialize()
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["dst"], "dst": t["src"], "w": t["w"],
+                         "n": t["n"]})
+
+    g = build_graph(edges, num_parts=16, dup_op="first", binarize=True)
+    rg = build_graph(edges.map_batches(rev, batch_format="pyarrow"),
+                     num_parts=16, dup_op="first", binarize=True)
+    return betweenness(g, rg, [1, 2, 5, 7], depth=4)
+
+
+QUERIES["betweenness4"] = q_betweenness4

@@ -451,3 +451,63 @@ def test_sample_neighbors_fanout_and_determinism():
                       ("dst", "ascending")]).equals(
         t2.sort_by([("hop", "ascending"), ("src", "ascending"),
                     ("dst", "ascending")]))
+
+
+# ---------------------------------------------------------- betweenness ----
+
+
+def _brandes_oracle(A: np.ndarray, sources, depth):
+    """Pure-Python Brandes (directed, truncated at ``depth`` levels):
+    returns ({v: bc}, set of emitted vertices) matching the operator's
+    output-set rule (reached at dist < depth, source excluded)."""
+    n = A.shape[0]
+    bc = np.zeros(n)
+    emitted = set()
+    for s in sources:
+        dist = np.full(n, -1)
+        sigma = np.zeros(n)
+        dist[s] = 0
+        sigma[s] = 1.0
+        frontier = [s]
+        levels = [[s]]
+        for k in range(depth):
+            nxt = []
+            for v in frontier:
+                for w in np.flatnonzero(A[v]):
+                    if dist[w] == -1:
+                        dist[w] = k + 1
+                        nxt.append(w)
+                    if dist[w] == k + 1:
+                        sigma[w] += sigma[v]
+            if not nxt:
+                break
+            levels.append(nxt)
+            frontier = nxt
+        delta = np.zeros(n)
+        for lvl in reversed(levels[:-1]):
+            for v in lvl:
+                for w in np.flatnonzero(A[v]):
+                    if dist[w] == dist[v] + 1:
+                        delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+        for v in range(n):
+            if 0 <= dist[v] < depth and v != s:
+                bc[v] += delta[v]
+                emitted.add(v)
+    return bc, emitted
+
+
+@pytest.mark.parametrize("seed,depth", [(7, 3), (11, 64)])
+def test_betweenness_matches_brandes_oracle(seed, depth):
+    from raygraph.algorithms.betweenness import betweenness
+
+    A = (fx.random_graph(40, 0.08, seed=seed) > 0).astype(float)
+    np.fill_diagonal(A, 0)
+    g = build_graph(_edges_ds(A), num_parts=4, binarize=True)
+    rg = build_graph(_edges_ds(A.T), num_parts=4, binarize=True)
+    sources = [0, 3, 9]
+    out = betweenness(g, rg, sources, depth=depth)
+    got = dict(zip(out["v"].to_pylist(), out["bc"].to_pylist()))
+    want, emitted = _brandes_oracle(A, sources, depth)
+    assert set(got) == emitted
+    for v in emitted:
+        assert abs(got[v] - want[v]) < 1e-5, (v, got[v], want[v])
