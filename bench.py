@@ -425,7 +425,8 @@ def run_bench() -> dict:
                  "emb_normalize", "emb_quantize",
                  "contract_mod7", "sample_neighbors", "pq_codes",
                  "jl_project", "pq_knn", "pmi_collocations", "bm25_topk",
-                 "ngram_scrub", "betweenness4"):
+                 "ngram_scrub", "betweenness4", "modularity7",
+                 "hyperball2"):
         t = time.perf_counter()
         out = QUERIES[name](SF_DIR)
         if hasattr(out, "materialize"):

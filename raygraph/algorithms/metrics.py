@@ -286,3 +286,62 @@ def degree_assortativity(edges, *, num_buckets: int = _B) -> pa.Table:
         "sxy": pa.array([sxy], pa.int64()),
         "assortativity": pa.array([r], pa.float64()),
     })
+
+
+def modularity(edges, labels: pa.Table) -> pa.Table:
+    """Directed modularity (Newman-Leicht 2008) of a GIVEN partition:
+    per community c over the distinct directed edge set,
+    ``q_c = e_c/m - (dout_c/m)*(din_c/m)`` with m = total edges; the
+    graph's modularity is ``sum(q_c)``. ``labels`` is a vertex table
+    ``(v, label)`` covering every endpoint.
+
+    Distributed shape: the label vector is O(V) — ``ray.put`` once,
+    searchsorted lookup zero-copy in every map task (at extreme V swap
+    for a bucket join on v, as edge_jaccard notes); each edge batch
+    pre-combines to at most 3·|labels| partial rows (dout/din/e_in per
+    label — combiner), ONE small ``groupby(label).sum`` merges them,
+    and the driver folds only |labels| rows for the m normalization.
+
+    Returns (label, e_in, dout, din, q) per community, q rounded 6.
+    """
+    import ray
+
+    lv = np.asarray(labels["v"].to_numpy(zero_copy_only=False), np.uint64)
+    ll = np.asarray(labels["label"].to_numpy(zero_copy_only=False), np.int64)
+    order = np.argsort(lv)
+    lab_ref = ray.put((lv[order], ll[order]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        bids, blab = ray.get(lab_ref)
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        ls = blab[np.searchsorted(bids, s)]
+        ld = blab[np.searchsorted(bids, d)]
+        u = np.unique(np.concatenate([ls, ld]))
+        dout = np.bincount(np.searchsorted(u, ls), minlength=len(u))
+        din = np.bincount(np.searchsorted(u, ld), minlength=len(u))
+        same = ls == ld
+        ein = np.bincount(np.searchsorted(u, ls[same]), minlength=len(u))
+        return pa.table({"label": u,
+                         "e_in": ein.astype(np.int64),
+                         "dout": dout.astype(np.int64),
+                         "din": din.astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    agg = (K._ds(edges).map_batches(partial, batch_format="pyarrow")
+           .groupby("label")
+           .aggregate(Sum("e_in", alias_name="e_in"),
+                      Sum("dout", alias_name="dout"),
+                      Sum("din", alias_name="din")))
+    t = K.to_table(agg, sort_by=None).sort_by([("label", "ascending")])
+    ein = np.asarray(t["e_in"].to_numpy(zero_copy_only=False), np.float64)
+    dout = np.asarray(t["dout"].to_numpy(zero_copy_only=False), np.float64)
+    din = np.asarray(t["din"].to_numpy(zero_copy_only=False), np.float64)
+    m = dout.sum()
+    q = ein / m - (dout / m) * (din / m)
+    return pa.table({"label": t["label"].cast(pa.int64()),
+                     "e_in": t["e_in"].cast(pa.int64()),
+                     "dout": t["dout"].cast(pa.int64()),
+                     "din": t["din"].cast(pa.int64()),
+                     "q": np.round(q, 6)})

@@ -1965,3 +1965,75 @@ def _bc_sql(sources, D):
 
 
 ORACLES["betweenness4"] = _bc_sql(_BC_SOURCES, _BC_D)
+
+
+# modularity7: directed Newman-Leicht modularity of the v % 7 partition
+# over the distinct edge set; identical float expression order as
+# metrics.modularity (e/m - (dout/m)*(din/m), DOUBLE casts).
+ORACLES["modularity7"] = f"""WITH {_E}, {_EBIN},
+lab AS (SELECT v, v % 7 AS label
+        FROM (SELECT src AS v FROM ebin UNION SELECT dst AS v FROM ebin)),
+j AS (SELECT ls.label AS lsrc, ld.label AS ldst FROM ebin
+      JOIN lab ls ON ls.v = ebin.src JOIN lab ld ON ld.v = ebin.dst),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM j),
+douts AS (SELECT lsrc AS label, count(*) AS dout FROM j GROUP BY 1),
+dins AS (SELECT ldst AS label, count(*) AS din FROM j GROUP BY 1),
+eins AS (SELECT lsrc AS label, count(*) AS e_in FROM j
+         WHERE lsrc = ldst GROUP BY 1),
+base AS (SELECT DISTINCT label FROM lab)
+SELECT b.label,
+       CAST(coalesce(ei.e_in, 0) AS BIGINT) AS e_in,
+       CAST(coalesce(do_.dout, 0) AS BIGINT) AS dout,
+       CAST(coalesce(di.din, 0) AS BIGINT) AS din,
+       round(coalesce(ei.e_in, 0) / t.m
+             - (coalesce(do_.dout, 0) / t.m)
+               * (coalesce(di.din, 0) / t.m), 6) AS q
+FROM base b
+LEFT JOIN eins ei USING (label)
+LEFT JOIN douts do_ USING (label)
+LEFT JOIN dins di USING (label)
+CROSS JOIN tot t
+ORDER BY b.label"""
+
+
+def _hyperball_sql(radius: int, p: int) -> str:
+    """HyperBall ANF oracle: register init = the _hll_sql hash/ladder on
+    vertex ids, ball membership via hop-bounded recursive reach, then the
+    HLL estimate (generic-alpha + linear-counting) per (v, t)."""
+    m = 1 << p
+    m_bits = 64 - p
+    h = _mix64_sql("CAST(v AS UBIGINT)")
+    ladder = " ".join(
+        f"WHEN w >= CAST({1 << (b - 1)} AS UBIGINT) THEN {m_bits - b + 1}"
+        for b in range(m_bits, 0, -1))
+    alpha = f"(0.7213 / (1 + 1.079 / {m}))"
+    return f"""WITH RECURSIVE {_E}, {_EBIN}, {_N},
+reach(v, u, d) AS (
+  SELECT v, v, CAST(0 AS BIGINT) FROM n
+  UNION
+  SELECT reach.v, eb.dst, reach.d + 1
+  FROM reach JOIN ebin eb ON eb.src = reach.u WHERE reach.d < {radius}
+),
+md AS (SELECT v, u, min(d) AS dist FROM reach GROUP BY v, u),
+hx AS (SELECT v, {h} AS h FROM n),
+ru AS (SELECT v AS u, CAST(h >> {m_bits} AS BIGINT) AS register,
+       CAST(CASE {ladder} ELSE {m_bits + 1} END AS DOUBLE) AS rk
+       FROM (SELECT v, h, h & CAST({(1 << m_bits) - 1} AS UBIGINT) AS w
+             FROM hx)),
+rt AS (SELECT m.v, tt.t, r.register, max(r.rk) AS maxrank
+       FROM md m JOIN ru r ON r.u = m.u
+       CROSS JOIN (SELECT unnest(range(1, {radius + 1})) AS t) tt
+       WHERE m.dist <= tt.t GROUP BY 1, 2, 3),
+ag AS (SELECT v, t, count(*) AS cnt, sum(pow(2.0, -maxrank)) AS sp
+       FROM rt GROUP BY v, t),
+e0 AS (SELECT v, t, cnt,
+       ({alpha} * {m} * {m}) / (CAST({m} - cnt AS DOUBLE) + sp) AS est
+       FROM ag)
+SELECT v, CAST(t AS BIGINT) AS t,
+       round(CASE WHEN est <= {2.5 * m} AND cnt < {m}
+                  THEN {m} * ln({m} / CAST(greatest({m} - cnt, 1) AS DOUBLE))
+                  ELSE est END, 6) AS est
+FROM e0 ORDER BY v, t"""
+
+
+ORACLES["hyperball2"] = _hyperball_sql(2, 4)

@@ -2209,3 +2209,42 @@ def q_betweenness4(sf_dir):
 
 
 QUERIES["betweenness4"] = q_betweenness4
+
+
+def q_modularity7(sf_dir):
+    """Directed Newman-Leicht modularity of the v%7 partition over the
+    distinct edge set: per-community (e_in, dout, din, q), hash-checked."""
+    from raygraph.algorithms.metrics import modularity
+
+    edges = _edges_dedup(sf_dir).materialize()
+    et = K.to_table(edges, sort_by=None)
+    vs = np.unique(np.concatenate([
+        np.asarray(et["src"].to_numpy(zero_copy_only=False), np.uint64),
+        np.asarray(et["dst"].to_numpy(zero_copy_only=False), np.uint64)]))
+    labels = pa.table({"v": vs, "label": (vs % np.uint64(7)).astype(np.int64)})
+    return modularity(edges, labels)
+
+
+QUERIES["modularity7"] = q_modularity7
+
+
+def q_hyperball2(sf_dir):
+    """HyperBall ANF: per-vertex HLL out-ball size estimates at t=1,2
+    (p=4, 16 registers), max-merge supersteps on the reversed twin;
+    hash-checked — the SQL oracle reproduces register init, hop-bounded
+    reachability, per-register max AND the HLL estimate formula."""
+    from raygraph.algorithms.anf import hyperball
+
+    edges = _edges_dedup(sf_dir).materialize()
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["dst"], "dst": t["src"], "w": t["w"],
+                         "n": t["n"]})
+
+    g = build_graph(edges, num_parts=16, dup_op="first", binarize=True)
+    rg = build_graph(edges.map_batches(rev, batch_format="pyarrow"),
+                     num_parts=16, dup_op="first", binarize=True)
+    return hyperball(g, rg, radius=2, p=4)
+
+
+QUERIES["hyperball2"] = q_hyperball2

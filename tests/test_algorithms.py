@@ -511,3 +511,66 @@ def test_betweenness_matches_brandes_oracle(seed, depth):
     assert set(got) == emitted
     for v in emitted:
         assert abs(got[v] - want[v]) < 1e-5, (v, got[v], want[v])
+
+
+# ----------------------------------------------------- modularity / ANF ----
+
+
+def test_modularity_matches_brute_force():
+    from raygraph.algorithms.metrics import modularity
+
+    rng = np.random.default_rng(5)
+    A = (fx.random_graph(50, 0.07, seed=5) > 0).astype(float)
+    vs = np.arange(50, dtype=np.uint64)
+    lab = rng.integers(0, 4, 50)
+    labels = pa.table({"v": vs, "label": lab.astype(np.int64)})
+    out = modularity(rd.from_arrow(fx.dense_to_edge_table(A)), labels)
+    df = out.to_pandas().set_index("label")
+    s, d = np.nonzero(A)
+    m = len(s)
+    for c in np.unique(lab[np.concatenate([s, d])]):
+        ein = int(((lab[s] == c) & (lab[d] == c)).sum())
+        dout = int((lab[s] == c).sum())
+        din = int((lab[d] == c).sum())
+        assert df.loc[c, "e_in"] == ein
+        assert df.loc[c, "dout"] == dout and df.loc[c, "din"] == din
+        want = ein / m - (dout / m) * (din / m)
+        assert abs(df.loc[c, "q"] - want) < 5.1e-7  # operator rounds to 6
+    # whole-graph modularity = sum of community terms, in [-1, 1]
+    assert -1.0 <= df["q"].sum() <= 1.0
+
+
+def test_hyperball_matches_brute_force_hll():
+    from raygraph.algorithms.anf import hyperball
+    from raygraph.util import mix64
+
+    p, m = 4, 16
+    m_bits = 64 - p
+    A = (fx.random_graph(40, 0.08, seed=9) > 0).astype(float)
+    np.fill_diagonal(A, 0)
+    g = build_graph(_edges_ds(A), num_parts=4, binarize=True)
+    rg = build_graph(_edges_ds(A.T), num_parts=4, binarize=True)
+    out = hyperball(g, rg, radius=2, p=p).to_pandas()
+
+    # brute force: exact ball membership, then the same HLL registers
+    h = mix64(np.arange(40, dtype=np.uint64))
+    reg = (h >> np.uint64(m_bits)).astype(np.int64)
+    pow2 = np.uint64(1) << np.arange(0, m_bits, dtype=np.uint64)
+    w = h & ((np.uint64(1) << np.uint64(m_bits)) - np.uint64(1))
+    rank = (m_bits - np.searchsorted(pow2, w, side="right") + 1).astype(float)
+    R = (A > 0)
+    ball = np.eye(40, dtype=bool)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    for t in (1, 2):
+        ball = ball | (ball @ R)
+        for v in range(40):
+            regs = np.zeros(m)
+            members = np.flatnonzero(ball[v])
+            np.maximum.at(regs, reg[members], rank[members])
+            s = np.exp2(-regs).sum()
+            est = alpha * m * m / s
+            zeros = int((regs == 0).sum())
+            if est <= 2.5 * m and zeros:
+                est = m * np.log(m / zeros)
+            got = out[(out["v"] == v) & (out["t"] == t)]["est"].iloc[0]
+            assert abs(got - est) < 1e-5, (v, t, got, est)
