@@ -161,8 +161,9 @@ def ngram_scrub(docs_ds, *, n: int = 8, min_docs: int = 2,
 
     rep = repeated_ngrams(docs_ds, n=n, min_docs=min_docs, text_col=text_col,
                           id_col=id_col, num_buckets=num_buckets)
-    gram_hex = pa.concat_tables(ray.get(rep.to_arrow_refs()))
-    gram_hex = gram_hex["gram"].to_pylist()
+    # empty map_groups blocks may carry a null schema — drop before concat
+    tabs = [t for t in ray.get(rep.to_arrow_refs()) if t.num_rows]
+    gram_hex = (pa.concat_tables(tabs)["gram"].to_pylist() if tabs else [])
     if len(gram_hex) > max_grams:
         raise ValueError(
             f"repeated-gram dictionary has {len(gram_hex)} keys > max_grams="

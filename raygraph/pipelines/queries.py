@@ -2202,9 +2202,9 @@ def q_betweenness4(sf_dir):
         return pa.table({"src": t["dst"], "dst": t["src"], "w": t["w"],
                          "n": t["n"]})
 
-    g = build_graph(edges, num_parts=16, dup_op="first", binarize=True)
+    g = build_graph(edges, num_parts=4, dup_op="first", binarize=True)
     rg = build_graph(edges.map_batches(rev, batch_format="pyarrow"),
-                     num_parts=16, dup_op="first", binarize=True)
+                     num_parts=4, dup_op="first", binarize=True)
     return betweenness(g, rg, [1, 2, 5, 7], depth=4)
 
 
@@ -2241,9 +2241,9 @@ def q_hyperball2(sf_dir):
         return pa.table({"src": t["dst"], "dst": t["src"], "w": t["w"],
                          "n": t["n"]})
 
-    g = build_graph(edges, num_parts=16, dup_op="first", binarize=True)
+    g = build_graph(edges, num_parts=4, dup_op="first", binarize=True)
     rg = build_graph(edges.map_batches(rev, batch_format="pyarrow"),
-                     num_parts=16, dup_op="first", binarize=True)
+                     num_parts=4, dup_op="first", binarize=True)
     return hyperball(g, rg, radius=2, p=4)
 
 
