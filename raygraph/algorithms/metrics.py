@@ -345,3 +345,53 @@ def modularity(edges, labels: pa.Table) -> pa.Table:
                      "dout": t["dout"].cast(pa.int64()),
                      "din": t["din"].cast(pa.int64()),
                      "q": np.round(q, 6)})
+
+
+def adamic_adar(edges, *, num_buckets: int = _B):
+    """Adamic-Adar link-prediction score for every EXISTING undirected
+    edge with >= 1 common neighbor: ``AA(u,v) = sum over w in
+    N(u) ∩ N(v) of 1 / ln(deg_w)`` — the edge-support recipe with the
+    intermediate vertex's inverse-log-degree riding as the right
+    operand's edge weight: ``C(A) << A.mxm(D_invlog A)`` (masked
+    plus_times mxm; common neighbors always have deg >= 2, so the log
+    never vanishes on a contributing wedge).
+
+    Distributed shape: the degree vector is O(V) — ``ray.put`` once,
+    zero-copy searchsorted lookup per batch; the rescaled twin B is a
+    shuffle-free map over the symmetric edge set; all wedge work is the
+    ONE masked-mxm bucketed exchange edge_jaccard already uses.
+
+    Returns a Dataset (src, dst, aa) per upper-triangle edge, round 6.
+    """
+    import ray
+
+    sym = sym_edges(edges, num_buckets=num_buckets).materialize()
+
+    degt = K.to_table(K.reduce_rowwise(sym, "plus"), sort_by=None)
+    ids = np.asarray(degt["v"].to_numpy(zero_copy_only=False), np.uint64)
+    dg = np.rint(np.asarray(degt["val"].to_numpy(zero_copy_only=False),
+                            np.float64)).astype(np.int64)
+    order = np.argsort(ids)
+    inv = np.where(dg[order] > 1,
+                   1.0 / np.log(np.maximum(dg[order], 2)), 0.0)
+    ref = ray.put((ids[order], inv))
+
+    def rescale(t: pa.Table) -> pa.Table:
+        bids, binv = ray.get(ref)
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        return pa.table({"src": t["src"], "dst": t["dst"],
+                         "w": binv[np.searchsorted(bids, s)]})
+
+    B = K._ds(sym).map_batches(rescale, batch_format="pyarrow")
+    prod = K.mxm(sym, B, "plus_times", mask=sym)
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        w = np.asarray(t["w"].to_numpy(zero_copy_only=False), np.float64)
+        keep = s < d
+        return pa.table({"src": s[keep].astype(np.int64),
+                         "dst": d[keep].astype(np.int64),
+                         "aa": np.round(w[keep], 6)})
+
+    return K._ds(prod).map_batches(finish, batch_format="pyarrow")

@@ -2037,3 +2037,17 @@ FROM e0 ORDER BY v, t"""
 
 
 ORACLES["hyperball2"] = _hyperball_sql(2, 4)
+
+
+# adamic_adar: wedge join over the symmetric self-loop-free edge set,
+# 1/ln(deg) of the middle vertex, restricted to existing edges (the
+# same join shape as edge_support).
+ORACLES["adamic_adar"] = f"""WITH {_E}, {_UE_NOSELF},
+deg AS (SELECT src AS v, count(*) AS deg FROM ue GROUP BY 1)
+SELECT s.src AS src, s.dst AS dst, round(sum(1.0 / ln(d.deg)), 6) AS aa
+FROM ue s JOIN ue a ON a.src = s.src
+JOIN ue b ON b.src = a.dst AND b.dst = s.dst
+JOIN deg d ON d.v = a.dst
+WHERE s.src < s.dst
+GROUP BY s.src, s.dst
+ORDER BY src, dst"""

@@ -2248,3 +2248,16 @@ def q_hyperball2(sf_dir):
 
 
 QUERIES["hyperball2"] = q_hyperball2
+
+
+def q_adamic_adar(sf_dir):
+    """Adamic-Adar scores on existing undirected edges (masked-mxm
+    edge-support recipe with inverse-log-degree middle weights)."""
+    from raygraph.algorithms.metrics import adamic_adar
+
+    out = adamic_adar(_edges_dedup(sf_dir))
+    t = K.to_table(out, sort_by=None).select(["src", "dst", "aa"])
+    return t.sort_by([("src", "ascending"), ("dst", "ascending")])
+
+
+QUERIES["adamic_adar"] = q_adamic_adar

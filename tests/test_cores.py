@@ -383,3 +383,45 @@ def test_scc_condensation_two_cycles_chain():
     # inter-component edges: {0,1}->{2,3} (1 edge), {2,3}->4, 6->{0,1};
     # the 5 self-loop is intra-component and drops out
     assert got == [(0, 2, 1), (2, 4, 1), (6, 0, 1)]
+
+
+def test_adamic_adar_square_with_diagonal():
+    from raygraph.algorithms.metrics import adamic_adar
+    from raygraph import kernels as K
+
+    # square 0-1-2-3-0 plus diagonal 0-2; deg: 0->3, 1->2, 2->3, 3->2
+    e = _edges([(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)])
+    t = K.to_table(adamic_adar(e), sort_by=None).to_pandas()
+    t = t.set_index(["src", "dst"]).sort_index()
+    # edge (0,1): common neighbor {2} (deg 3) -> 1/ln(3)
+    assert abs(t.loc[(0, 1), "aa"] - 1 / np.log(3)) < 1e-6
+    # edge (0,2): common {1 (deg 2), 3 (deg 2)} -> 2/ln(2)
+    assert abs(t.loc[(0, 2), "aa"] - 2 / np.log(2)) < 1e-6
+    # edge (2,3): common {0} (deg 3)
+    assert abs(t.loc[(2, 3), "aa"] - 1 / np.log(3)) < 1e-6
+
+
+def test_adamic_adar_random_matches_brute_force():
+    from raygraph.algorithms.metrics import adamic_adar
+    from raygraph import kernels as K
+    from tests import fixtures as fx
+
+    A = (fx.random_graph(30, 0.12, seed=13) > 0)
+    A = A | A.T
+    np.fill_diagonal(A, False)
+    r, c = np.nonzero(A)
+    e = _edges(list(zip(r.tolist(), c.tolist())))
+    t = K.to_table(adamic_adar(e), sort_by=None).to_pandas()
+    deg = A.sum(1)
+    got = {(int(s), int(d)): v for s, d, v in
+           zip(t["src"], t["dst"], t["aa"])}
+    for u in range(30):
+        for v in range(u + 1, 30):
+            if not A[u, v]:
+                continue
+            common = np.flatnonzero(A[u] & A[v])
+            if len(common) == 0:
+                assert (u, v) not in got
+                continue
+            want = float((1.0 / np.log(deg[common])).sum())
+            assert abs(got[(u, v)] - want) < 1e-5, (u, v)
