@@ -426,7 +426,7 @@ def run_bench() -> dict:
                  "contract_mod7", "sample_neighbors", "pq_codes",
                  "jl_project", "pq_knn", "pmi_collocations", "bm25_topk",
                  "ngram_scrub", "betweenness4", "modularity7",
-                 "hyperball2", "adamic_adar"):
+                 "hyperball2", "adamic_adar", "cocitation", "wl_colors2"):
         t = time.perf_counter()
         out = QUERIES[name](SF_DIR)
         if hasattr(out, "materialize"):

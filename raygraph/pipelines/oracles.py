@@ -2051,3 +2051,44 @@ JOIN deg d ON d.v = a.dst
 WHERE s.src < s.dst
 GROUP BY s.src, s.dst
 ORDER BY src, dst"""
+
+
+# cocitation: masked A^T·A — # of common in-neighbors per existing edge.
+ORACLES["cocitation"] = f"""WITH {_E}, {_EBIN}
+SELECT m.src AS src, m.dst AS dst, CAST(count(*) AS BIGINT) AS cocite
+FROM ebin m JOIN ebin a ON a.dst = m.src
+JOIN ebin b ON b.src = a.src AND b.dst = m.dst
+GROUP BY m.src, m.dst
+ORDER BY src, dst"""
+
+
+# wl_colors2: two 1-WL rounds. Round-1 literals fold on the Python side
+# (c0 is a constant), round 2 is the genuine per-vertex multiset hash:
+# HUGEINT sum mod 2^64 of mix64(c1(u)) over in-neighbors.
+def _wl_sql() -> str:
+    import numpy as np
+
+    from raygraph.util import mix64
+
+    k1 = 0x9E3779B97F4A7C15
+    c0 = int(mix64(np.asarray([1], np.uint64))[0])
+    m0 = int(mix64(np.asarray([c0], np.uint64))[0])    # mix64(c0)
+    l0 = (c0 * k1) % _M64                              # c0 * K1 mod 2^64
+    s1 = _mulmod_sql("CAST(coalesce(i.indeg, 0) AS UBIGINT)", m0)
+    c1 = _mix64_sql(f"xor(CAST({l0} AS UBIGINT), {s1})")
+    c2_arg = (f"xor({_mulmod_sql('c1.c', k1)}, "
+              f"coalesce(s2.s, CAST(0 AS UBIGINT)))")
+    return f"""WITH {_E}, {_EBIN}, {_N},
+ind AS (SELECT dst AS v, count(*) AS indeg FROM ebin GROUP BY 1),
+c1 AS (SELECT n.v, {c1} AS c
+       FROM n LEFT JOIN ind i ON i.v = n.v),
+m1 AS (SELECT v, {_mix64_sql('c')} AS m FROM c1),
+s2 AS (SELECT eb.dst AS v,
+       CAST(sum(CAST(m.m AS HUGEINT)) % {_M64} AS UBIGINT) AS s
+       FROM ebin eb JOIN m1 m ON m.v = eb.src GROUP BY 1),
+c2 AS (SELECT c1.v, {_mix64_sql(c2_arg)} AS c
+       FROM c1 LEFT JOIN s2 ON s2.v = c1.v)
+SELECT v, lpad(lower(to_hex(c)), 16, '0') AS color FROM c2 ORDER BY v"""
+
+
+ORACLES["wl_colors2"] = _wl_sql()

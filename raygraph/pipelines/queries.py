@@ -2261,3 +2261,42 @@ def q_adamic_adar(sf_dir):
 
 
 QUERIES["adamic_adar"] = q_adamic_adar
+
+
+def q_cocitation(sf_dir):
+    """Co-citation counts on existing directed edges: |in(u) ∩ in(v)|
+    restricted to (u,v) in E — the masked A^T·A recipe (the link-graph
+    dual of edge support; bibliographic coupling is the A·A^T twin)."""
+    eb = _edges_dedup(sf_dir).materialize()
+
+    def binw(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["src"], "dst": t["dst"],
+                         "w": np.ones(t.num_rows, np.float64)})
+
+    eb = eb.map_batches(binw, batch_format="pyarrow").materialize()
+    out = K.mxm(K.transpose(eb), eb, "plus_times", mask=eb)
+    t = K.to_table(out, sort_by=None).select(["src", "dst", "w"])
+    t = _int64_col(_int64_col(t, "src"), "dst")
+    t = t.set_column(2, "cocite", pa.compute.cast(
+        pa.compute.round(t["w"]), pa.int64()))
+    return t.sort_by([("src", "ascending"), ("dst", "ascending")])
+
+
+QUERIES["cocitation"] = q_cocitation
+
+
+def q_wl_colors2(sf_dir):
+    """1-WL color refinement, 2 rounds: commutative multiset hash of
+    in-neighbor colors — graph-fingerprint feature, hash-checked (the
+    SQL oracle reproduces the uint64 wrap arithmetic via HUGEINT)."""
+    from raygraph.algorithms.wl import wl_colors
+
+    edges = _edges_dedup(sf_dir).materialize()
+    et = K.to_table(edges, sort_by=None)
+    vs = np.unique(np.concatenate([
+        np.asarray(et["src"].to_numpy(zero_copy_only=False), np.uint64),
+        np.asarray(et["dst"].to_numpy(zero_copy_only=False), np.uint64)]))
+    return wl_colors(edges, vs, rounds=2)
+
+
+QUERIES["wl_colors2"] = q_wl_colors2

@@ -574,3 +574,35 @@ def test_hyperball_matches_brute_force_hll():
                 est = m * np.log(m / zeros)
             got = out[(out["v"] == v) & (out["t"] == t)]["est"].iloc[0]
             assert abs(got - est) < 1e-5, (v, t, got, est)
+
+
+def test_wl_colors_brute_force_and_isomorphism_invariance():
+    from raygraph.algorithms.wl import wl_colors
+    from raygraph.util import mix64
+
+    K1 = np.uint64(0x9E3779B97F4A7C15)
+    A = (fx.random_graph(30, 0.1, seed=21) > 0).astype(float)
+    np.fill_diagonal(A, 0)
+    vs = np.arange(30, dtype=np.uint64)
+    out = wl_colors(_edges_ds(A), vs, rounds=2).to_pandas()
+    got = dict(zip(out["v"], out["color"]))
+
+    # brute force with plain wrap arithmetic
+    col = np.full(30, mix64(np.asarray([1], np.uint64))[0], np.uint64)
+    with np.errstate(over="ignore"):
+        for _ in range(2):
+            m = mix64(col)
+            S = np.zeros(30, np.uint64)
+            s, d = np.nonzero(A)
+            np.add.at(S, d, m[s])
+            col = mix64((col * K1) ^ S)
+    for v in range(30):
+        assert got[v] == f"{int(col[v]):016x}"
+
+    # isomorphism invariance: a relabeled twin has the same color multiset
+    rng = np.random.default_rng(3)
+    perm = rng.permutation(30)
+    P = np.zeros_like(A)
+    P[perm[:, None], perm[None, :]] = A  # P[perm[i],perm[j]] = A[i,j]
+    out2 = wl_colors(_edges_ds(P), vs, rounds=2).to_pandas()
+    assert sorted(out["color"]) == sorted(out2["color"])
