@@ -2092,3 +2092,58 @@ SELECT v, lpad(lower(to_hex(c)), 16, '0') AS color FROM c2 ORDER BY v"""
 
 
 ORACLES["wl_colors2"] = _wl_sql()
+
+
+def _msf_sql(rounds: int = 8) -> str:
+    """Chained Borůvka: round i picks each component's min incident
+    cross edge under (w, u, v), merges components via a recursive
+    min-label reach over the selected component graph, repeats.
+    Components at least halve per round, so ceil(log2(211)) = 8 rounds
+    always reach the fixpoint at the fixture's vertex count; validated
+    edge-for-edge against Kruskal under the same tie-break."""
+    parts = [_E,
+             """uw AS MATERIALIZED (
+  SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+         round(min(w), 6) AS w
+  FROM e WHERE src <> dst GROUP BY 1, 2)""",
+             "comp0 AS MATERIALIZED (SELECT x AS v, x AS c FROM "
+             "(SELECT u AS x FROM uw UNION SELECT v FROM uw))"]
+    for i in range(1, rounds + 1):
+        parts += [
+            f"""xe{i} AS MATERIALIZED (
+  SELECT c1.c AS cu, c2.c AS cv, e.u, e.v, e.w
+  FROM uw e JOIN comp{i-1} c1 ON c1.v = e.u JOIN comp{i-1} c2 ON c2.v = e.v
+  WHERE c1.c <> c2.c)""",
+            f"""sel{i} AS MATERIALIZED (
+  SELECT c, u, v, w FROM (
+    SELECT c, u, v, w,
+           row_number() OVER (PARTITION BY c ORDER BY w, u, v) AS rn
+    FROM (SELECT cu AS c, w, u, v FROM xe{i}
+          UNION ALL SELECT cv, w, u, v FROM xe{i})
+  ) WHERE rn = 1)""",
+            f"""ceb{i} AS (
+  SELECT x.cu AS a, x.cv AS b
+  FROM (SELECT DISTINCT u, v FROM sel{i}) s
+  JOIN xe{i} x ON x.u = s.u AND x.v = s.v
+  UNION
+  SELECT x.cv, x.cu
+  FROM (SELECT DISTINCT u, v FROM sel{i}) s
+  JOIN xe{i} x ON x.u = s.u AND x.v = s.v)""",
+            f"""reach{i}(c, l) AS (
+  SELECT c, c FROM (SELECT DISTINCT c FROM comp{i-1})
+  UNION
+  SELECT cb.a, r.l FROM reach{i} r JOIN ceb{i} cb ON cb.b = r.c)""",
+            f"""nl{i} AS MATERIALIZED (
+  SELECT c, min(l) AS nl FROM reach{i} GROUP BY c)""",
+            f"""comp{i} AS MATERIALIZED (
+  SELECT p.v, n.nl AS c FROM comp{i-1} p JOIN nl{i} n ON n.c = p.c)""",
+        ]
+    sel = " UNION ALL ".join(f"SELECT u, v, w FROM sel{i}"
+                             for i in range(1, rounds + 1))
+    return ("WITH RECURSIVE " + ",\n".join(parts)
+            + f"""\nSELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+       round(w, 6) AS w
+FROM (SELECT DISTINCT u, v, w FROM ({sel})) ORDER BY u, v""")
+
+
+ORACLES["msf_edges"] = _msf_sql(8)

@@ -2300,3 +2300,20 @@ def q_wl_colors2(sf_dir):
 
 
 QUERIES["wl_colors2"] = q_wl_colors2
+
+
+def q_msf_edges(sf_dir):
+    """Minimum spanning forest (distributed Borůvka, LAGraph_msf
+    analog) of the undirected simple g1 graph with w = round(min over
+    orientations of the dup-summed quantity, 6); ties broken by the
+    strict (w, u, v) order, so the forest is unique and equals
+    Kruskal's (the oracle is a chained-Borůvka in SQL)."""
+    from raygraph.algorithms.msf import minimum_spanning_forest
+
+    out = minimum_spanning_forest(_edges_dedup(sf_dir))
+    t = K.to_table(out, sort_by=None)
+    t = _round_col(_int64_col(_int64_col(t, "u"), "v"), "w", 6)
+    return t.sort_by([("u", "ascending"), ("v", "ascending")])
+
+
+QUERIES["msf_edges"] = q_msf_edges
