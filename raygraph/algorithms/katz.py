@@ -25,10 +25,16 @@ from raygraph.fused import block_cache
 
 
 def katz_fused(g, *, alpha: float = 0.05, beta: float = 1.0,
-               itermax: int = 8, normalize: bool = True):
+               itermax: int = 8, normalize: bool = True,
+               x0: float = 0.0):
     """Returns per-partition dense Katz state in ``g``'s layout after
     ``itermax`` unrolled iterations (bit-comparable to the unrolled SQL
-    oracle at 6 decimals); L2-normalized when ``normalize``."""
+    oracle at 6 decimals); L2-normalized when ``normalize``.
+
+    ``x0`` is the uniform starting value: 0 gives Katz centrality
+    (x ← α·Aᵀx + β); x0=1 with alpha=1, beta=0 gives the plain power
+    iteration x ← Aᵀx, i.e. (in-edge) eigenvector centrality up to the
+    final normalization — same recurrence, same task-wave shape."""
     import ray
 
     P = g.num_parts
@@ -66,7 +72,7 @@ def katz_fused(g, *, alpha: float = 0.05, beta: float = 1.0,
 
     reduce_t = ray.remote(_reduce_body)
 
-    x_refs = [ray.put(np.zeros(s, np.float64)) for s in sizes]
+    x_refs = [ray.put(np.full(s, x0, np.float64)) for s in sizes]
     for _ in range(itermax):
         pk = [[None] * P for _ in range(P)]
         for p in range(P):

@@ -2147,3 +2147,60 @@ FROM (SELECT DISTINCT u, v, w FROM ({sel})) ORDER BY u, v""")
 
 
 ORACLES["msf_edges"] = _msf_sql(8)
+
+
+def _eigen_sql(k: int = 8) -> str:
+    """Power iteration x_i = A^T x_{i-1} from x_0 = 1, final L2
+    normalization (eigen_k8). MATERIALIZED per iteration (see
+    _hits_sql note)."""
+    parts = [_E, _EBIN, _N,
+             "x0 AS MATERIALIZED (SELECT v, CAST(1.0 AS DOUBLE) AS x FROM n)"]
+    for i in range(1, k + 1):
+        parts.append(
+            f"x{i} AS MATERIALIZED (SELECT n.v, coalesce(s.x, 0) AS x "
+            f"FROM n LEFT JOIN (SELECT eb.dst AS v, sum(x.x) AS x "
+            f"FROM ebin eb JOIN x{i - 1} x ON x.v = eb.src GROUP BY 1) s "
+            f"ON s.v = n.v)")
+    return ("WITH " + ",\n".join(parts) +
+            f"""
+SELECT v, round(x / (SELECT sqrt(sum(x * x)) FROM x{k}), 6) AS eig
+FROM x{k} ORDER BY v""")
+
+
+ORACLES["eigen_k8"] = _eigen_sql(8)
+
+
+def _salsa_sql(k: int = 4) -> str:
+    """SALSA unrolled: a_i = D_out^-T A^T h_{i-1}, h_i = D_in^-T A a_i
+    from h_0 = 1; final L1 normalization of each. The per-edge factor
+    is h.x * (1.0/d) — multiply by reciprocal, matching the engine's
+    fold of the inverse-degree vector into the scatter."""
+    parts = [_E, _EBIN, _N,
+             "od AS MATERIALIZED (SELECT src AS v, count(*) AS d "
+             "FROM ebin GROUP BY 1)",
+             "idg AS MATERIALIZED (SELECT dst AS v, count(*) AS d "
+             "FROM ebin GROUP BY 1)",
+             "h0 AS MATERIALIZED (SELECT v, CAST(1.0 AS DOUBLE) AS x FROM n)"]
+    prev_h = "h0"
+    for i in range(1, k + 1):
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT eb.dst AS v, "
+            f"sum(h.x * (1.0 / od.d)) AS x FROM ebin eb "
+            f"JOIN {prev_h} h ON h.v = eb.src "
+            f"JOIN od ON od.v = eb.src GROUP BY 1)")
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT eb.src AS v, "
+            f"sum(a.x * (1.0 / idg.d)) AS x FROM ebin eb "
+            f"JOIN a{i} a ON a.v = eb.dst "
+            f"JOIN idg ON idg.v = eb.dst GROUP BY 1)")
+        prev_h = f"h{i}"
+    return ("WITH " + ",\n".join(parts) +
+            f"""
+SELECT n.v,
+       round(coalesce(h.x, 0) / (SELECT sum(x) FROM h{k}), 6) AS hub,
+       round(coalesce(a.x, 0) / (SELECT sum(x) FROM a{k}), 6) AS auth
+FROM n LEFT JOIN h{k} h ON h.v = n.v LEFT JOIN a{k} a ON a.v = n.v
+ORDER BY n.v""")
+
+
+ORACLES["salsa_k4"] = _salsa_sql(4)

@@ -2317,3 +2317,51 @@ def q_msf_edges(sf_dir):
 
 
 QUERIES["msf_edges"] = q_msf_edges
+
+
+def q_eigen_k8(sf_dir):
+    """(In-edge) eigenvector centrality — plain power iteration
+    x ← Aᵀx from x = 1 on the binarized g1 graph, 8 unrolled
+    iterations, final L2 normalization (NetworkX
+    ``eigenvector_centrality`` semantics without per-iteration
+    renormalization — the direction is identical and the final
+    normalize makes the two bit-comparable at 6 decimals). Same fused
+    superstep engine as Katz (katz.py) with alpha=1, beta=0, x0=1."""
+    from raygraph.algorithms.katz import katz_fused
+
+    g = _g1_graph(sf_dir, binarize=True)
+    xs = katz_fused(g, alpha=1.0, beta=0.0, itermax=8, normalize=True,
+                    x0=1.0)
+    t = g.to_vertex_table(xs, "eig")
+    t = _round_col(_int64_col(t, "v"), "eig")
+    return t.sort_by([("v", "ascending")])
+
+
+QUERIES["eigen_k8"] = q_eigen_k8
+
+
+def q_salsa_k4(sf_dir):
+    """SALSA hubs/authorities (Lempel & Moran 2000): HITS with
+    degree-normalized (random-walk) half-steps, 4 iterations from
+    h = 1, final L1 normalization of each score — fused supersteps over
+    A and Aᵀ block caches; the 1/outdeg factors come straight from the
+    blocks' per-source counts (salsa.py)."""
+    from raygraph.algorithms.salsa import salsa_fused
+
+    eds = _edges_dedup(sf_dir).materialize()
+    g = build_graph(eds, num_parts=16, dup_op="first", binarize=True)
+
+    def swap(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["dst"], "dst": t["src"], "w": t["w"]})
+
+    gT = build_graph(eds.map_batches(swap, batch_format="pyarrow"),
+                     num_parts=16, dup_op="first", binarize=True)
+    hub, auth = salsa_fused(g, gT, itermax=4)
+    th = g.to_vertex_table(hub, "hub")
+    ta = g.to_vertex_table(auth, "auth")
+    t = pa.table({"v": th["v"], "hub": th["hub"], "auth": ta["auth"]})
+    t = _round_col(_round_col(_int64_col(t, "v"), "hub"), "auth")
+    return t.sort_by([("v", "ascending")])
+
+
+QUERIES["salsa_k4"] = q_salsa_k4

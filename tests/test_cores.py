@@ -425,3 +425,56 @@ def test_adamic_adar_random_matches_brute_force():
                 continue
             want = float((1.0 / np.log(deg[common])).sum())
             assert abs(got[(u, v)] - want) < 1e-5, (u, v)
+
+
+def test_eigen_power_iteration_matches_dense():
+    from raygraph.algorithms.katz import katz_fused
+    from raygraph.graph import build_graph
+    from tests import fixtures as fx
+
+    A = (fx.random_graph(40, 0.1, seed=13) != 0).astype(np.float64)
+    g = build_graph(rd.from_arrow(fx.dense_to_edge_table(A)),
+                    num_parts=4, dup_op="first", binarize=True)
+    xs = katz_fused(g, alpha=1.0, beta=0.0, itermax=8, normalize=True,
+                    x0=1.0)
+    t = g.to_vertex_table(xs, "eig").to_pandas().set_index("v")["eig"]
+    x = np.ones(40)
+    for _ in range(8):
+        x = A.T @ x
+    x /= np.linalg.norm(x)
+    got = np.array([t.get(i, 0.0) for i in range(40)])
+    np.testing.assert_allclose(got, x, atol=1e-12)
+
+
+def test_salsa_fused_matches_dense():
+    from raygraph.algorithms.salsa import salsa_fused
+    from raygraph.graph import build_graph
+    from tests import fixtures as fx
+
+    A = (fx.random_graph(40, 0.12, seed=17) != 0).astype(np.float64)
+    e = rd.from_arrow(fx.dense_to_edge_table(A))
+    g = build_graph(e, num_parts=4, dup_op="first", binarize=True)
+
+    def swap(t):
+        return pa.table({"src": t["dst"], "dst": t["src"], "w": t["w"]})
+
+    gT = build_graph(e.map_batches(swap, batch_format="pyarrow"),
+                     num_parts=4, dup_op="first", binarize=True)
+    hub, auth = salsa_fused(g, gT, itermax=4)
+    th = g.to_vertex_table(hub, "hub").to_pandas().set_index("v")["hub"]
+    ta = g.to_vertex_table(auth, "auth").to_pandas().set_index("v")["auth"]
+
+    od = A.sum(axis=1)
+    idg = A.sum(axis=0)
+    Wa = np.divide(A, od[:, None], out=np.zeros_like(A), where=od[:, None] > 0).T
+    Wh = np.divide(A, idg[None, :], out=np.zeros_like(A), where=idg[None, :] > 0)
+    h = np.ones(40)
+    for _ in range(4):
+        a = Wa @ h
+        h = Wh @ a
+    h /= h.sum()
+    a /= a.sum()
+    got_h = np.array([th.get(i, 0.0) for i in range(40)])
+    got_a = np.array([ta.get(i, 0.0) for i in range(40)])
+    np.testing.assert_allclose(got_h, h, atol=1e-12)
+    np.testing.assert_allclose(got_a, a, atol=1e-12)
