@@ -2204,3 +2204,25 @@ ORDER BY n.v""")
 
 
 ORACLES["salsa_k4"] = _salsa_sql(4)
+
+
+# rich-club coefficient at k in {1,2,4,8,16,32} (integer-exact ppm)
+ORACLES["rich_club"] = f"""WITH {_E},
+ud AS (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS d
+       FROM e WHERE src <> dst),
+deg AS (SELECT v, count(*) AS dg FROM
+        (SELECT s AS v FROM ud UNION ALL SELECT d FROM ud) GROUP BY v),
+ks(k) AS (VALUES (1), (2), (4), (8), (16), (32)),
+em AS (SELECT least(da.dg, db.dg) AS m FROM ud
+       JOIN deg da ON da.v = ud.s JOIN deg db ON db.v = ud.d),
+nk AS (SELECT ks.k, count(*) AS n_nodes FROM ks
+       JOIN deg ON deg.dg > ks.k GROUP BY 1),
+ek AS (SELECT ks.k, count(*) AS n_edges FROM ks
+       JOIN em ON em.m > ks.k GROUP BY 1)
+SELECT CAST(nk.k AS BIGINT) AS k,
+       CAST(nk.n_nodes AS BIGINT) AS n_nodes,
+       CAST(coalesce(ek.n_edges, 0) AS BIGINT) AS n_edges,
+       CAST(2 * coalesce(ek.n_edges, 0) * 1000000
+            // (nk.n_nodes * (nk.n_nodes - 1)) AS BIGINT) AS phi_ppm
+FROM nk LEFT JOIN ek ON ek.k = nk.k
+WHERE nk.n_nodes >= 2 ORDER BY k"""

@@ -2365,3 +2365,16 @@ def q_salsa_k4(sf_dir):
 
 
 QUERIES["salsa_k4"] = q_salsa_k4
+
+
+def q_rich_club(sf_dir):
+    """Rich-club coefficient φ(k) (unnormalized, NetworkX semantics)
+    of the undirected simple g1 graph at k ∈ {1,2,4,8,16,32} — exact
+    integer ppm; per-batch min-degree histogram partials over a
+    broadcast degree vector (metrics.py)."""
+    from raygraph.algorithms.metrics import rich_club
+
+    return rich_club(_edges_dedup(sf_dir))
+
+
+QUERIES["rich_club"] = q_rich_club

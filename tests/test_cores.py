@@ -478,3 +478,18 @@ def test_salsa_fused_matches_dense():
     got_a = np.array([ta.get(i, 0.0) for i in range(40)])
     np.testing.assert_allclose(got_h, h, atol=1e-12)
     np.testing.assert_allclose(got_a, a, atol=1e-12)
+
+
+def test_rich_club_small():
+    from raygraph.algorithms.metrics import rich_club
+
+    # K4 on {0,1,2,3} plus pendant 3-4: degs 3,3,3,4,1
+    pairs = [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(3, 4)]
+    t = rich_club(_edges(pairs), ks=(1, 2, 3)).to_pydict()
+    # k=1: all 5? deg>1 -> {0,1,2,3} (deg 3,3,3,4); edges among them = 6
+    # k=2: same set, phi = 2*6/(4*3) = 1
+    # k=3: only vertex 3 -> n_k < 2, dropped
+    assert t["k"] == [1, 2]
+    assert t["n_nodes"] == [4, 4]
+    assert t["n_edges"] == [6, 6]
+    assert t["phi_ppm"] == [1000000, 1000000]
