@@ -388,3 +388,89 @@ def sessionize(events_ds, *, key: str = "user_id", ts_col: str = "ts",
     return (events_ds.map_batches(tag, batch_format="pyarrow")
             .groupby("bucket").map_groups(per_bucket,
                                           batch_format="pyarrow"))
+
+
+def funnel(events_ds, *, steps=("view", "click", "purchase"),
+           key: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type", num_buckets: int = 32):
+    """Ordered funnel analysis: per key, how many users complete each
+    prefix of ``steps`` in strict timestamp order (step i+1 must occur
+    STRICTLY AFTER the user's earliest qualifying step-i event — the
+    classic product-analytics funnel, greedy/earliest-match semantics).
+
+    Returns one row per step: ``(step, event_type, n_users)`` where
+    ``n_users`` counts keys whose events contain the ordered prefix
+    steps[0..i].
+
+    Distributed shape: events are filtered to the funnel's types in the
+    tagging pass (everything else never shuffles), then ONE grouped
+    exchange on ``mix64(key)`` buckets co-locates each key's events;
+    inside a bucket one lexsort by (key, ts) + a first-qualifying scan
+    per step resolves every user, and the bucket emits a 3-row partial
+    count — the driver folds ``num_buckets`` tiny tables, never events.
+    Same documented hot-key bound as sessionize.
+    """
+    from raygraph.util import mix64
+
+    steps = tuple(steps)
+    NEG = np.int64(-(2**62))
+    POS = np.int64(2**62)
+
+    def tag(t: pa.Table) -> pa.Table:
+        et = np.asarray(t[type_col].to_numpy(zero_copy_only=False))
+        sidx = np.full(len(et), -1, np.int8)
+        for i, s in enumerate(steps):
+            sidx[et == s] = i
+        keep = sidx >= 0
+        keys = np.asarray(t[key].to_numpy(zero_copy_only=False),
+                          np.int64)[keep]
+        tus = np.asarray(t[ts_col].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False)).astype("datetime64[us]").astype(
+            np.int64)[keep]
+        bk = (mix64(keys.astype(np.uint64))
+              % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table({"bucket": bk, "k": keys, "tus": tus,
+                         "step": sidx[keep]})
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        k = np.asarray(g["k"].to_numpy(zero_copy_only=False), np.int64)
+        tus = np.asarray(g["tus"].to_numpy(zero_copy_only=False), np.int64)
+        st = np.asarray(g["step"].to_numpy(zero_copy_only=False), np.int8)
+        order = np.lexsort((tus, k))
+        k, tus, st = k[order], tus[order], st[order]
+        uk, inv = np.unique(k, return_inverse=True)
+        cur = np.full(len(uk), NEG, np.int64)
+        alive = np.ones(len(uk), bool)
+        ns = []
+        for i in range(len(steps)):
+            valid = (st == i) & alive[inv] & (tus > cur[inv])
+            idx = np.flatnonzero(valid)
+            users = inv[idx]
+            first = np.r_[True, users[1:] != users[:-1]] if len(users) \
+                else np.empty(0, bool)
+            hit = users[first] if len(users) else np.empty(0, np.int64)
+            nxt = np.full(len(uk), POS, np.int64)
+            nxt[hit] = tus[idx[first]]
+            alive = alive & (nxt < POS)
+            cur = np.where(alive, nxt, cur)
+            ns.append(int(alive.sum()))
+        return pa.table({
+            "step": np.arange(1, len(steps) + 1, dtype=np.int64),
+            "event_type": pa.array(list(steps), pa.string()),
+            "n_users": np.asarray(ns, np.int64)})
+
+    parts = (events_ds.map_batches(tag, batch_format="pyarrow")
+             .groupby("bucket").map_groups(per_bucket,
+                                           batch_format="pyarrow"))
+    t = parts.to_arrow_refs()
+    import ray
+    tabs = [x for x in ray.get(t) if x.num_rows]
+    import pyarrow as _pa
+    allt = _pa.concat_tables(tabs)
+    stp = np.asarray(allt["step"].to_numpy(zero_copy_only=False), np.int64)
+    n = np.asarray(allt["n_users"].to_numpy(zero_copy_only=False), np.int64)
+    out_n = [int(n[stp == i + 1].sum()) for i in range(len(steps))]
+    return pa.table({
+        "step": np.arange(1, len(steps) + 1, dtype=np.int64),
+        "event_type": pa.array(list(steps), pa.string()),
+        "n_users": np.asarray(out_n, np.int64)})

@@ -2226,3 +2226,20 @@ SELECT CAST(nk.k AS BIGINT) AS k,
             // (nk.n_nodes * (nk.n_nodes - 1)) AS BIGINT) AS phi_ppm
 FROM nk LEFT JOIN ek ON ek.k = nk.k
 WHERE nk.n_nodes >= 2 ORDER BY k"""
+
+
+# ordered funnel view -> click -> purchase, strictly-after earliest-match
+ORACLES["events_funnel"] = """WITH
+s1 AS (SELECT user_id, min(ts) AS t FROM events
+       WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t
+       WHERE e.event_type = 'click' GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t
+       WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+       CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+ORDER BY step"""

@@ -2378,3 +2378,17 @@ def q_rich_club(sf_dir):
 
 
 QUERIES["rich_club"] = q_rich_club
+
+
+def q_events_funnel(sf_dir):
+    """Ordered funnel view→click→purchase per user (strictly-after,
+    earliest-match semantics) — one bucketed exchange on user hash,
+    3-row partials per bucket (windows.py funnel)."""
+    from raygraph.datapipe.windows import funnel
+
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+    return funnel(ev, steps=("view", "click", "purchase"))
+
+
+QUERIES["events_funnel"] = q_events_funnel

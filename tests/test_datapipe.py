@@ -923,3 +923,33 @@ def test_bm25_matches_brute_force():
     assert [d for d, _ in got] == [d for d, _ in want]
     np.testing.assert_allclose([s for _, s in got], [s for _, s in want],
                                atol=2e-6)
+
+
+def test_funnel_strict_order():
+    from raygraph.datapipe.windows import funnel
+
+    # u1 completes all three; u2 view->purchase (no click) stops at 1;
+    # u3's click precedes its view -> stops at 1; u4 click-only -> 0;
+    # u5 view,click same ts (not strictly after) -> stops at 1
+    rows = [
+        (1, "2026-01-01T00:00:00", "view"),
+        (1, "2026-01-01T00:01:00", "click"),
+        (1, "2026-01-01T00:02:00", "purchase"),
+        (2, "2026-01-01T00:00:00", "view"),
+        (2, "2026-01-01T00:01:00", "purchase"),
+        (3, "2026-01-01T00:01:00", "view"),
+        (3, "2026-01-01T00:00:00", "click"),
+        (4, "2026-01-01T00:00:00", "click"),
+        (5, "2026-01-01T00:00:00", "view"),
+        (5, "2026-01-01T00:00:00", "click"),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([np.datetime64(r[1], "us") for r in rows],
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    out = funnel(rd.from_arrow(t)).to_pydict()
+    assert out["step"] == [1, 2, 3]
+    assert out["event_type"] == ["view", "click", "purchase"]
+    assert out["n_users"] == [4, 1, 1]
