@@ -850,3 +850,52 @@ def dedup_apply(docs_ds, *, text_col: str = "text", id_col: str = "doc_id",
     side = winners.map_batches(keep_side, batch_format="pyarrow")
     return docs_ds.join(side, "inner", num_partitions, on=(id_col,),
                         aggregator_ray_remote_args={"num_cpus": 0.25})
+
+
+def doc_repetition(docs_ds, *, n: int = 3, text_col: str = "text",
+                   id_col: str = "doc_id"):
+    """WITHIN-document repeated n-gram ratio — the Gopher-style
+    "fraction of the document made of repeated n-grams" quality signal
+    (Rae et al. 2021 §A1.1), computed per document: of the m token
+    n-gram positions, how many carry a gram that occurs >= 2 times in
+    the SAME document. Docs with fewer than ``n`` tokens are skipped.
+
+    Scale shape: entirely doc-local — a pure ``map_batches`` with no
+    shuffle at all; gram keys are the same vectorized mix64 token-hash
+    chain as repeated_ngrams (the SQL oracle reproduces the uint64
+    arithmetic exactly), and the per-doc numpy unique bounds the work
+    to O(tokens log tokens) per doc.
+
+    Returns (doc_id, n_grams, n_dup, dup_ppm) — exact integers.
+    """
+    def rep(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), np.int64)
+        texts = t[text_col].to_pylist()
+        d_out, m_out, r_out = [], [], []
+        with np.errstate(over="ignore"):
+            for did, s in zip(ids, texts):
+                toks = (s or "").split()
+                if len(toks) < n:
+                    continue
+                hs = _token_hashes(toks)
+                m = len(hs) - n + 1
+                g = mix64(hs[:m])
+                for j in range(1, n):
+                    g = mix64(g ^ hs[j:m + j])
+                _, inv, c = np.unique(g, return_inverse=True,
+                                      return_counts=True)
+                d_out.append(did)
+                m_out.append(m)
+                r_out.append(int((c[inv] >= 2).sum()))
+        m_a = np.asarray(m_out, np.int64)
+        r_a = np.asarray(r_out, np.int64)
+        return pa.table({
+            id_col: pa.array(np.asarray(d_out, np.int64), pa.int64()),
+            "n_grams": pa.array(m_a, pa.int64()),
+            "n_dup": pa.array(r_a, pa.int64()),
+            "dup_ppm": pa.array(
+                np.where(m_a > 0, r_a * 1_000_000 // np.maximum(m_a, 1), 0),
+                pa.int64()),
+        })
+
+    return docs_ds.map_batches(rep, batch_format="pyarrow")

@@ -2243,3 +2243,29 @@ SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
 UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
 UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
 ORDER BY step"""
+
+
+# within-doc repeated 3-gram ratio; same mix64 gram-chain keys as
+# repeated_ngrams, grouped per (doc, gram)
+_REP_N = 3
+ORACLES["doc_repetition"] = f"""WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+),
+th AS (
+  SELECT doc_id, list_transform(ts, t -> {_TOKEN_HASH_SQL}) AS hs
+  FROM toks WHERE len(ts) >= {_REP_N}
+),
+grams AS (
+  SELECT doc_id, list_reduce(
+           list_prepend(CAST(0 AS UBIGINT), hs[i:i + {_REP_N - 1}]),
+           {_GRAM_LAMBDA_SQL}) AS g
+  FROM th, LATERAL (SELECT unnest(range(1, len(hs) - {_REP_N} + 2)) AS i) u
+),
+per AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1000000
+            // sum(c) AS BIGINT) AS dup_ppm
+FROM per GROUP BY doc_id ORDER BY doc_id"""

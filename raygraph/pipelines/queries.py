@@ -2392,3 +2392,18 @@ def q_events_funnel(sf_dir):
 
 
 QUERIES["events_funnel"] = q_events_funnel
+
+
+def q_doc_repetition(sf_dir):
+    """Within-doc repeated 3-gram ratio (Gopher repetition quality
+    signal) — doc-local, zero-shuffle map_batches; same mix64
+    gram-chain keys as repeated_ngrams (dedup.py)."""
+    from raygraph.datapipe.dedup import doc_repetition
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    t = K.to_table(doc_repetition(ds, n=3), sort_by=None)
+    return t.sort_by([("doc_id", "ascending")])
+
+
+QUERIES["doc_repetition"] = q_doc_repetition

@@ -953,3 +953,20 @@ def test_funnel_strict_order():
     assert out["step"] == [1, 2, 3]
     assert out["event_type"] == ["view", "click", "purchase"]
     assert out["n_users"] == [4, 1, 1]
+
+
+def test_doc_repetition_counts():
+    from raygraph.datapipe.dedup import doc_repetition
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["a b a b a",      # grams: aba, bab, aba -> 2 of 3 dup
+                 "x y z w",        # all grams unique
+                 "q r"],           # < 3 tokens -> skipped
+    })
+    out = doc_repetition(rd.from_arrow(t), n=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out["doc_id"]) == [1, 2]
+    assert list(out["n_grams"]) == [3, 2]
+    assert list(out["n_dup"]) == [2, 0]
+    assert list(out["dup_ppm"]) == [666666, 0]
