@@ -914,3 +914,43 @@ def bm25_search(docs_ds, query_tokens, *, k: int = 10, k1: float = 1.2,
     scored = docs_ds.map_batches(score, batch_format="pyarrow")
     return scored.sort(["score", id_col],
                        descending=[True, False]).limit(k)
+
+
+def doc_entropy(docs_ds, *, text_col: str = "text",
+                id_col: str = "doc_id"):
+    """Per-document unigram Shannon entropy (nats) over whitespace
+    tokens — the lexical-diversity quality signal (low entropy = spammy
+    / repetitive doc; used alongside the Gopher rules). Computed as
+    ``ln(m) − Σ c·ln(c) / m`` over the per-doc token counts, the same
+    algebraic form the SQL oracle uses.
+
+    Scale shape: entirely doc-local — a pure ``map_batches`` with no
+    shuffle; per-doc numpy unique bounds work to O(tokens log tokens).
+
+    Returns (doc_id, n_tokens, n_distinct, entropy) — counts exact
+    int64, entropy rounded to 6.
+    """
+    def ent(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), np.int64)
+        texts = t[text_col].to_pylist()
+        d_out, m_out, u_out, e_out = [], [], [], []
+        for did, s in zip(ids, texts):
+            toks = (s or "").split()
+            m = len(toks)
+            if m == 0:
+                continue
+            _, c = np.unique(toks, return_counts=True)
+            cf = c.astype(np.float64)
+            d_out.append(did)
+            m_out.append(m)
+            u_out.append(len(c))
+            e_out.append(np.log(m) - float((cf * np.log(cf)).sum()) / m)
+        return pa.table({
+            id_col: pa.array(np.asarray(d_out, np.int64), pa.int64()),
+            "n_tokens": pa.array(np.asarray(m_out, np.int64), pa.int64()),
+            "n_distinct": pa.array(np.asarray(u_out, np.int64), pa.int64()),
+            "entropy": pa.array(np.round(np.asarray(e_out, np.float64), 6),
+                                pa.float64()),
+        })
+
+    return docs_ds.map_batches(ent, batch_format="pyarrow")

@@ -2269,3 +2269,21 @@ SELECT doc_id,
        CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1000000
             // sum(c) AS BIGINT) AS dup_ppm
 FROM per GROUP BY doc_id ORDER BY doc_id"""
+
+
+# per-doc unigram Shannon entropy: ln(m) - sum(c*ln(c))/m, same
+# algebraic form as text.doc_entropy
+ORACLES["doc_entropy"] = """WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+),
+wds AS (SELECT doc_id, unnest(ts) AS w FROM toks),
+c AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS c
+      FROM wds GROUP BY 1, 2),
+m AS (SELECT doc_id, sum(c) AS m FROM c GROUP BY 1)
+SELECT c.doc_id,
+       CAST(m.m AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(ln(m.m) - sum(c.c * ln(c.c)) / m.m, 6) AS entropy
+FROM c JOIN m ON m.doc_id = c.doc_id
+GROUP BY c.doc_id, m.m ORDER BY c.doc_id"""

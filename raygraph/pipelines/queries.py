@@ -2407,3 +2407,17 @@ def q_doc_repetition(sf_dir):
 
 
 QUERIES["doc_repetition"] = q_doc_repetition
+
+
+def q_doc_entropy(sf_dir):
+    """Per-doc unigram entropy (lexical diversity quality signal) —
+    doc-local, zero-shuffle (text.py doc_entropy)."""
+    from raygraph.datapipe.text import doc_entropy
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    t = K.to_table(doc_entropy(ds), sort_by=None)
+    return t.sort_by([("doc_id", "ascending")])
+
+
+QUERIES["doc_entropy"] = q_doc_entropy

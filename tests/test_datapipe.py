@@ -970,3 +970,20 @@ def test_doc_repetition_counts():
     assert list(out["n_grams"]) == [3, 2]
     assert list(out["n_dup"]) == [2, 0]
     assert list(out["dup_ppm"]) == [666666, 0]
+
+
+def test_doc_entropy_values():
+    from raygraph.datapipe.text import doc_entropy
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["a a a a",        # entropy 0
+                 "a b c d",        # entropy ln(4)
+                 ""],              # empty -> skipped
+    })
+    out = doc_entropy(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out["doc_id"]) == [1, 2]
+    assert list(out["n_tokens"]) == [4, 4]
+    assert list(out["n_distinct"]) == [1, 4]
+    np.testing.assert_allclose(out["entropy"], [0.0, np.log(4)], atol=1e-6)
