@@ -2287,3 +2287,30 @@ SELECT c.doc_id,
        round(ln(m.m) - sum(c.c * ln(c.c)) / m.m, 6) AS entropy
 FROM c JOIN m ON m.doc_id = c.doc_id
 GROUP BY c.doc_id, m.m ORDER BY c.doc_id"""
+
+
+# longest-path levels of the SCC condensation DAG (set-recursive on
+# distinct (comp, level) pairs, bounded by depth — terminates on DAGs)
+ORACLES["scc_levels"] = f"""WITH RECURSIVE {_E}, {_EBIN}, {_N},
+nd AS (SELECT DISTINCT v FROM n),
+reach(a, b) AS (
+  SELECT src, dst FROM ebin
+  UNION
+  SELECT r.a, eb.dst FROM reach r JOIN ebin eb ON eb.src = r.b
+),
+mut AS (SELECT r1.a AS v, r1.b AS u
+        FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a),
+lab AS (SELECT nd.v AS v, least(nd.v, coalesce(m.mn, nd.v)) AS scc
+        FROM nd LEFT JOIN (SELECT v, min(u) AS mn FROM mut GROUP BY 1) m
+        ON m.v = nd.v),
+ce AS (SELECT DISTINCT la.scc AS cfrom, lb.scc AS cto
+       FROM ebin e JOIN lab la ON la.v = e.src
+                   JOIN lab lb ON lb.v = e.dst
+       WHERE la.scc <> lb.scc),
+comps AS (SELECT DISTINCT scc AS c FROM lab),
+lvl(c, l) AS (
+  SELECT c, CAST(0 AS BIGINT) FROM comps
+  UNION
+  SELECT ce.cto, lvl.l + 1 FROM lvl JOIN ce ON ce.cfrom = lvl.c)
+SELECT CAST(c AS BIGINT) AS comp, CAST(max(l) AS BIGINT) AS level
+FROM lvl GROUP BY c ORDER BY comp"""

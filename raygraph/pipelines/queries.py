@@ -2421,3 +2421,53 @@ def q_doc_entropy(sf_dir):
 
 
 QUERIES["doc_entropy"] = q_doc_entropy
+
+
+def q_scc_levels(sf_dir):
+    """Topological (longest-path) levels of the SCC condensation DAG:
+    level(C) = length of the longest condensation path reaching C
+    (0 for source components). The propagation is iterated distributed
+    ``mxv`` with the max_plus semiring over the condensation edges
+    (rows = target component) to fixpoint — one SpMV superstep per DAG
+    depth, no driver loop over components; only the component-id
+    universe (≪ V) is driver-side."""
+    from raygraph.algorithms.scc import condensation, scc_fused
+
+    eds = _edges_dedup(sf_dir).materialize()
+    g = build_graph(eds, num_parts=16, dup_op="first", binarize=True)
+
+    def swap(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["dst"], "dst": t["src"], "w": t["w"]})
+
+    gT = build_graph(eds.map_batches(swap, batch_format="pyarrow"),
+                     num_parts=16, dup_op="first", binarize=True)
+    labels = scc_fused(g, gT)
+    lt = g.to_vertex_table(labels, "scc")
+    comps = np.unique(np.asarray(
+        lt["scc"].to_numpy(zero_copy_only=False)).astype(np.uint64))
+    zeros = pa.table({"v": comps, "val": np.zeros(len(comps), np.float64)})
+    cond = K.to_table(condensation(g, labels, eds), sort_by=None)
+    lvl = zeros
+    if cond.num_rows and "cfrom" in cond.column_names:
+        prop = _rd().from_arrow(pa.table({
+            "src": np.asarray(cond["cto"].to_numpy(
+                zero_copy_only=False)).astype(np.uint64),
+            "dst": np.asarray(cond["cfrom"].to_numpy(
+                zero_copy_only=False)).astype(np.uint64),
+            "w": np.ones(cond.num_rows, np.float64)})).materialize()
+        for _ in range(len(comps) + 1):
+            y = K.mxv(prop, lvl, "max_plus")
+            new = K.ewise_add(y, zeros, "max")
+            if K.isequal(new, lvl):
+                break
+            lvl = new
+    t = K.to_table(lvl, sort_by=None)
+    out = pa.table({
+        "comp": np.asarray(t["v"].to_numpy(
+            zero_copy_only=False)).astype(np.int64),
+        "level": np.rint(np.asarray(t["val"].to_numpy(
+            zero_copy_only=False), np.float64)).astype(np.int64)})
+    return out.sort_by([("comp", "ascending")])
+
+
+QUERIES["scc_levels"] = q_scc_levels
