@@ -267,3 +267,48 @@ def condensation(g, label_slices, edges, *, count_edges: bool = True):
 
     return agg.map_batches(fin, batch_format="pyarrow").sort(
         key=["cfrom", "cto"])
+
+
+def bowtie(edges, *, num_parts: int = 16) -> pa.Table:
+    """Bow-tie decomposition (Broder et al. 2000) of the directed
+    simple graph under a deduped (src, dst, w) edge Dataset: CORE =
+    largest SCC (ties → smallest label), IN = vertices reaching the
+    core, OUT = vertices reached from it, OTHER = tendrils / tubes /
+    disconnected. The core is strongly connected, so reach(core) =
+    reach(r) for any representative r — one distributed SCC labeling
+    plus ONE forward and ONE backward sparse-frontier fused BFS from
+    the core's smallest member. Returns (v, cls) sorted by v."""
+    from raygraph.algorithms.paths import bfs_levels
+    from raygraph.graph import build_graph
+
+    eds = edges.materialize()
+    g = build_graph(eds, num_parts=num_parts, dup_op="first", binarize=True)
+
+    def swap(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["dst"], "dst": t["src"], "w": t["w"]})
+
+    gT = build_graph(eds.map_batches(swap, batch_format="pyarrow"),
+                     num_parts=num_parts, dup_op="first", binarize=True)
+    labels = scc_fused(g, gT)
+    lt = g.to_vertex_table(labels, "scc")
+    v = np.asarray(lt["v"].to_numpy(zero_copy_only=False)).astype(np.uint64)
+    lab = np.asarray(lt["scc"].to_numpy(zero_copy_only=False)).astype(np.uint64)
+    ul, cnt = np.unique(lab, return_counts=True)
+    core_lab = ul[cnt == cnt.max()].min()
+    r = int(v[lab == core_lab].min())
+
+    def reached(graph) -> np.ndarray:
+        dist, _ = bfs_levels(graph, r)
+        t = graph.to_vertex_table(dist, "dist")
+        rv = np.asarray(t["v"].to_numpy(zero_copy_only=False)).astype(np.uint64)
+        d = np.asarray(t["dist"].to_numpy(zero_copy_only=False))
+        return rv[np.isfinite(d)]
+
+    fwd, bwd = reached(g), reached(gT)
+    is_core = lab == core_lab
+    cls = np.where(is_core, "core",
+                   np.where(np.isin(v, fwd), "out",
+                            np.where(np.isin(v, bwd), "in", "other")))
+    return pa.table({"v": v.astype(np.int64),
+                     "cls": pa.array(cls.tolist(), pa.string())}) \
+        .sort_by([("v", "ascending")])

@@ -2314,3 +2314,34 @@ lvl(c, l) AS (
   SELECT ce.cto, lvl.l + 1 FROM lvl JOIN ce ON ce.cfrom = lvl.c)
 SELECT CAST(c AS BIGINT) AS comp, CAST(max(l) AS BIGINT) AS level
 FROM lvl GROUP BY c ORDER BY comp"""
+
+
+# bow-tie decomposition: CORE = largest SCC (ties -> min label),
+# OUT = forward-reached from the core's min member, IN = backward-
+# reached, OTHER = rest
+ORACLES["bowtie"] = f"""WITH RECURSIVE {_E}, {_EBIN}, {_N},
+nd AS (SELECT DISTINCT v FROM n),
+reach(a, b) AS (
+  SELECT src, dst FROM ebin
+  UNION
+  SELECT r.a, eb.dst FROM reach r JOIN ebin eb ON eb.src = r.b
+),
+mut AS (SELECT r1.a AS v, r1.b AS u
+        FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a),
+lab AS (SELECT nd.v AS v, least(nd.v, coalesce(m.mn, nd.v)) AS scc
+        FROM nd LEFT JOIN (SELECT v, min(u) AS mn FROM mut GROUP BY 1) m
+        ON m.v = nd.v),
+sz AS (SELECT scc, count(*) AS c FROM lab GROUP BY 1),
+core AS (SELECT min(scc) AS scc FROM sz
+         WHERE c = (SELECT max(c) FROM sz)),
+r AS (SELECT min(v) AS v FROM lab WHERE scc = (SELECT scc FROM core)),
+fwd AS (SELECT b AS v FROM reach WHERE a = (SELECT v FROM r)
+        UNION SELECT v FROM r),
+bwd AS (SELECT a AS v FROM reach WHERE b = (SELECT v FROM r)
+        UNION SELECT v FROM r)
+SELECT CAST(lab.v AS BIGINT) AS v,
+       CASE WHEN lab.scc = (SELECT scc FROM core) THEN 'core'
+            WHEN lab.v IN (SELECT v FROM fwd) THEN 'out'
+            WHEN lab.v IN (SELECT v FROM bwd) THEN 'in'
+            ELSE 'other' END AS cls
+FROM lab ORDER BY v"""

@@ -2471,3 +2471,15 @@ def q_scc_levels(sf_dir):
 
 
 QUERIES["scc_levels"] = q_scc_levels
+
+
+def q_bowtie(sf_dir):
+    """Bow-tie decomposition of the directed web graph (Broder et al.
+    2000) — distributed SCC labeling + one forward / one backward
+    fused BFS from the core's smallest member (scc.py bowtie)."""
+    from raygraph.algorithms.scc import bowtie
+
+    return bowtie(_edges_dedup(sf_dir))
+
+
+QUERIES["bowtie"] = q_bowtie

@@ -493,3 +493,15 @@ def test_rich_club_small():
     assert t["n_nodes"] == [4, 4]
     assert t["n_edges"] == [6, 6]
     assert t["phi_ppm"] == [1000000, 1000000]
+
+
+def test_bowtie_classes():
+    from raygraph.algorithms.scc import bowtie
+
+    # core {1,2}; IN: 0 -> 1; OUT: 2 -> 3; other: 5 -> 6 (disconnected
+    # tendril component, neither reaches nor is reached by the core)
+    e = _edges([(1, 2), (2, 1), (0, 1), (2, 3), (5, 6)])
+    out = bowtie(e, num_parts=4).to_pydict()
+    got = dict(zip(out["v"], out["cls"]))
+    assert got == {0: "in", 1: "core", 2: "core", 3: "out",
+                   5: "other", 6: "other"}
