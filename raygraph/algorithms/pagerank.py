@@ -161,3 +161,96 @@ def personalized_pagerank(
     p = [m.astype(np.float64) / ns for m in masks]
     return pagerank_fused(graph, damping=damping, tol=tol, itermax=itermax,
                           check_every=check_every, personalization=p)
+
+
+def pagerank_dangling_fused(graph, *, damping: float = 0.85,
+                            itermax: int = 8):
+    """PageRank with EXACT dangling-mass redistribution — the true
+    random-surfer chain (networkx ``pagerank`` semantics): each
+    iteration, the mass sitting on vertices with no out-edges is
+    redistributed uniformly, so Σx = 1 holds exactly at every step
+    (the production ``pagerank_fused`` uses the leak formulation the
+    reference notebooks use; this variant is the stochastic-complete
+    one).
+
+    Distributed shape: same task-wave structure as katz_fused — per
+    live partition one scatter task (x·damping/outdeg folded in), per
+    partition one bincount reduce with the iteration's scalar teleport
+    β = (1−d)/n + d·dangling_mass/n folded in. The dangling mass is a
+    per-partition masked sum (one float per partition per iteration,
+    exactly the HITS normalization-scalar pattern); the driver holds
+    refs and 1 scalar per iteration."""
+    import ray
+
+    from raygraph.fused import block_cache
+
+    P = graph.num_parts
+    sizes = [int(s) for s in graph.sizes]
+    n = graph.n_vertices
+    if n == 0:
+        return []
+    cache = block_cache(graph)
+
+    def _setup(blk, size):
+        # edges are hash-partitioned by src, so a vertex's out-edges are
+        # in its OWN partition's block: invd == 0 exactly marks dangling
+        invd = np.zeros(size, np.float64)
+        if blk is not None:
+            invd[blk["src_pos"]] = damping / blk["counts"]
+        return invd, invd == 0.0
+
+    setup_t = ray.remote(num_returns=2)(_setup)
+    invd_refs, dang_refs = [], []
+    for p in range(P):
+        i_r, d_r = setup_t.remote(cache[p], sizes[p])
+        invd_refs.append(i_r)
+        dang_refs.append(d_r)
+
+    def _dang_sum(x_p, dang_p):
+        return float(x_p[dang_p].sum())
+
+    dang_t = ray.remote(_dang_sum)
+
+    def _scatter_body(blk, x_p, invd_p):
+        w = x_p * invd_p
+        xv = np.repeat(w[blk["src_pos"]], blk["counts"])  # edge order
+        valp = xv[blk["perm"]]
+        out = [None] * P
+        for q, s0, e0, starts_rel, out_pos in blk["segs"]:
+            out[q] = (out_pos, np.add.reduceat(valp[s0:e0], starts_rel))
+        return out
+
+    if P > 1:
+        scatter = ray.remote(num_returns=P)(
+            lambda blk, x_p, invd_p: tuple(_scatter_body(blk, x_p, invd_p)))
+    else:
+        scatter = ray.remote(
+            lambda blk, x_p, invd_p: _scatter_body(blk, x_p, invd_p)[0])
+
+    def _reduce_body(size, beta, *packets):
+        live = [pk for pk in packets if pk is not None]
+        if live:
+            pos = np.concatenate([pk[0] for pk in live])
+            val = np.concatenate([pk[1] for pk in live])
+            return np.bincount(pos, weights=val, minlength=size) + beta
+        return np.full(size, beta, np.float64)
+
+    reduce_t = ray.remote(_reduce_body)
+
+    x_refs = [ray.put(np.full(s, 1.0 / n, np.float64)) for s in sizes]
+    for _ in range(itermax):
+        dang = float(sum(ray.get(
+            [dang_t.remote(x_refs[p], dang_refs[p]) for p in range(P)])))
+        beta = (1.0 - damping) / n + damping * dang / n
+        pk = [[None] * P for _ in range(P)]
+        for p in range(P):
+            if cache[p] is None:
+                continue
+            outs = scatter.remote(cache[p], x_refs[p], invd_refs[p])
+            if P == 1:
+                outs = [outs]
+            for q in range(P):
+                pk[q][p] = outs[q]
+        x_refs = [reduce_t.remote(sizes[q], beta, *pk[q]) for q in range(P)]
+
+    return ray.get(x_refs)

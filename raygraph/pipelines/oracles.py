@@ -2345,3 +2345,40 @@ SELECT CAST(lab.v AS BIGINT) AS v,
             WHEN lab.v IN (SELECT v FROM bwd) THEN 'in'
             ELSE 'other' END AS cls
 FROM lab ORDER BY v"""
+
+
+def _pagerank_dangling_sql(k: int = 8, damping: float = 0.85) -> str:
+    """PageRank with exact dangling-mass redistribution, unrolled;
+    MATERIALIZED per iteration (see _hits_sql note)."""
+    parts = [
+        _E, _EBIN, _N,
+        "dout AS MATERIALIZED (SELECT src, count(*) AS c "
+        "FROM ebin GROUP BY 1)",
+        "nn AS MATERIALIZED (SELECT count(*) AS c FROM n)",
+        "r0 AS MATERIALIZED (SELECT v, 1.0 / (SELECT c FROM nn) AS score "
+        "FROM n)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""dgl{i} AS MATERIALIZED (
+  SELECT coalesce(sum(r.score), 0) AS m FROM r{i-1} r
+  LEFT JOIN dout d ON d.src = r.v WHERE d.src IS NULL)""")
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT n.v,
+         ({1 - damping} / (SELECT c FROM nn))
+         + ({damping} * (SELECT m FROM dgl{i}) / (SELECT c FROM nn))
+         + COALESCE(s.x, 0) AS score
+  FROM n LEFT JOIN (
+    SELECT eb.dst AS v, sum(r{i-1}.score * ({damping} * (1.0 / d.c))) AS x
+    FROM ebin eb
+    JOIN r{i-1} ON r{i-1}.v = eb.src
+    JOIN dout d ON d.src = eb.src
+    GROUP BY eb.dst
+  ) s ON s.v = n.v)""")
+    return ("WITH " + ",\n".join(parts) +
+            f"""
+SELECT v, round(score, 6) AS score FROM r{k} ORDER BY v""")
+
+
+ORACLES["pagerank_dangling_k8"] = _pagerank_dangling_sql(8)

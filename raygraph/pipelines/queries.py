@@ -2483,3 +2483,20 @@ def q_bowtie(sf_dir):
 
 
 QUERIES["bowtie"] = q_bowtie
+
+
+def q_pagerank_dangling_k8(sf_dir):
+    """PageRank with exact dangling-mass redistribution (networkx
+    random-surfer semantics, Σx = 1 every iteration) — fused
+    supersteps; the per-iteration dangling mass is a per-partition
+    masked sum (pagerank.py pagerank_dangling_fused)."""
+    from raygraph.algorithms.pagerank import pagerank_dangling_fused
+
+    g = _g1_graph(sf_dir, binarize=True)
+    xs = pagerank_dangling_fused(g, damping=0.85, itermax=8)
+    t = g.to_vertex_table(xs, "score")
+    return _round_col(_int64_col(t, "v"), "score") \
+        .sort_by([("v", "ascending")])
+
+
+QUERIES["pagerank_dangling_k8"] = q_pagerank_dangling_k8

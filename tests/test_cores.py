@@ -505,3 +505,32 @@ def test_bowtie_classes():
     got = dict(zip(out["v"], out["cls"]))
     assert got == {0: "in", 1: "core", 2: "core", 3: "out",
                    5: "other", 6: "other"}
+
+
+def test_pagerank_dangling_mass_conserved():
+    from raygraph.algorithms.pagerank import pagerank_dangling_fused
+    from raygraph.graph import build_graph
+    from tests import fixtures as fx
+
+    A = (fx.random_graph(50, 0.06, seed=23) != 0).astype(np.float64)
+    A[7, :] = 0  # force dangling rows
+    A[31, :] = 0
+    g = build_graph(rd.from_arrow(fx.dense_to_edge_table(A)),
+                    num_parts=4, dup_op="first", binarize=True)
+    xs = pagerank_dangling_fused(g, damping=0.85, itermax=8)
+    t = g.to_vertex_table(xs, "score").to_pandas().set_index("v")["score"]
+    n = g.n_vertices
+    # dense oracle over the SAME vertex universe (edge endpoints only)
+    ids = sorted(t.index)
+    sub = A[np.ix_(ids, ids)]
+    od = sub.sum(axis=1)
+    x = np.full(len(ids), 1.0 / n)
+    for _ in range(8):
+        dang = x[od == 0].sum()
+        beta = 0.15 / n + 0.85 * dang / n
+        W = np.divide(sub, od[:, None], out=np.zeros_like(sub),
+                      where=od[:, None] > 0)
+        x = beta + 0.85 * (W.T @ x)
+    got = np.array([t[i] for i in ids])
+    np.testing.assert_allclose(got, x, atol=1e-12)
+    assert abs(sum(xs_p.sum() for xs_p in xs) - 1.0) < 1e-9
