@@ -2382,3 +2382,21 @@ SELECT v, round(score, 6) AS score FROM r{k} ORDER BY v""")
 
 
 ORACLES["pagerank_dangling_k8"] = _pagerank_dangling_sql(8)
+
+
+# component size histogram + giant-component fraction (exact ppm)
+ORACLES["cc_sizes"] = f"""WITH RECURSIVE {_E}, {_UE}, {_N},
+reach(v, r) AS (
+  SELECT v, v FROM n
+  UNION
+  SELECT ue.dst, reach.r FROM reach JOIN ue ON ue.src = reach.v
+),
+lab AS (SELECT v, min(r) AS label FROM reach GROUP BY v),
+cs AS (SELECT label, count(*) AS sz FROM lab GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM lab),
+g AS (SELECT max(sz) AS giant FROM cs)
+SELECT CAST(sz AS BIGINT) AS size,
+       CAST(count(*) AS BIGINT) AS n_components,
+       CAST((SELECT giant FROM g) * 1000000
+            // (SELECT n FROM tot) AS BIGINT) AS giant_ppm
+FROM cs GROUP BY sz ORDER BY size"""

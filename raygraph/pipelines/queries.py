@@ -2500,3 +2500,32 @@ def q_pagerank_dangling_k8(sf_dir):
 
 
 QUERIES["pagerank_dangling_k8"] = q_pagerank_dangling_k8
+
+
+def q_cc_sizes(sf_dir):
+    """Connected-component size distribution + giant-component
+    fraction: one row per component size bucket (size, n_components)
+    plus the giant fraction in exact ppm — the standard web-graph
+    connectivity summary, derived from the distributed FastSV labels.
+    The fold runs on the O(V) vertex table (same driver regime as
+    cc_labels' output itself); at extreme V swap for a grouped
+    label-count + size-histogram combiner."""
+    from raygraph.algorithms.components import connected_components
+
+    g = _g1_graph(sf_dir, symmetrize=True, binarize=True)
+    f, _ = connected_components(g, mode="fused")
+    t = g.to_vertex_table(f, "label")
+    lab = np.asarray(t["label"].to_numpy(zero_copy_only=False),
+                     np.uint64)
+    _, csz = np.unique(lab, return_counts=True)
+    sz, nc = np.unique(csz, return_counts=True)
+    n = len(lab)
+    giant = int(csz.max()) if n else 0
+    return pa.table({
+        "size": sz.astype(np.int64),
+        "n_components": nc.astype(np.int64),
+        "giant_ppm": np.full(len(sz), giant * 1_000_000 // max(n, 1),
+                             np.int64)})
+
+
+QUERIES["cc_sizes"] = q_cc_sizes
