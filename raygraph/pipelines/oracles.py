@@ -2400,3 +2400,20 @@ SELECT CAST(sz AS BIGINT) AS size,
        CAST((SELECT giant FROM g) * 1000000
             // (SELECT n FROM tot) AS BIGINT) AS giant_ppm
 FROM cs GROUP BY sz ORDER BY size"""
+
+
+# embedding near-dup clusters: CC over the exact all-pairs cosine
+# graph at the emb_near_dups threshold
+ORACLES["emb_clusters"] = """WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+)
+SELECT node AS vec_id, min(r) AS keep_id FROM reach GROUP BY 1
+ORDER BY vec_id"""

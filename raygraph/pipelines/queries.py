@@ -2529,3 +2529,24 @@ def q_cc_sizes(sf_dir):
 
 
 QUERIES["cc_sizes"] = q_cc_sizes
+
+
+def q_emb_clusters(sf_dir):
+    """Embedding near-dup clusters: distributed FastSV connected
+    components over the banded-LSH verified cosine pair graph — every
+    vector labeled with the min vec_id of its near-dup cluster
+    (singletons keep themselves). Same cluster machinery as
+    dedup_clusters, embedding-pair input."""
+    from raygraph.datapipe.dedup import dedup_clusters
+    from raygraph.datapipe.similarity import embedding_near_dups
+
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_near_dups(emb, threshold=0.45)
+    ids = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id"])
+    t = dedup_clusters(pairs, ids, id_col="vec_id")
+    t = t.rename_columns(["vec_id", "keep_id"])
+    return _int64_col(_int64_col(t, "vec_id"), "keep_id")
+
+
+QUERIES["emb_clusters"] = q_emb_clusters
