@@ -426,7 +426,11 @@ def run_bench() -> dict:
                  "contract_mod7", "sample_neighbors", "pq_codes",
                  "jl_project", "pq_knn", "pmi_collocations", "bm25_topk",
                  "ngram_scrub", "betweenness4", "modularity7",
-                 "hyperball2", "adamic_adar", "cocitation", "wl_colors2"):
+                 "hyperball2", "adamic_adar", "cocitation", "wl_colors2",
+                 "msf_edges", "eigen_k8", "salsa_k4", "rich_club",
+                 "events_funnel", "doc_repetition", "doc_entropy",
+                 "scc_levels", "bowtie", "pagerank_dangling_k8",
+                 "cc_sizes", "emb_clusters"):
         t = time.perf_counter()
         out = QUERIES[name](SF_DIR)
         if hasattr(out, "materialize"):
