@@ -2417,3 +2417,17 @@ reach(node, r) AS (
 )
 SELECT node AS vec_id, min(r) AS keep_id FROM reach GROUP BY 1
 ORDER BY vec_id"""
+
+
+# directed triad census (reduced): transitive closures vs 3-cycles
+ORACLES["triad_counts"] = f"""WITH {_E},
+eb AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+p2 AS (SELECT a.src AS u, b.dst AS w, count(*) AS c
+       FROM eb a JOIN eb b ON b.src = a.dst
+       WHERE a.src <> b.dst GROUP BY 1, 2),
+tr AS (SELECT coalesce(sum(c), 0) AS t FROM p2
+       JOIN eb ON eb.src = p2.u AND eb.dst = p2.w),
+cy AS (SELECT coalesce(sum(c), 0) AS t FROM p2
+       JOIN eb ON eb.src = p2.w AND eb.dst = p2.u)
+SELECT CAST((SELECT t FROM tr) AS BIGINT) AS n_transitive,
+       CAST((SELECT t FROM cy) // 3 AS BIGINT) AS n_cyclic"""

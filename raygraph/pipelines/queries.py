@@ -2550,3 +2550,36 @@ def q_emb_clusters(sf_dir):
 
 
 QUERIES["emb_clusters"] = q_emb_clusters
+
+
+def q_triad_counts(sf_dir):
+    """Directed triad (triangle) census, reduced: transitive triads
+    (u→v→w with shortcut u→w; counted once per shortcut edge) vs
+    cyclic triangles (u→v→w→u; each counted once) — two masked mxm
+    passes over the binarized simple digraph (mask = E for transitive,
+    mask = Eᵀ for cyclic) + a scalar plus-reduce; the dot/wedge
+    auto-selection and per-batch combiners of the mxm kernel apply
+    unchanged."""
+    def ebin(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        keep = s != d
+        return pa.table({"src": s[keep], "dst": d[keep],
+                         "w": np.ones(int(keep.sum()), np.float64)})
+
+    def swap(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["dst"], "dst": t["src"], "w": t["w"]})
+
+    e = _edges_dedup(sf_dir).map_batches(
+        ebin, batch_format="pyarrow").materialize()
+    eT = e.map_batches(swap, batch_format="pyarrow").materialize()
+    trans = K.reduce_scalar(
+        K.mxm(e, e, "plus_times", mask=e), "plus", col="w")
+    cyc = K.reduce_scalar(
+        K.mxm(e, e, "plus_times", mask=eT), "plus", col="w")
+    return pa.table({
+        "n_transitive": pa.array([int(round(trans))], pa.int64()),
+        "n_cyclic": pa.array([int(round(cyc)) // 3], pa.int64())})
+
+
+QUERIES["triad_counts"] = q_triad_counts

@@ -534,3 +534,23 @@ def test_pagerank_dangling_mass_conserved():
     got = np.array([t[i] for i in ids])
     np.testing.assert_allclose(got, x, atol=1e-12)
     assert abs(sum(xs_p.sum() for xs_p in xs) - 1.0) < 1e-9
+
+
+def test_triad_counts_fixture():
+    from raygraph.pipelines.queries import QUERIES  # noqa: F401  (registry import)
+    from raygraph import kernels as K
+
+    # cycle 1->2->3->1 plus shortcut 1->3: transitive = 1 (1->2->3 with
+    # 1->3), cyclic = 1
+    e = _edges([(1, 2), (2, 3), (3, 1), (1, 3)])
+
+    def swap(t):
+        return pa.table({"src": t["dst"], "dst": t["src"], "w": t["w"]})
+
+    eT = e.map_batches(swap, batch_format="pyarrow")
+    trans = K.reduce_scalar(K.mxm(e, e, "plus_times", mask=e), "plus",
+                            col="w")
+    cyc = K.reduce_scalar(K.mxm(e, e, "plus_times", mask=eT), "plus",
+                          col="w")
+    assert int(round(trans)) == 1
+    assert int(round(cyc)) // 3 == 1
