@@ -925,3 +925,61 @@ def knn_pq_adc(emb_ds, queries: np.ndarray, *, k: int = 10,
 
     return partials.groupby("query_id").map_groups(final,
                                                    batch_format="pandas")
+
+
+def hard_negatives(emb_ds, *, id_col: str = "vec_id",
+                   emb_col: str = "embedding", label_col: str = "label"):
+    """Hard-negative mining for contrastive training: for every vector,
+    the most-cosine-similar vector with a DIFFERENT label (ties →
+    smallest id). Returns Dataset (vec_id, neg_id, sim).
+
+    Regime: the corpus rides broadcast as one normalized matrix
+    (ray.put once, one matmul per batch) — the same documented
+    broadcast-corpus bound as knn_cosine's Q side; above it, mine
+    within banded-LSH candidate buckets instead (emb_near_dups shape).
+    Oversized corpora are rejected rather than silently degrading."""
+    import ray
+
+    refs = emb_ds.select_columns([id_col, emb_col, label_col]) \
+        .materialize().to_arrow_refs()
+    t = pa.concat_tables([x for x in ray.get(refs) if x.num_rows])
+    ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), np.int64)
+    labs = np.asarray(t[label_col].to_numpy(zero_copy_only=False),
+                      np.int64)
+    M = _normalize(_emb_matrix(t, emb_col))
+    if len(ids) > 20_000:
+        raise ValueError(
+            f"hard_negatives: {len(ids)} vectors — the broadcast-corpus "
+            "design is for corpora <= 20000; mine within banded-LSH "
+            "buckets (emb_near_dups shape) beyond that")
+    order = np.argsort(ids)
+    ids, labs, M = ids[order], labs[order], M[order]
+    ref = ray.put((ids, labs, M))
+
+    def mine(b: pa.Table) -> pa.Table:
+        cids, clabs, cm = ray.get(ref)
+        bi = np.asarray(b[id_col].to_numpy(zero_copy_only=False), np.int64)
+        bl = np.asarray(b[label_col].to_numpy(zero_copy_only=False),
+                        np.int64)
+        bm = _normalize(_emb_matrix(b, emb_col))
+        sims = bm @ cm.T
+        # mask self and same-label columns per row
+        sims[bl[:, None] == clabs[None, :]] = -np.inf
+        sims[bi[:, None] == cids[None, :]] = -np.inf
+        out_id, out_neg, out_sim = [], [], []
+        for r in range(len(bi)):
+            row = sims[r]
+            best = row.max()
+            if not np.isfinite(best):
+                continue
+            neg = cids[row == best].min()  # tie -> smallest id
+            out_id.append(bi[r])
+            out_neg.append(neg)
+            out_sim.append(best)
+        return pa.table({
+            "vec_id": pa.array(np.asarray(out_id, np.int64), pa.int64()),
+            "neg_id": pa.array(np.asarray(out_neg, np.int64), pa.int64()),
+            "sim": pa.array(np.round(np.asarray(out_sim, np.float64), 6),
+                            pa.float64())})
+
+    return emb_ds.map_batches(mine, batch_format="pyarrow")

@@ -2431,3 +2431,15 @@ cy AS (SELECT coalesce(sum(c), 0) AS t FROM p2
        JOIN eb ON eb.src = p2.w AND eb.dst = p2.u)
 SELECT CAST((SELECT t FROM tr) AS BIGINT) AS n_transitive,
        CAST((SELECT t FROM cy) // 3 AS BIGINT) AS n_cyclic"""
+
+
+# hard negatives: most-similar different-label vector, ties -> min id
+ORACLES["hard_negatives"] = """SELECT vec_id, neg_id FROM (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neg_id,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                    b.vec_id ASC) AS rn
+  FROM embeddings a JOIN embeddings b
+    ON b.vec_id <> a.vec_id AND b.label <> a.label
+) WHERE rn = 1 ORDER BY vec_id"""

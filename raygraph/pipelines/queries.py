@@ -2583,3 +2583,20 @@ def q_triad_counts(sf_dir):
 
 
 QUERIES["triad_counts"] = q_triad_counts
+
+
+def q_hard_negatives(sf_dir):
+    """Hard-negative mining for contrastive training: per vector the
+    most-similar DIFFERENT-label vector (ties → smallest id) —
+    broadcast-corpus matmul per batch (similarity.py hard_negatives);
+    the float sim stays out of the compared columns (rank semantics,
+    same convention as knn_topk)."""
+    from raygraph.datapipe.similarity import hard_negatives
+
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    t = K.to_table(hard_negatives(emb), sort_by=None) \
+        .select(["vec_id", "neg_id"])
+    return t.sort_by([("vec_id", "ascending")])
+
+
+QUERIES["hard_negatives"] = q_hard_negatives

@@ -987,3 +987,24 @@ def test_doc_entropy_values():
     assert list(out["n_tokens"]) == [4, 4]
     assert list(out["n_distinct"]) == [1, 4]
     np.testing.assert_allclose(out["entropy"], [0.0, np.log(4)], atol=1e-6)
+
+
+def test_hard_negatives_picks_cross_label_max():
+    from raygraph.datapipe.similarity import hard_negatives
+
+    t = pa.table({
+        "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.9, 0.1], [0.0, 1.0],
+                               [1.0, 0.05]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 1, 1], pa.int32()),
+    })
+    out = hard_negatives(rd.from_arrow(t)).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    got = dict(zip(out["vec_id"], out["neg_id"]))
+    # 1's nearest cross-label is 4 (not same-label 2); 3's is 4 too? no:
+    # 3=[0,1] vs label-0 candidates {1,2}: sim(3,2) > sim(3,1) -> 2
+    assert got[1] == 4
+    assert got[2] == 4
+    assert got[3] == 2
+    assert got[4] == 1
