@@ -474,3 +474,74 @@ def funnel(events_ds, *, steps=("view", "click", "purchase"),
         "step": np.arange(1, len(steps) + 1, dtype=np.int64),
         "event_type": pa.array(list(steps), pa.string()),
         "n_users": np.asarray(out_n, np.int64)})
+
+
+def cohort_retention(events_ds, *, key: str = "user_id",
+                     ts_col: str = "ts", period_s: int = 604800,
+                     num_buckets: int = 32):
+    """Cohort retention: users are grouped into cohorts by the period
+    (default: week) of their FIRST event; for each (cohort,
+    week_offset) the number of distinct users active in that offset
+    period — the classic product-analytics retention triangle. All
+    period arithmetic is integer epoch-microseconds, so the result is
+    exact.
+
+    Distributed shape: ONE bucketed exchange on ``mix64(key)``
+    co-locates each user's events; inside a bucket a lexsort +
+    reduceat finds each user's first event and their distinct offsets,
+    and the bucket emits (cohort, week_offset, n) PARTIAL counts — the
+    final groupby sums tiny partials, never user rows. Same hot-key
+    bound as sessionize.
+
+    Returns Dataset (cohort, week_offset, n_users): cohort is the
+    period index (epoch_us // period_us) of the cohort's start.
+    """
+    from raygraph.util import mix64
+
+    per_us = np.int64(period_s) * 1_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t[key].to_numpy(zero_copy_only=False), np.int64)
+        bk = (mix64(keys.astype(np.uint64))
+              % np.uint64(num_buckets)).astype(np.int32)
+        tus = np.asarray(t[ts_col].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False)).astype("datetime64[us]").astype(np.int64)
+        return pa.table({"bucket": bk, "k": keys, "tus": tus})
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        k = np.asarray(g["k"].to_numpy(zero_copy_only=False), np.int64)
+        tus = np.asarray(g["tus"].to_numpy(zero_copy_only=False), np.int64)
+        if len(k) == 0:
+            return pa.table({"cohort": pa.array([], pa.int64()),
+                             "week_offset": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        order = np.lexsort((tus, k))
+        k, tus = k[order], tus[order]
+        first = np.r_[True, k[1:] != k[:-1]]
+        t0 = np.repeat(tus[first], np.diff(np.r_[
+            np.flatnonzero(first), len(k)]))
+        cohort = t0 // per_us
+        off = (tus - t0) // per_us
+        # distinct (user, offset): rows are sorted by (k, tus), so equal
+        # offsets of one user are consecutive
+        keep = np.r_[True, (k[1:] != k[:-1]) | (off[1:] != off[:-1])]
+        pairs = np.stack([cohort[keep], off[keep]], axis=1)
+        u, c = np.unique(pairs, axis=0, return_counts=True)
+        return pa.table({"cohort": u[:, 0].astype(np.int64),
+                         "week_offset": u[:, 1].astype(np.int64),
+                         "n": c.astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    parts = (events_ds.map_batches(tag, batch_format="pyarrow")
+             .groupby("bucket").map_groups(per_bucket,
+                                           batch_format="pyarrow"))
+    agg = parts.groupby(["cohort", "week_offset"]).aggregate(
+        Sum("n", alias_name="n_users"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({"cohort": t["cohort"].cast(pa.int64()),
+                         "week_offset": t["week_offset"].cast(pa.int64()),
+                         "n_users": t["n_users"].cast(pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")

@@ -2443,3 +2443,19 @@ ORACLES["hard_negatives"] = """SELECT vec_id, neg_id FROM (
   FROM embeddings a JOIN embeddings b
     ON b.vec_id <> a.vec_id AND b.label <> a.label
 ) WHERE rn = 1 ORDER BY vec_id"""
+
+
+# weekly cohort retention triangle (integer epoch-us arithmetic)
+ORACLES["events_retention"] = """WITH f AS (
+  SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1
+),
+a AS (
+  SELECT DISTINCT e.user_id,
+         epoch_us(f.t0) // 604800000000 AS cohort,
+         (epoch_us(e.ts) - epoch_us(f.t0)) // 604800000000 AS week_offset
+  FROM events e JOIN f ON f.user_id = e.user_id
+)
+SELECT CAST(cohort AS BIGINT) AS cohort,
+       CAST(week_offset AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a GROUP BY 1, 2 ORDER BY cohort, week_offset"""

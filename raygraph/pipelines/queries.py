@@ -2600,3 +2600,19 @@ def q_hard_negatives(sf_dir):
 
 
 QUERIES["hard_negatives"] = q_hard_negatives
+
+
+def q_events_retention(sf_dir):
+    """Weekly cohort retention triangle over events — bucketed per-user
+    cogroup with integer epoch-microsecond period arithmetic
+    (windows.py cohort_retention)."""
+    from raygraph.datapipe.windows import cohort_retention
+
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+    t = K.to_table(cohort_retention(ev), sort_by=None)
+    return t.sort_by([("cohort", "ascending"),
+                      ("week_offset", "ascending")])
+
+
+QUERIES["events_retention"] = q_events_retention

@@ -1008,3 +1008,32 @@ def test_hard_negatives_picks_cross_label_max():
     assert got[2] == 4
     assert got[3] == 2
     assert got[4] == 1
+
+
+def test_cohort_retention_triangle():
+    from raygraph.datapipe.windows import cohort_retention
+
+    wk = 604800
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    rows = [
+        (1, 0), (1, wk + 5), (1, wk + 6),   # cohort c, offsets {0,1}
+        (2, 3), (2, 2 * wk),                # offsets {0,1}: 2wk-3s < 2 periods
+                                            # (offsets anchor at the user's
+                                            # OWN first event, not calendar)
+        (3, wk), (3, wk + 1),               # cohort c+1ish, offset {0}
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([base + np.timedelta64(r[1] * 1_000_000, "us")
+                        for r in rows], pa.timestamp("us")),
+    })
+    out = cohort_retention(rd.from_arrow(t)).to_pandas() \
+        .sort_values(["cohort", "week_offset"]).reset_index(drop=True)
+    c0 = int(base.astype(np.int64) // (wk * 1_000_000))
+    got = {(r.cohort, r.week_offset): r.n_users for r in out.itertuples()}
+    # users 1,2 share the first-event period; user 3 starts one week in
+    c3 = int((base.astype(np.int64) + wk * 1_000_000) // (wk * 1_000_000))
+    assert got[(c0, 0)] == 2
+    assert got[(c0, 1)] == 2
+    assert (c0, 2) not in got
+    assert got[(c3, 0)] == 1
