@@ -545,3 +545,67 @@ def cohort_retention(events_ds, *, key: str = "user_id",
                          "n_users": t["n_users"].cast(pa.int64())})
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def value_outliers(events_ds, *, type_col: str = "event_type",
+                   val_col: str = "value", id_col: str = "event_id",
+                   z_thresh: float = 2.5):
+    """Per-type z-score outlier flagging: events whose value deviates
+    from their type's population mean by ≥ ``z_thresh`` standard
+    deviations — the standard metric-anomaly primitive. z is computed
+    as (v − sum/n) / sqrt(sumsq/n − (sum/n)²) (population std), the
+    same algebraic form as the SQL oracle, and thresholded on the
+    6-decimal-rounded z so both sides make identical keep decisions.
+
+    Distributed shape: pass 1 collapses each batch to ONE
+    (type, n, Σv, Σv²) partial row (combiner) and a tiny groupby sums
+    them; the per-type stats table (≤ #types rows) broadcasts via
+    ``ray.put`` and pass 2 scores + filters each batch vectorized.
+    Nothing but partial rows and flagged outliers ever shuffles.
+
+    Returns Dataset (event_id, event_type, value, z).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t[type_col].to_numpy(zero_copy_only=False))
+        v = np.asarray(t[val_col].to_numpy(zero_copy_only=False),
+                       np.float64)
+        u, inv = np.unique(et, return_inverse=True)
+        n = np.bincount(inv)
+        s = np.bincount(inv, weights=v)
+        s2 = np.bincount(inv, weights=v * v)
+        return pa.table({type_col: pa.array(u.tolist(), pa.string()),
+                         "n": n.astype(np.int64), "s": s, "s2": s2})
+
+    stats = (events_ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(type_col).aggregate(
+                 Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                 Sum("s2", alias_name="s2")).to_pandas())
+    mean = stats["s"].to_numpy() / stats["n"].to_numpy()
+    var = stats["s2"].to_numpy() / stats["n"].to_numpy() - mean * mean
+    std = np.sqrt(np.maximum(var, 0.0))
+    ref = ray.put({t: (m, sd) for t, m, sd in
+                   zip(stats[type_col], mean, std)})
+
+    def score(t: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        et = np.asarray(t[type_col].to_numpy(zero_copy_only=False))
+        v = np.asarray(t[val_col].to_numpy(zero_copy_only=False),
+                       np.float64)
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False),
+                         np.int64)
+        m = np.array([st[x][0] for x in et])
+        sd = np.array([st[x][1] for x in et])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(sd > 0, (v - m) / sd, 0.0)
+        z = np.round(z, 6)
+        keep = np.abs(z) >= z_thresh
+        return pa.table({
+            id_col: pa.array(ids[keep], pa.int64()),
+            type_col: pa.array(et[keep].tolist(), pa.string()),
+            val_col: pa.array(np.round(v[keep], 6), pa.float64()),
+            "z": pa.array(z[keep], pa.float64())})
+
+    return events_ds.map_batches(score, batch_format="pyarrow")

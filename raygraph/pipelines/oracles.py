@@ -2459,3 +2459,24 @@ SELECT CAST(cohort AS BIGINT) AS cohort,
        CAST(week_offset AS BIGINT) AS week_offset,
        CAST(count(*) AS BIGINT) AS n_users
 FROM a GROUP BY 1, 2 ORDER BY cohort, week_offset"""
+
+
+# per-type z-score outliers, threshold on the ROUNDED z (same keep
+# rule as the engine; population std, same algebraic form)
+ORACLES["events_outliers"] = """WITH st AS (
+  SELECT event_type, count(*) AS n, sum(value) AS s,
+         sum(value * value) AS s2
+  FROM events GROUP BY 1
+),
+z AS (
+  SELECT e.event_id, e.event_type, e.value,
+         round(CASE WHEN sqrt(greatest(st.s2 / st.n
+                       - (st.s / st.n) * (st.s / st.n), 0)) > 0
+               THEN (e.value - st.s / st.n)
+                    / sqrt(greatest(st.s2 / st.n
+                       - (st.s / st.n) * (st.s / st.n), 0))
+               ELSE 0 END, 6) AS z
+  FROM events e JOIN st ON st.event_type = e.event_type
+)
+SELECT event_id, event_type, round(value, 6) AS value, z
+FROM z WHERE abs(z) >= 2.5 ORDER BY event_id"""

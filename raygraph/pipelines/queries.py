@@ -2616,3 +2616,18 @@ def q_events_retention(sf_dir):
 
 
 QUERIES["events_retention"] = q_events_retention
+
+
+def q_events_outliers(sf_dir):
+    """Per-type z-score outliers (|z| ≥ 2.5 on the 6-decimal-rounded
+    score) — combiner-first stats pass + broadcast-stats scoring
+    (windows.py value_outliers)."""
+    from raygraph.datapipe.windows import value_outliers
+
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "value"])
+    t = K.to_table(value_outliers(ev), sort_by=None)
+    return t.sort_by([("event_id", "ascending")])
+
+
+QUERIES["events_outliers"] = q_events_outliers
