@@ -457,3 +457,41 @@ def rich_club(edges, *, ks=(1, 2, 4, 8, 16, 32),
                      "n_nodes": pa.array(na, pa.int64()),
                      "n_edges": pa.array(ea, pa.int64()),
                      "phi_ppm": pa.array(pa_, pa.int64())})
+
+
+def s_metric(edges, *, num_buckets: int = _B) -> pa.Table:
+    """s-metric Σ deg(u)·deg(v) over the undirected simple graph's
+    edges (Li-Alderson-Doyle-Willinger "towards a theory of scale-free
+    graphs"; graphblas-algorithms/networkx ``s_metric``, each
+    undirected edge counted once). Exact int64.
+
+    Distributed shape: identical to degree_assortativity — degree
+    vector broadcast once, each batch of the canonical (src<dst) edge
+    stream emits ONE partial int row, the driver folds partials."""
+    import ray
+
+    sym = sym_edges(edges, num_buckets=num_buckets).materialize()
+    degt = K.to_table(K.reduce_rowwise(sym, "plus"), sort_by=None)
+    ids = np.asarray(degt["v"].to_numpy(zero_copy_only=False), np.uint64)
+    dg = np.rint(np.asarray(degt["val"].to_numpy(zero_copy_only=False),
+                            np.float64)).astype(np.int64)
+    order = np.argsort(ids)
+    deg_ref = ray.put((ids[order], dg[order]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        bids, bdeg = ray.get(deg_ref)
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        keep = s < d
+        s, d = s[keep], d[keep]
+        prod = bdeg[np.searchsorted(bids, s)] * bdeg[np.searchsorted(bids, d)]
+        return pa.table({"m": pa.array([len(s)], pa.int64()),
+                         "s": pa.array([int(prod.sum())], pa.int64())})
+
+    pt = K.to_table(K._ds(sym).map_batches(partial, batch_format="pyarrow"),
+                    sort_by=None)
+    return pa.table({
+        "n_edges": pa.array([int(np.asarray(
+            pt["m"].to_numpy(zero_copy_only=False)).sum())], pa.int64()),
+        "s_metric": pa.array([int(np.asarray(
+            pt["s"].to_numpy(zero_copy_only=False)).sum())], pa.int64())})

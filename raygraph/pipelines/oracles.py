@@ -2480,3 +2480,14 @@ z AS (
 )
 SELECT event_id, event_type, round(value, 6) AS value, z
 FROM z WHERE abs(z) >= 2.5 ORDER BY event_id"""
+
+
+# s-metric: sum of endpoint-degree products over undirected edges
+ORACLES["s_metric"] = f"""WITH {_E},
+ud AS (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS d
+       FROM e WHERE src <> dst),
+deg AS (SELECT v, count(*) AS dg FROM
+        (SELECT s AS v FROM ud UNION ALL SELECT d FROM ud) GROUP BY v)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(da.dg * db.dg) AS BIGINT) AS s_metric
+FROM ud JOIN deg da ON da.v = ud.s JOIN deg db ON db.v = ud.d"""

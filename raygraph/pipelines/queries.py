@@ -2631,3 +2631,14 @@ def q_events_outliers(sf_dir):
 
 
 QUERIES["events_outliers"] = q_events_outliers
+
+
+def q_s_metric(sf_dir):
+    """s-metric Σ deg(u)·deg(v) over undirected simple edges — exact
+    int64, broadcast-degree one-row partials (metrics.py s_metric)."""
+    from raygraph.algorithms.metrics import s_metric
+
+    return s_metric(_edges_dedup(sf_dir))
+
+
+QUERIES["s_metric"] = q_s_metric

@@ -554,3 +554,14 @@ def test_triad_counts_fixture():
                           col="w")
     assert int(round(trans)) == 1
     assert int(round(cyc)) // 3 == 1
+
+
+def test_s_metric_k4_with_pendant():
+    from raygraph.algorithms.metrics import s_metric
+
+    # K4 {0..3} + pendant 3-4: degs 3,3,3,4,1
+    pairs = [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(3, 4)]
+    t = s_metric(_edges(pairs)).to_pydict()
+    # edges: 01,02,03,12,13,23 prods 9,9,12,9,12,12 and 34 prod 4
+    assert t["n_edges"] == [7]
+    assert t["s_metric"] == [9 + 9 + 12 + 9 + 12 + 12 + 4]
