@@ -1037,3 +1037,42 @@ def test_cohort_retention_triangle():
     assert got[(c0, 1)] == 2
     assert (c0, 2) not in got
     assert got[(c3, 0)] == 1
+
+
+def test_funnel_matches_bruteforce_random():
+    from raygraph.datapipe.windows import funnel
+
+    rng = np.random.default_rng(99)
+    n = 400
+    users = rng.integers(0, 40, n)
+    tss = rng.integers(0, 10_000, n)
+    steps = ("view", "click", "purchase")
+    types = np.array(steps + ("error",))[rng.integers(0, 4, n)]
+    base = np.datetime64("2026-01-01", "us")
+    t = pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array([base + np.timedelta64(int(x) * 1_000_000, "us")
+                        for x in tss], pa.timestamp("us")),
+        "event_type": pa.array(types.tolist(), pa.string()),
+    })
+    out = funnel(rd.from_arrow(t), steps=steps).to_pydict()
+
+    # brute force: greedy earliest strictly-after match per user
+    import collections
+    ev = collections.defaultdict(list)
+    for u, s, et in zip(users, tss, types):
+        ev[u].append((int(s), et))
+    counts = [0, 0, 0]
+    for u, rows in ev.items():
+        rows.sort()
+        cur = -1
+        stage = 0
+        for i, step in enumerate(steps):
+            cand = [s for s, et in rows if et == step and s > cur]
+            if not cand:
+                break
+            cur = min(cand)
+            stage = i + 1
+        for i in range(stage):
+            counts[i] += 1
+    assert out["n_users"] == counts
