@@ -495,3 +495,69 @@ def s_metric(edges, *, num_buckets: int = _B) -> pa.Table:
             pt["m"].to_numpy(zero_copy_only=False)).sum())], pa.int64()),
         "s_metric": pa.array([int(np.asarray(
             pt["s"].to_numpy(zero_copy_only=False)).sum())], pa.int64())})
+
+
+def bipartite_project(ds, *, key_col: str, val_col: str,
+                      num_buckets: int = _B, cap: int = 100_000):
+    """Bipartite projection (the co-purchase / co-occurrence graph):
+    given a two-mode table (key, val), connect every pair of vals that
+    share a key, weighted by the number of DISTINCT shared keys.
+    Returns Dataset (a, b, n_shared) with a < b.
+
+    Distributed shape: per-batch local (key,val) dedup (combiner), ONE
+    bucketed exchange on ``mix64(key)`` so a key's vals co-locate;
+    in-bucket lexsort segments per key and vectorized i<j pair
+    generation (``pairs_in_segments`` with the degenerate-key cap
+    guard — a key shared by h vals emits h² pairs, so ``cap`` bounds
+    the blowup and is sized far above this data's fan-out); a SECOND
+    coarse-bucketed exchange on the pair hash counts each pair with a
+    lexsort + reduceat — constant group count regardless of pairs.
+    """
+    from raygraph.util import mix64, pairs_in_segments
+
+    nb = np.uint64(num_buckets)
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = np.asarray(t[key_col].to_numpy(zero_copy_only=False),
+                       np.int64).astype(np.uint64)
+        v = np.asarray(t[val_col].to_numpy(zero_copy_only=False),
+                       np.int64).astype(np.uint64)
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        keep = np.r_[True, (k[1:] != k[:-1]) | (v[1:] != v[:-1])]
+        k, v = k[keep], v[keep]
+        return pa.table({"bucket": (mix64(k) % nb).astype(np.int32),
+                         "k": k, "v": v})
+
+    def pairs(g: pa.Table) -> pa.Table:
+        k = np.asarray(g["k"].to_numpy(zero_copy_only=False), np.uint64)
+        v = np.asarray(g["v"].to_numpy(zero_copy_only=False), np.uint64)
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        keep = np.r_[True, (k[1:] != k[:-1]) | (v[1:] != v[:-1])]
+        k, v = k[keep], v[keep]
+        new = np.r_[True, k[1:] != k[:-1]]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.r_[starts, len(k)])
+        a, b = pairs_in_segments(v, starts, sizes, cap=cap)  # pair VALUES
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        with np.errstate(over="ignore"):
+            pb = (mix64(lo * np.uint64(0x9E3779B97F4A7C15) ^ hi)
+                  % nb).astype(np.int32)
+        return pa.table({"bucket": pb, "a": lo, "b": hi})
+
+    def count(g: pa.Table) -> pa.Table:
+        a = np.asarray(g["a"].to_numpy(zero_copy_only=False), np.uint64)
+        b = np.asarray(g["b"].to_numpy(zero_copy_only=False), np.uint64)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        new = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        starts = np.flatnonzero(new)
+        n = np.diff(np.r_[starts, len(a)])
+        return pa.table({"a": a[starts].astype(np.int64),
+                         "b": b[starts].astype(np.int64),
+                         "n_shared": n.astype(np.int64)})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("bucket").map_groups(pairs, batch_format="pyarrow")
+            .groupby("bucket").map_groups(count, batch_format="pyarrow"))

@@ -2491,3 +2491,12 @@ deg AS (SELECT v, count(*) AS dg FROM
 SELECT CAST(count(*) AS BIGINT) AS n_edges,
        CAST(sum(da.dg * db.dg) AS BIGINT) AS s_metric
 FROM ud JOIN deg da ON da.v = ud.s JOIN deg db ON db.v = ud.d"""
+
+
+# bipartite projection: suppliers sharing distinct parts
+ORACLES["cosupplier_graph"] = """WITH pv AS (
+  SELECT DISTINCT l_partkey AS k, l_suppkey AS v FROM lineitem
+)
+SELECT a.v AS a, b.v AS b, CAST(count(*) AS BIGINT) AS n_shared
+FROM pv a JOIN pv b ON b.k = a.k AND b.v > a.v
+GROUP BY 1, 2 ORDER BY a, b"""

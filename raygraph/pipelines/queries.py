@@ -2642,3 +2642,19 @@ def q_s_metric(sf_dir):
 
 
 QUERIES["s_metric"] = q_s_metric
+
+
+def q_cosupplier_graph(sf_dir):
+    """Bipartite projection of the part–supplier two-mode table:
+    suppliers connected by the number of distinct shared parts (the
+    co-purchase-graph recipe; metrics.py bipartite_project)."""
+    from raygraph.algorithms.metrics import bipartite_project
+
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_suppkey"])
+    t = K.to_table(bipartite_project(
+        ds, key_col="l_partkey", val_col="l_suppkey"), sort_by=None)
+    return t.sort_by([("a", "ascending"), ("b", "ascending")])
+
+
+QUERIES["cosupplier_graph"] = q_cosupplier_graph

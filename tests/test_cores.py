@@ -565,3 +565,17 @@ def test_s_metric_k4_with_pendant():
     # edges: 01,02,03,12,13,23 prods 9,9,12,9,12,12 and 34 prod 4
     assert t["n_edges"] == [7]
     assert t["s_metric"] == [9 + 9 + 12 + 9 + 12 + 12 + 4]
+
+
+def test_bipartite_project_counts():
+    from raygraph.algorithms.metrics import bipartite_project
+
+    # keys: 1 -> {10,20,30}, 2 -> {10,20}, 3 -> {40}; dup rows collapse
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 2, 2, 2, 3], pa.int64()),
+        "v": pa.array([10, 20, 30, 10, 20, 20, 40], pa.int64()),
+    })
+    out = bipartite_project(rd.from_arrow(t), key_col="k",
+                            val_col="v").to_pandas()
+    got = {(r.a, r.b): r.n_shared for r in out.itertuples()}
+    assert got == {(10, 20): 2, (10, 30): 1, (20, 30): 1}
