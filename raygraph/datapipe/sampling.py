@@ -265,3 +265,52 @@ def cms_estimate(cells: pa.Table, tokens: list[str], *, depth: int = 4,
                     % np.uint64(width))]) for r in range(depth))
         out[tok] = est
     return out
+
+
+def weighted_sample(ds, *, n: int, id_col: str = "doc_id",
+                    weight_col: str = "n_chars"):
+    """Deterministic weight-proportional sample without replacement —
+    the Efraimidis-Spirakis A-ES exponential race: each row draws
+    u ∈ (0, 1] from its md5 digest (first 13 hex chars = 52 exact
+    bits) and races with key −ln(u)/w; the n smallest keys win, which
+    samples without replacement with probability proportional to w.
+    md5-derived uniforms need no RNG state, survive repartitioning /
+    restarts, and the SQL oracle reproduces the key bit-for-bit
+    (``'0x' || substr(md5(id), 1, 13)`` cast to BIGINT).
+
+    Scale shape: each batch keeps its n smallest keys (combiner), so
+    only ≤ n rows per batch reach the driver-side final top-n fold —
+    never the corpus. Rows with w ≤ 0 never win. Returns
+    (id_col, weight_col) sorted by id.
+    """
+    import hashlib
+
+    TWO52 = float(1 << 52)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), np.int64)
+        w = np.asarray(t[weight_col].to_numpy(zero_copy_only=False),
+                       np.float64)
+        keep = w > 0
+        ids, w = ids[keep], w[keep]
+        h = np.array([int(hashlib.md5(str(int(i)).encode())
+                          .hexdigest()[:13], 16) for i in ids],
+                     np.int64)
+        u = (h + 1) / TWO52
+        key = -np.log(u) / w
+        order = np.lexsort((ids, key))[:n]
+        return pa.table({id_col: ids[order],
+                         weight_col: w[order],
+                         "key": key[order]})
+
+    pt = partial  # per-batch combiner
+    parts = ds.map_batches(pt, batch_format="pyarrow")
+    import ray
+    tabs = [x for x in ray.get(parts.materialize().to_arrow_refs())
+            if x.num_rows]
+    allt = pa.concat_tables(tabs)
+    key = np.asarray(allt["key"].to_numpy(zero_copy_only=False), np.float64)
+    ids = np.asarray(allt[id_col].to_numpy(zero_copy_only=False), np.int64)
+    order = np.lexsort((ids, key))[:n]
+    out = allt.take(order).drop_columns(["key"])
+    return out.sort_by([(id_col, "ascending")])

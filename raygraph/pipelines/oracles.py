@@ -2500,3 +2500,14 @@ ORACLES["cosupplier_graph"] = """WITH pv AS (
 SELECT a.v AS a, b.v AS b, CAST(count(*) AS BIGINT) AS n_shared
 FROM pv a JOIN pv b ON b.k = a.k AND b.v > a.v
 GROUP BY 1, 2 ORDER BY a, b"""
+
+
+# A-ES weighted sample: key = -ln(u)/w, u from the first 52 md5 bits
+ORACLES["doc_weighted_sample"] = """SELECT doc_id, n_chars FROM (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         row_number() OVER (ORDER BY
+           -ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                AS BIGINT) + 1) / 4503599627370496.0) / n_chars,
+           doc_id) AS rn
+  FROM documents WHERE n_chars > 0
+) WHERE rn <= 50 ORDER BY doc_id"""

@@ -2658,3 +2658,21 @@ def q_cosupplier_graph(sf_dir):
 
 
 QUERIES["cosupplier_graph"] = q_cosupplier_graph
+
+
+def q_doc_weighted_sample(sf_dir):
+    """Length-proportional corpus subsample (A-ES exponential race on
+    md5 uniforms, n=50) — combiner-first partial top-n
+    (sampling.py weighted_sample)."""
+    from raygraph.datapipe.sampling import weighted_sample
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "n_chars"])
+    t = weighted_sample(ds, n=50)
+    return pa.table({"doc_id": t["doc_id"],
+                     "n_chars": pa.array(np.asarray(
+                         t["n_chars"].to_numpy(zero_copy_only=False))
+                         .astype(np.int64), pa.int64())})
+
+
+QUERIES["doc_weighted_sample"] = q_doc_weighted_sample

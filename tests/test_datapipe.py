@@ -1076,3 +1076,20 @@ def test_funnel_matches_bruteforce_random():
         for i in range(stage):
             counts[i] += 1
     assert out["n_users"] == counts
+
+
+def test_weighted_sample_prefers_heavy_rows():
+    from raygraph.datapipe.sampling import weighted_sample
+
+    # one row carries ~all the weight: it must always be in the sample
+    ids = np.arange(200, dtype=np.int64)
+    w = np.ones(200)
+    w[137] = 1e9
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "n_chars": pa.array(w, pa.float64())})
+    out = weighted_sample(rd.from_arrow(t), n=10)
+    assert 137 in set(out["doc_id"].to_pylist())
+    assert out.num_rows == 10
+    # deterministic: same input -> same sample
+    out2 = weighted_sample(rd.from_arrow(t), n=10)
+    assert out["doc_id"].to_pylist() == out2["doc_id"].to_pylist()
