@@ -609,3 +609,68 @@ def value_outliers(events_ds, *, type_col: str = "event_type",
             "z": pa.array(z[keep], pa.float64())})
 
     return events_ds.map_batches(score, batch_format="pyarrow")
+
+
+def event_transitions(events_ds, *, key: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      id_col: str = "event_id", num_buckets: int = 32):
+    """First-order Markov transition counts over each user's event
+    sequence: one row per (from_type, to_type) with the number of
+    consecutive occurrences, ordering ties by ``id_col`` (the same
+    deterministic order the SQL lag() oracle uses). The sequence-mining
+    primitive behind session flow graphs.
+
+    Distributed shape: ONE bucketed exchange on ``mix64(key)``
+    co-locates each user's events; in-bucket a lexsort by
+    (key, ts, id) + one shifted comparison yields every transition,
+    and the bucket emits (from, to, n) PARTIAL counts — the final
+    groupby sums ≤ types² rows per bucket, never events.
+    """
+    from raygraph.util import mix64
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t[key].to_numpy(zero_copy_only=False), np.int64)
+        bk = (mix64(keys.astype(np.uint64))
+              % np.uint64(num_buckets)).astype(np.int32)
+        tus = np.asarray(t[ts_col].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False)).astype("datetime64[us]").astype(np.int64)
+        return pa.table({"bucket": bk, "k": keys, "tus": tus,
+                         "eid": t[id_col], "et": t[type_col]})
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        k = np.asarray(g["k"].to_numpy(zero_copy_only=False), np.int64)
+        tus = np.asarray(g["tus"].to_numpy(zero_copy_only=False), np.int64)
+        eid = np.asarray(g["eid"].to_numpy(zero_copy_only=False), np.int64)
+        et = np.asarray(g["et"].to_numpy(zero_copy_only=False))
+        if len(k) == 0:
+            return pa.table({"from_type": pa.array([], pa.string()),
+                             "to_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        order = np.lexsort((eid, tus, k))
+        k, et = k[order], et[order]
+        same = k[1:] == k[:-1]
+        # factorize types to int codes; combine a transition into one int
+        types, codes = np.unique(et, return_inverse=True)
+        T = len(types)
+        pair = codes[:-1][same] * T + codes[1:][same]
+        u, c = np.unique(pair, return_counts=True)
+        return pa.table({"from_type": pa.array(types[u // T].tolist(),
+                                               pa.string()),
+                         "to_type": pa.array(types[u % T].tolist(),
+                                             pa.string()),
+                         "n": c.astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    parts = (events_ds.map_batches(tag, batch_format="pyarrow")
+             .groupby("bucket").map_groups(per_bucket,
+                                           batch_format="pyarrow"))
+    agg = parts.groupby(["from_type", "to_type"]).aggregate(
+        Sum("n", alias_name="n"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({"from_type": t["from_type"],
+                         "to_type": t["to_type"],
+                         "n": t["n"].cast(pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")

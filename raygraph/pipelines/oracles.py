@@ -2511,3 +2511,16 @@ ORACLES["doc_weighted_sample"] = """SELECT doc_id, n_chars FROM (
            doc_id) AS rn
   FROM documents WHERE n_chars > 0
 ) WHERE rn <= 50 ORDER BY doc_id"""
+
+
+# per-user consecutive event-type transitions, (ts, event_id) order
+ORACLES["events_transitions"] = """WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS from_type, nxt AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM s WHERE nxt IS NOT NULL
+GROUP BY 1, 2 ORDER BY from_type, to_type"""

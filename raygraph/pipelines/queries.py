@@ -2676,3 +2676,20 @@ def q_doc_weighted_sample(sf_dir):
 
 
 QUERIES["doc_weighted_sample"] = q_doc_weighted_sample
+
+
+def q_events_transitions(sf_dir):
+    """Per-user event-type transition counts (Markov flow graph) —
+    bucketed per-user cogroup, (ts, event_id) tie order
+    (windows.py event_transitions)."""
+    from raygraph.datapipe.windows import event_transitions
+
+    ev = _rd().read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"])
+    t = K.to_table(event_transitions(ev), sort_by=None)
+    return t.sort_by([("from_type", "ascending"),
+                      ("to_type", "ascending")])
+
+
+QUERIES["events_transitions"] = q_events_transitions

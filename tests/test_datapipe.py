@@ -1093,3 +1093,23 @@ def test_weighted_sample_prefers_heavy_rows():
     # deterministic: same input -> same sample
     out2 = weighted_sample(rd.from_arrow(t), n=10)
     assert out["doc_id"].to_pylist() == out2["doc_id"].to_pylist()
+
+
+def test_event_transitions_counts():
+    from raygraph.datapipe.windows import event_transitions
+
+    base = np.datetime64("2026-01-01", "us")
+    rows = [  # u1: a->b->a ; u2: b->b ; ties broken by event_id
+        (1, 1, 0, "a"), (2, 1, 1, "b"), (3, 1, 2, "a"),
+        (4, 2, 0, "b"), (5, 2, 0, "b"),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([base + np.timedelta64(r[2] * 1_000_000, "us")
+                        for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    })
+    out = event_transitions(rd.from_arrow(t)).to_pandas()
+    got = {(r.from_type, r.to_type): r.n for r in out.itertuples()}
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1}
