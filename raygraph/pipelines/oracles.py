@@ -2524,3 +2524,51 @@ SELECT event_type AS from_type, nxt AS to_type,
        CAST(count(*) AS BIGINT) AS n
 FROM s WHERE nxt IS NOT NULL
 GROUP BY 1, 2 ORDER BY from_type, to_type"""
+
+
+# k-means (k=8): md5 seed, one exact integer Lloyd step, final assign;
+# floor-mean spelled to match numpy's negative-floor semantics
+ORACLES["emb_kmeans"] = """WITH ev AS MATERIALIZED (
+  SELECT vec_id, CAST(floor(x * 1048576.0) AS BIGINT) AS xq, ord - 1 AS d
+  FROM (SELECT vec_id, embedding AS l FROM embeddings),
+       LATERAL (SELECT unnest(l) AS x, generate_subscripts(l, 1) AS ord) AS u
+),
+cent AS MATERIALIZED (
+  SELECT vec_id AS cid,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                            vec_id) - 1 AS pos
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+),
+cv0 AS MATERIALIZED (
+  SELECT c.pos, ev.d, ev.xq FROM cent c JOIN ev ON ev.vec_id = c.cid
+),
+d0 AS MATERIALIZED (
+  SELECT ev.vec_id, cv0.pos, sum(ev.xq * cv0.xq) AS dot
+  FROM ev JOIN cv0 ON cv0.d = ev.d GROUP BY 1, 2
+),
+a0 AS MATERIALIZED (
+  SELECT vec_id, pos FROM (
+    SELECT vec_id, pos, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY dot DESC, pos ASC) AS rn FROM d0
+  ) WHERE rn = 1
+),
+sums AS MATERIALIZED (
+  SELECT a0.pos, ev.d, sum(ev.xq) AS s, count(*) AS cnt
+  FROM a0 JOIN ev ON ev.vec_id = a0.vec_id GROUP BY 1, 2
+),
+cv1 AS MATERIALIZED (
+  SELECT pos, d, (s - ((s % cnt) + cnt) % cnt) // cnt AS xq FROM sums
+  UNION ALL
+  SELECT cv0.pos, cv0.d, cv0.xq FROM cv0
+  WHERE cv0.pos NOT IN (SELECT DISTINCT pos FROM sums)
+),
+d1 AS MATERIALIZED (
+  SELECT ev.vec_id, cv1.pos, sum(ev.xq * cv1.xq) AS dot
+  FROM ev JOIN cv1 ON cv1.d = ev.d GROUP BY 1, 2
+)
+SELECT vec_id, cluster FROM (
+  SELECT vec_id, pos AS cluster,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dot DESC, pos ASC) AS rn
+  FROM d1
+) WHERE rn = 1 ORDER BY vec_id"""

@@ -2693,3 +2693,38 @@ def q_events_transitions(sf_dir):
 
 
 QUERIES["events_transitions"] = q_events_transitions
+
+
+def q_emb_kmeans(sf_dir):
+    """Distributed k-means over embeddings (k=8): md5-seeded centroids,
+    ONE exact integer Lloyd step (int64 quantized dots and floor-mean
+    update — bit-reproducible in SQL), final assignment per vector with
+    ties → smallest centroid position. Reuses the IVF quantizer
+    machinery (similarity.py _ivf_centroids/_ivf_refine); combiner-first
+    sum-vectors per batch, driver folds k×batches tiny rows."""
+    import ray
+
+    from raygraph.datapipe.similarity import (_emb_matrix, _ivf_centroids,
+                                              _ivf_refine, _quantize)
+
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    _, C = _ivf_centroids(emb, 8, "vec_id", "embedding")
+    Cq = _ivf_refine(emb, _quantize(C), id_col="vec_id",
+                     emb_col="embedding")
+    ref = ray.put(Cq)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cq = ray.get(ref)
+        ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        m = _quantize(_emb_matrix(t, "embedding"))
+        a = np.argmax(m @ cq.T, axis=1)  # tie -> first (smallest) pos
+        return pa.table({"vec_id": ids,
+                         "cluster": a.astype(np.int64)})
+
+    t = K.to_table(emb.map_batches(assign, batch_format="pyarrow"),
+                   sort_by=None)
+    return t.sort_by([("vec_id", "ascending")])
+
+
+QUERIES["emb_kmeans"] = q_emb_kmeans
