@@ -430,7 +430,10 @@ def run_bench() -> dict:
                  "msf_edges", "eigen_k8", "salsa_k4", "rich_club",
                  "events_funnel", "doc_repetition", "doc_entropy",
                  "scc_levels", "bowtie", "pagerank_dangling_k8",
-                 "cc_sizes", "emb_clusters"):
+                 "cc_sizes", "emb_clusters", "triad_counts",
+                 "hard_negatives", "events_retention", "events_outliers",
+                 "s_metric", "cosupplier_graph", "doc_weighted_sample",
+                 "events_transitions", "emb_kmeans"):
         t = time.perf_counter()
         out = QUERIES[name](SF_DIR)
         if hasattr(out, "materialize"):
