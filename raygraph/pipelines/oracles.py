@@ -2572,3 +2572,24 @@ SELECT vec_id, cluster FROM (
                             ORDER BY dot DESC, pos ASC) AS rn
   FROM d1
 ) WHERE rn = 1 ORDER BY vec_id"""
+
+
+# Pearson correlation of per-vertex in- vs out-degree (simple digraph)
+ORACLES["inout_corr"] = f"""WITH {_E},
+eb AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+nv AS (SELECT src AS v FROM eb UNION SELECT dst FROM eb),
+od AS (SELECT src AS v, count(*) AS d FROM eb GROUP BY 1),
+idg AS (SELECT dst AS v, count(*) AS d FROM eb GROUP BY 1),
+xy AS (SELECT nv.v, coalesce(od.d, 0) AS x, coalesce(idg.d, 0) AS y
+       FROM nv LEFT JOIN od ON od.v = nv.v LEFT JOIN idg ON idg.v = nv.v),
+m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM xy)
+SELECT CAST(n AS BIGINT) AS n_vertices,
+       CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+       CAST(sxx AS BIGINT) AS sxx, CAST(syy AS BIGINT) AS syy,
+       CAST(sxy AS BIGINT) AS sxy,
+       round((n * sxy - sx * sy)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr
+FROM m"""

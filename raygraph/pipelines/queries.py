@@ -2728,3 +2728,49 @@ def q_emb_kmeans(sf_dir):
 
 
 QUERIES["emb_kmeans"] = q_emb_kmeans
+
+
+def q_inout_corr(sf_dir):
+    """Pearson correlation of per-vertex in- vs out-degree on the
+    binarized simple digraph (hub anatomy: do pages that link a lot
+    also get linked a lot?). Exact int64 moments over the vertex
+    universe; only the final r is float. One rowwise reduce per
+    direction + an O(V) driver fold (same regime as degree_hist)."""
+    def ebin(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        keep = s != d
+        return pa.table({"src": s[keep], "dst": d[keep],
+                         "w": np.ones(int(keep.sum()), np.float64)})
+
+    e = _edges_dedup(sf_dir).map_batches(
+        ebin, batch_format="pyarrow").materialize()
+    od_t = K.to_table(K.reduce_rowwise(e, "plus"), sort_by=None)
+    id_t = K.to_table(K.reduce_columnwise(e, "plus"), sort_by=None)
+    ov = np.asarray(od_t["v"].to_numpy(zero_copy_only=False), np.uint64)
+    od = np.rint(np.asarray(od_t["val"].to_numpy(zero_copy_only=False),
+                            np.float64)).astype(np.int64)
+    iv = np.asarray(id_t["v"].to_numpy(zero_copy_only=False), np.uint64)
+    idg = np.rint(np.asarray(id_t["val"].to_numpy(zero_copy_only=False),
+                             np.float64)).astype(np.int64)
+    verts = np.union1d(ov, iv)
+    x = np.zeros(len(verts), np.int64)
+    y = np.zeros(len(verts), np.int64)
+    x[np.searchsorted(verts, ov)] = od
+    y[np.searchsorted(verts, iv)] = idg
+    n = len(verts)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx, syy, sxy = int((x * x).sum()), int((y * y).sum()), int((x * y).sum())
+    num = n * sxy - sx * sy
+    den = np.sqrt(float(n * sxx - sx * sx)) * np.sqrt(float(n * syy - sy * sy))
+    r = num / den if den > 0 else 0.0
+    return pa.table({
+        "n_vertices": pa.array([n], pa.int64()),
+        "sx": pa.array([sx], pa.int64()), "sy": pa.array([sy], pa.int64()),
+        "sxx": pa.array([sxx], pa.int64()),
+        "syy": pa.array([syy], pa.int64()),
+        "sxy": pa.array([sxy], pa.int64()),
+        "corr": pa.array([round(float(r), 6)], pa.float64())})
+
+
+QUERIES["inout_corr"] = q_inout_corr
