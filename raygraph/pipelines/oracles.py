@@ -2593,3 +2593,24 @@ SELECT CAST(n AS BIGINT) AS n_vertices,
              / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr
 FROM m"""
+
+
+# Zipf OLS fit over the top-100 vocabulary rank-frequency curve
+ORACLES["vocab_zipf"] = """WITH v AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split_regex(lower(text), '\\W+')) AS token
+        FROM documents)
+  WHERE token <> ''
+  GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 100
+),
+r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS rk
+      FROM v),
+m AS (SELECT count(*) AS n, sum(ln(rk)) AS sx, sum(ln(cnt)) AS sy,
+             sum(ln(rk) * ln(rk)) AS sxx, sum(ln(rk) * ln(cnt)) AS sxy,
+             max(CASE WHEN rk = 1 THEN cnt END) AS top_cnt
+      FROM r)
+SELECT CAST(n AS BIGINT) AS n_tokens, top_cnt,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+             6) AS intercept
+FROM m"""

@@ -2774,3 +2774,36 @@ def q_inout_corr(sf_dir):
 
 
 QUERIES["inout_corr"] = q_inout_corr
+
+
+def q_vocab_zipf(sf_dir):
+    """Zipf fit of the corpus rank-frequency curve: OLS slope of
+    ln(count) on ln(rank) over the top-100 vocabulary (rank by count
+    desc, token asc) — the corpus-statistics sanity check behind
+    vocabulary sizing. Reuses the combiner-first vocab_topk counts;
+    the regression runs on 100 driver-side rows. Output exact counts
+    + slope/intercept rounded to 6."""
+    from raygraph.datapipe.text import vocab_topk
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+    t = K.to_table(vocab_topk(ds, k=100), sort_by=None).to_pandas()
+    t = t.sort_values(["cnt", "token"],
+                      ascending=[False, True]).reset_index(drop=True)
+    cnt = t["cnt"].to_numpy(dtype=np.int64)
+    rank = np.arange(1, len(cnt) + 1, dtype=np.float64)
+    x = np.log(rank)
+    y = np.log(cnt.astype(np.float64))
+    n = len(x)
+    sx, sy = x.sum(), y.sum()
+    sxx, sxy = (x * x).sum(), (x * y).sum()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pa.table({
+        "n_tokens": pa.array([n], pa.int64()),
+        "top_cnt": pa.array([int(cnt[0])], pa.int64()),
+        "slope": pa.array([round(float(slope), 6)], pa.float64()),
+        "intercept": pa.array([round(float(intercept), 6)], pa.float64())})
+
+
+QUERIES["vocab_zipf"] = q_vocab_zipf
