@@ -2614,3 +2614,11 @@ SELECT CAST(n AS BIGINT) AS n_tokens, top_cnt,
        round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
              6) AS intercept
 FROM m"""
+
+
+# dataset-card rollup per (source, lang), exact integer micro-units
+ORACLES["doc_datasheet"] = """SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_chars) * 1000000 // count(*) AS BIGINT) AS mean_chars_e6
+FROM documents GROUP BY 1, 2 ORDER BY source, lang"""

@@ -2807,3 +2807,34 @@ def q_vocab_zipf(sf_dir):
 
 
 QUERIES["vocab_zipf"] = q_vocab_zipf
+
+
+def q_doc_datasheet(sf_dir):
+    """Dataset-card rollup: per (source, lang) doc count, total chars,
+    mean length (exact integer micro-units) — the datasheet aggregate
+    a corpus release ships with. One Ray Data groupby-aggregate with
+    per-batch Arrow hash combine."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["source", "lang", "n_chars"])
+    agg = ds.groupby(["source", "lang"]).aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n_docs"].to_numpy(zero_copy_only=False),
+                       np.int64)
+        tc = np.asarray(t["total_chars"].to_numpy(zero_copy_only=False),
+                        np.int64)
+        return pa.table({
+            "source": t["source"], "lang": t["lang"],
+            "n_docs": pa.array(n, pa.int64()),
+            "total_chars": pa.array(tc, pa.int64()),
+            "mean_chars_e6": pa.array(tc * 1_000_000 // n, pa.int64())})
+
+    t = K.to_table(agg.map_batches(fin, batch_format="pyarrow"),
+                   sort_by=None)
+    return t.sort_by([("source", "ascending"), ("lang", "ascending")])
+
+
+QUERIES["doc_datasheet"] = q_doc_datasheet
