@@ -806,7 +806,14 @@ def pmi_collocations(docs_ds, *, min_count: int = 5, k: int = 50,
     cpus = int(ray.cluster_resources().get("CPU", 8))
     nparts = max(2, min(16, cpus // 2))
 
-    surv = pairs.filter(expr=f"n >= {min_count}")
+    # a hash-shuffle aggregate (and a filter) can emit EMPTY blocks that
+    # carry no schema; pyarrow's acero join then fails to resolve the key
+    # FieldRef ("no match for tok_a on right side") when such a block
+    # reaches it. repartition() merges blocks, so empties vanish while
+    # both sides stay distributed (the vocabulary never lands driver-side)
+    uni = uni.repartition(nparts).materialize()
+    surv = pairs.filter(expr=f"n >= {min_count}").repartition(
+        nparts).materialize()
     ua = uni.map_batches(
         lambda t: pa.table({"tok_a": t["tok"], "ca": t["c"]}),
         batch_format="pyarrow")
