@@ -119,6 +119,16 @@ def canonical_weighted_edges(edges, *, num_buckets: int = _B):
             .groupby("bucket").map_groups(dedup, batch_format="pyarrow"))
 
 
+def _coalesce(m, target: int):
+    """Repartition a materialized Dataset when its block count exploded
+    (Ray's sort-shuffle emits ~input-many mostly-empty blocks; unions
+    compound them across Borůvka rounds into pure task-scheduling
+    overhead — same guard as mis.py/walks.py)."""
+    if m.num_blocks() > 2 * target:
+        m = m.repartition(target).materialize()
+    return m
+
+
 def _resolve_roots(P, *, nb: int, n_comps: int):
     """2-cycle break + pointer jumping over the parent map ``P``
     (rows key=c, o=parent). Returns the root map (key=c, o=root)."""
@@ -155,10 +165,11 @@ def _resolve_roots(P, *, nb: int, n_comps: int):
 
     jumps = max(1, math.ceil(math.log2(max(2, n_comps)))) + 1
     for i in range(jumps):
-        P = (P.map_batches(scatter, batch_format="pyarrow")
+        P = _coalesce(
+            P.map_batches(scatter, batch_format="pyarrow")
              .groupby("bucket")
              .map_groups(make_combine(i == 0), batch_format="pyarrow")
-             .materialize())
+             .materialize(), max(4, nb // 2))
     return P
 
 
@@ -168,7 +179,8 @@ def minimum_spanning_forest(edges, *, num_buckets: int = _B,
     u < v) of the undirected simple graph underlying the weighted
     directed edge table ``edges`` (columns src, dst, w)."""
     nb = num_buckets
-    live = canonical_weighted_edges(edges, num_buckets=nb).materialize()
+    live = _coalesce(canonical_weighted_edges(edges, num_buckets=nb)
+                     .materialize(), max(4, nb // 2))
     forest_parts: list = []
 
     for _ in range(max_rounds):
@@ -191,9 +203,10 @@ def minimum_spanning_forest(edges, *, num_buckets: int = _B,
             c, u, v, ww, oc = _first_per_key(key, a, b, w, o)
             return _rows(nb, c, u, v, ww, oc, _EDGE)
 
-        sel = (live.map_batches(incident, batch_format="pyarrow")
-               .groupby("bucket").map_groups(pick, batch_format="pyarrow")
-               .materialize())
+        sel = _coalesce(
+            live.map_batches(incident, batch_format="pyarrow")
+                .groupby("bucket").map_groups(pick, batch_format="pyarrow")
+                .materialize(), max(4, nb // 2))
         n_comps = sel.count()
 
         def sel_edges(t: pa.Table) -> pa.Table:
@@ -243,11 +256,12 @@ def minimum_spanning_forest(edges, *, num_buckets: int = _B,
             return _rows(nb, ncu[keep], u[keep], v[keep], w[keep],
                          ncv[keep], _EDGE)
 
-        live = (live.union(roots).groupby("bucket")
+        live = _coalesce(
+            live.union(roots).groupby("bucket")
                 .map_groups(lift_pass2, batch_format="pyarrow")
                 .union(roots).groupby("bucket")
                 .map_groups(finish, batch_format="pyarrow")
-                .materialize())
+                .materialize(), max(4, nb // 2))
 
     if not forest_parts:
         return None

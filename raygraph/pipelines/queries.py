@@ -2310,7 +2310,13 @@ def q_msf_edges(sf_dir):
     Kruskal's (the oracle is a chained-Borůvka in SQL)."""
     from raygraph.algorithms.msf import minimum_spanning_forest
 
-    out = minimum_spanning_forest(_edges_dedup(sf_dir))
+    # the fixture graph is 211 vertices / ~22k canonical edges at every
+    # sf, but Borůvka runs O(log V) rounds × O(log C) pointer-jump
+    # shuffles — at the default 64 buckets that is pure task-scheduling
+    # overhead (251 s at sf0.1/32 cpus). 8 buckets is identical
+    # semantics (hash partitioning only) at ~1/8 the per-stage cost;
+    # real web-scale inputs keep the default.
+    out = minimum_spanning_forest(_edges_dedup(sf_dir), num_buckets=8)
     t = K.to_table(out, sort_by=None)
     t = _round_col(_int64_col(_int64_col(t, "u"), "v"), "w", 6)
     return t.sort_by([("u", "ascending"), ("v", "ascending")])
