@@ -429,7 +429,13 @@ def _attach_grams(rows_ds, grams_ds, key_col: str, out_col: str,
     def rename(t: pa.Table) -> pa.Table:
         return pa.table({key_col: t["doc_id"], out_col: t["grams"]})
 
-    side = grams_ds.map_batches(rename, batch_format="pyarrow")
+    # repartition both sides: an upstream shuffle/filter can emit EMPTY
+    # blocks carrying no schema, and acero's join then fails to resolve
+    # the key FieldRef (seen in pmi_collocations at sf0.1) — merging
+    # blocks removes empties while staying distributed
+    side = grams_ds.map_batches(rename, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+    rows_ds = rows_ds.repartition(num_partitions).materialize()
     return rows_ds.join(side, "inner", num_partitions, on=(key_col,),
                         aggregator_ray_remote_args={"num_cpus": 0.25})
 
@@ -847,7 +853,9 @@ def dedup_apply(docs_ds, *, text_col: str = "text", id_col: str = "doc_id",
         return pa.table({id_col: t["keep_id"],
                          "n_dups": pa.compute.cast(t["n_dups"], pa.int64())})
 
-    side = winners.map_batches(keep_side, batch_format="pyarrow")
+    # same empty-schema-block guard as _attach_grams
+    side = winners.map_batches(keep_side, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
     return docs_ds.join(side, "inner", num_partitions, on=(id_col,),
                         aggregator_ray_remote_args={"num_cpus": 0.25})
 
