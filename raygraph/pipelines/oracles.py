@@ -2622,3 +2622,36 @@ ORACLES["doc_datasheet"] = """SELECT source, lang,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
        CAST(sum(n_chars) * 1000000 // count(*) AS BIGINT) AS mean_chars_e6
 FROM documents GROUP BY 1, 2 ORDER BY source, lang"""
+
+
+def _lpa_seeded_sql(k: int = 3) -> str:
+    """Seeded LPA unrolled: seeds 1/2/3 pinned to 9001/9002/9003 in the
+    init AND re-pinned after every round (same CASE both sides)."""
+    seed_case = ("CASE WHEN n.v = 1 THEN 9001 WHEN n.v = 2 THEN 9002 "
+                 "WHEN n.v = 3 THEN 9003 ELSE {expr} END")
+    parts = [_E, _UE_NOSELF, _N,
+             "l0 AS (SELECT v, " +
+             seed_case.replace("n.v", "v").format(expr="v") +
+             " AS label FROM n)"]
+    for i in range(1, k + 1):
+        inner = f"COALESCE(w.label, l{i-1}.label)"
+        parts.append(
+            f"""l{i} AS (
+  SELECT n.v, {seed_case.format(expr=inner)} AS label
+  FROM n
+  JOIN l{i-1} ON l{i-1}.v = n.v
+  LEFT JOIN (
+    SELECT dst AS v, label FROM (
+      SELECT ue.dst, lp.label, count(*) AS cnt,
+             row_number() OVER (PARTITION BY ue.dst
+                                ORDER BY count(*) DESC, lp.label ASC) AS rn
+      FROM ue JOIN l{i-1} lp ON lp.v = ue.src
+      GROUP BY ue.dst, lp.label
+    ) WHERE rn = 1
+  ) w ON w.v = n.v
+)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT v, label FROM l{k} ORDER BY v")
+
+
+ORACLES["lpa_seeded"] = _lpa_seeded_sql(3)

@@ -2844,3 +2844,37 @@ def q_doc_datasheet(sf_dir):
 
 
 QUERIES["doc_datasheet"] = q_doc_datasheet
+
+
+def q_lpa_seeded(sf_dir):
+    """Semi-supervised (seeded) label propagation: vertices 1/2/3 carry
+    pinned community labels 9001/9002/9003; everyone else starts as
+    their own id and takes the most-frequent neighbor label each round
+    (ties → smallest), 3 rounds. The engine drives the FUSED LPA one
+    round at a time and re-pins the seed slices between rounds — label
+    state never leaves the object store except the 3 seed writes."""
+    from raygraph.fused import lpa_fused
+    from raygraph.util import part_of
+
+    g = _g1_graph(sf_dir, symmetrize=True, drop_self=True, binarize=True)
+    SEEDS = {1: 9001, 2: 9002, 3: 9003}
+    ids = g.ids_slices()
+
+    def pin(labels):
+        for v, lab in SEEDS.items():
+            p = int(part_of(np.array([v], np.uint64), g.num_parts)[0])
+            pos = int(np.searchsorted(ids[p], np.uint64(v)))
+            if pos < len(ids[p]) and ids[p][pos] == np.uint64(v):
+                labels[p][pos] = np.uint64(lab)
+        return labels
+
+    labels = pin([i.copy() for i in ids])
+    for _ in range(3):
+        labels, _ = lpa_fused(g, labels, itermax=1)
+        # ray.get returns read-only views — copy before the seed writes
+        labels = pin([np.array(s) for s in labels])
+    t = g.to_vertex_table(labels, "label")
+    return _int64_col(_int64_col(t, "v"), "label")
+
+
+QUERIES["lpa_seeded"] = q_lpa_seeded
