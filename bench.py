@@ -433,7 +433,8 @@ def run_bench() -> dict:
                  "cc_sizes", "emb_clusters", "triad_counts",
                  "hard_negatives", "events_retention", "events_outliers",
                  "s_metric", "cosupplier_graph", "doc_weighted_sample",
-                 "events_transitions", "emb_kmeans"):
+                 "events_transitions", "emb_kmeans", "inout_corr",
+                 "vocab_zipf", "doc_datasheet", "lpa_seeded"):
         t = time.perf_counter()
         out = QUERIES[name](SF_DIR)
         if hasattr(out, "materialize"):
