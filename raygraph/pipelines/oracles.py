@@ -2655,3 +2655,41 @@ def _lpa_seeded_sql(k: int = 3) -> str:
 
 
 ORACLES["lpa_seeded"] = _lpa_seeded_sql(3)
+
+
+def _pagerank_pruned_sql(k: int = 8, topk: int = 5,
+                         damping: float = 0.85) -> str:
+    """PageRank over the top-``topk``-per-src pruned edge set
+    (w desc, dst asc rank — the selectk_rowwise rule)."""
+    parts = [
+        _E,
+        f"""ep AS (SELECT src, dst FROM (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY w DESC, dst ASC) AS rn
+  FROM e) WHERE rn <= {topk})""",
+        "ebin AS (SELECT DISTINCT src, dst FROM ep)",
+        "n AS (SELECT src AS v FROM ebin UNION SELECT dst FROM ebin)",
+        "dout AS (SELECT src, count(*) AS c FROM ebin GROUP BY 1)",
+        "nn AS (SELECT count(*) AS c FROM n)",
+        "r0 AS (SELECT v, 1.0 / (SELECT c FROM nn) AS score FROM n)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""r{i} AS (
+  SELECT n.v,
+         ({1 - damping} / (SELECT c FROM nn))
+         + {damping} * COALESCE(s.x, 0) AS score
+  FROM n LEFT JOIN (
+    SELECT eb.dst AS v, sum(r{i-1}.score / d.c) AS x
+    FROM ebin eb
+    JOIN r{i-1} ON r{i-1}.v = eb.src
+    JOIN dout d ON d.src = eb.src
+    GROUP BY eb.dst
+  ) s ON s.v = n.v
+)""")
+    return ("WITH " + ",\n".join(parts) +
+            f"\nSELECT v, round(score, 6) AS score FROM r{k} ORDER BY v")
+
+
+ORACLES["pagerank_pruned_k8"] = _pagerank_pruned_sql(8)

@@ -2878,3 +2878,23 @@ def q_lpa_seeded(sf_dir):
 
 
 QUERIES["lpa_seeded"] = q_lpa_seeded
+
+
+def q_pagerank_pruned_k8(sf_dir):
+    """PageRank over the top-5-out-edges-per-vertex sparsified graph
+    (the classic web-graph pruning recipe: keep each page's 5
+    heaviest links, then rank) — a selectk_rowwise → build_graph →
+    fused-pagerank composition; the sparsifier is the same distributed
+    selectk kernel the selectk_rowwise query locks."""
+    from raygraph.algorithms.pagerank import pagerank
+
+    pruned = K.selectk_rowwise(_edges_dedup(sf_dir), 5,
+                               largest=True).materialize()
+    g = build_graph(pruned, num_parts=16, dup_op="first", binarize=True)
+    r, _ = pagerank(g, damping=0.85, tol=0.0, itermax=8, mode="fused")
+    t = g.to_vertex_table(r, "score")
+    return _round_col(_int64_col(t, "v"), "score") \
+        .sort_by([("v", "ascending")])
+
+
+QUERIES["pagerank_pruned_k8"] = q_pagerank_pruned_k8
