@@ -2693,3 +2693,21 @@ def _pagerank_pruned_sql(k: int = 8, topk: int = 5,
 
 
 ORACLES["pagerank_pruned_k8"] = _pagerank_pruned_sql(8)
+
+
+def _spectral_radius_sql(k: int = 9) -> str:
+    """Power-iteration Rayleigh norm ratio sqrt(Σx9²)/sqrt(Σx8²)."""
+    parts = [_E, _EBIN, _N,
+             "x0 AS MATERIALIZED (SELECT v, CAST(1.0 AS DOUBLE) AS x FROM n)"]
+    for i in range(1, k + 1):
+        parts.append(
+            f"x{i} AS MATERIALIZED (SELECT n.v, coalesce(s.x, 0) AS x "
+            f"FROM n LEFT JOIN (SELECT eb.dst AS v, sum(x.x) AS x "
+            f"FROM ebin eb JOIN x{i - 1} x ON x.v = eb.src GROUP BY 1) s "
+            f"ON s.v = n.v)")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT round((SELECT sqrt(sum(x * x)) FROM x{k})
+             / (SELECT sqrt(sum(x * x)) FROM x{k - 1}), 6) AS lambda_max""")
+
+
+ORACLES["spectral_radius"] = _spectral_radius_sql(9)

@@ -2898,3 +2898,25 @@ def q_pagerank_pruned_k8(sf_dir):
 
 
 QUERIES["pagerank_pruned_k8"] = q_pagerank_pruned_k8
+
+
+def q_spectral_radius(sf_dir):
+    """Spectral-radius estimate of the binarized adjacency: the power-
+    iteration norm ratio ‖A^T x₉‖₂ / ‖A^T x₈‖₂ from x₀ = 1 (converges
+    to λ_max; 9 unrolled supersteps through the same generalized-Katz
+    engine as eigen_k8). One scalar out; rounded to 6."""
+    from raygraph.algorithms.katz import katz_fused
+
+    g = _g1_graph(sf_dir, binarize=True)
+    x8 = katz_fused(g, alpha=1.0, beta=0.0, itermax=8, normalize=False,
+                    x0=1.0)
+    x9 = katz_fused(g, alpha=1.0, beta=0.0, itermax=9, normalize=False,
+                    x0=1.0)
+    n8 = np.sqrt(sum(float((x * x).sum()) for x in x8))
+    n9 = np.sqrt(sum(float((x * x).sum()) for x in x9))
+    lam = n9 / n8 if n8 > 0 else 0.0
+    return pa.table({"lambda_max": pa.array([round(float(lam), 6)],
+                                            pa.float64())})
+
+
+QUERIES["spectral_radius"] = q_spectral_radius
