@@ -434,7 +434,8 @@ def run_bench() -> dict:
                  "hard_negatives", "events_retention", "events_outliers",
                  "s_metric", "cosupplier_graph", "doc_weighted_sample",
                  "events_transitions", "emb_kmeans", "inout_corr",
-                 "vocab_zipf", "doc_datasheet", "lpa_seeded"):
+                 "vocab_zipf", "doc_datasheet", "lpa_seeded",
+                 "pagerank_pruned_k8", "spectral_radius"):
         t = time.perf_counter()
         out = QUERIES[name](SF_DIR)
         if hasattr(out, "materialize"):
