@@ -107,3 +107,118 @@ def test_bowtie_matches_networkx_reach():
                 "out" if v in fwd else
                 "in" if v in bwd else "other")
         assert got[v] == want, (v, got[v], want)
+
+
+def test_local_clustering_matches_networkx():
+    from raygraph import kernels as K
+    from raygraph.algorithms.metrics import local_clustering
+
+    G, pairs = _random_undirected(seed=53)
+    t = K.to_table(local_clustering(_edges(pairs)), sort_by=None).to_pydict()
+    want = nx.clustering(G)
+    tri_want = nx.triangles(G)
+    for v, tri, ppm in zip(t["v"], t["tri"], t["lcc_ppm"]):
+        assert tri == tri_want[v]
+        assert abs(ppm / 1e6 - want[v]) < 2e-6
+
+
+def test_kcore_matches_networkx():
+    from raygraph import kernels as K
+    from raygraph.algorithms.cores import kcore
+
+    G, pairs = _random_undirected(n=50, p=0.1, seed=59)
+    mine = set(K.to_table(kcore(_edges(pairs), 3),
+                          sort_by=None).to_pydict()["v"])
+    want = set(nx.k_core(G, 3).nodes)
+    assert mine == want
+
+
+def test_ktruss_matches_networkx():
+    from raygraph import kernels as K
+    from raygraph.algorithms.cores import edge_support
+
+    # 3-truss edges = edges of nx.k_truss(G, 3) (every edge in >= 1
+    # triangle after the peel); compare via our iterated peel query path
+    from raygraph.pipelines.queries import QUERIES  # noqa: F401
+    G, pairs = _random_undirected(n=40, p=0.15, seed=61)
+    # replicate q_ktruss92's loop at k=3 on this fixture
+    e = _edges(pairs)
+    from raygraph.algorithms.cores import sym_edges
+    sym = sym_edges(e).materialize()
+    while True:
+        sup = edge_support(sym.map_batches(
+            lambda t: t, batch_format="pyarrow")).materialize()
+        t = K.to_table(sup, sort_by=None)
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        su = np.asarray(t["support"].to_numpy(zero_copy_only=False))
+        keep = su >= 1  # k-2 with k=3
+        if keep.all() and len(s) == sym.count() // 2:
+            break
+        both = pa.table({"src": np.r_[s[keep], d[keep]],
+                         "dst": np.r_[d[keep], s[keep]],
+                         "w": np.ones(2 * int(keep.sum()), np.float64)})
+        new = rd.from_arrow(both).materialize()
+        if new.count() == sym.count():
+            sym = new
+            break
+        sym = new
+    mine = set()
+    t = K.to_table(sym, sort_by=None)
+    for a, b in zip(t["src"].to_pylist(), t["dst"].to_pylist()):
+        mine.add((min(a, b), max(a, b)))
+    want = {(min(u, v), max(u, v)) for u, v in nx.k_truss(G, 3).edges}
+    assert mine == want
+
+
+def test_modularity_matches_networkx():
+    from raygraph import kernels as K
+    from raygraph.algorithms.metrics import modularity
+
+    A = (fx.random_graph(30, 0.12, seed=67) != 0)
+    np.fill_diagonal(A, False)
+    G = nx.from_numpy_array(A.astype(int), create_using=nx.DiGraph)
+    iu, ju = np.nonzero(A)
+    e = rd.from_arrow(pa.table({"src": iu.astype(np.uint64),
+                                "dst": ju.astype(np.uint64),
+                                "w": np.ones(len(iu))}))
+    vs = np.unique(np.concatenate([iu, ju])).astype(np.uint64)
+    labs = pa.table({"v": vs, "label": (vs % np.uint64(3)).astype(np.int64)})
+    m = modularity(e, labs)
+    t = m if isinstance(m, pa.Table) else K.to_table(m, sort_by=None)
+    q_mine = sum(t.to_pydict()["q"])
+    comms = [set(int(v) for v in vs[vs % 3 == c]) for c in range(3)]
+    q_want = nx.algorithms.community.modularity(G, comms)
+    assert abs(q_mine - q_want) < 1e-5
+
+
+def test_adamic_adar_matches_networkx():
+    from raygraph import kernels as K
+    from raygraph.algorithms.metrics import adamic_adar
+
+    G, pairs = _random_undirected(n=40, p=0.15, seed=71)
+    out = K.to_table(adamic_adar(_edges(pairs)), sort_by=None).to_pydict()
+    got = {(a, b): aa for a, b, aa in
+           zip(out["src"], out["dst"], out["aa"])}
+    ebunch = list(got)
+    for u, v, want in nx.adamic_adar_index(G, ebunch):
+        assert abs(got[(u, v)] - want) < 1e-5, (u, v)
+
+
+def test_katz_converged_matches_networkx():
+    from raygraph.algorithms.katz import katz_fused
+    from raygraph.graph import build_graph
+
+    A = (fx.random_graph(30, 0.1, seed=73) != 0).astype(np.float64)
+    g = build_graph(rd.from_arrow(fx.dense_to_edge_table(A)),
+                    num_parts=4, dup_op="first", binarize=True)
+    xs = katz_fused(g, alpha=0.05, beta=1.0, itermax=300, normalize=True)
+    t = g.to_vertex_table(xs, "katz").to_pandas().set_index("v")["katz"]
+    verts = sorted(int(v) for v in t.index)
+    G = nx.from_numpy_array(A[np.ix_(verts, verts)].astype(int),
+                            create_using=nx.DiGraph)
+    want = nx.katz_centrality(G, alpha=0.05, beta=1.0, max_iter=2000,
+                              tol=1e-12)
+    got = np.array([t[v] for v in verts])
+    np.testing.assert_allclose(got, [want[i] for i in range(len(verts))],
+                               atol=1e-6)
