@@ -222,3 +222,36 @@ def test_katz_converged_matches_networkx():
     got = np.array([t[v] for v in verts])
     np.testing.assert_allclose(got, [want[i] for i in range(len(verts))],
                                atol=1e-6)
+
+
+def test_eigen_direction_matches_networkx():
+    from raygraph.algorithms.katz import katz_fused
+    from raygraph.graph import build_graph
+
+    A = (fx.random_graph(30, 0.15, seed=79) != 0).astype(np.float64)
+    g = build_graph(rd.from_arrow(fx.dense_to_edge_table(A)),
+                    num_parts=4, dup_op="first", binarize=True)
+    xs = katz_fused(g, alpha=1.0, beta=0.0, itermax=200, normalize=True,
+                    x0=1.0)
+    t = g.to_vertex_table(xs, "eig").to_pandas().set_index("v")["eig"]
+    verts = sorted(int(v) for v in t.index)
+    # our eigen accrues from IN-edges (y = Aᵀx) — nx's directed
+    # eigenvector_centrality is the left-eigenvector (in-edge) form
+    # already, so NO reverse here
+    G = nx.from_numpy_array(A[np.ix_(verts, verts)].astype(int),
+                            create_using=nx.DiGraph)
+    want = nx.eigenvector_centrality(G, max_iter=2000, tol=1e-12)
+    wv = np.array([want[i] for i in range(len(verts))])
+    wv = wv / np.linalg.norm(wv)  # nx normalizes L2 already; idempotent
+    got = np.array([t[v] for v in verts])
+    np.testing.assert_allclose(got, wv, atol=1e-6)
+
+
+def test_avg_neighbor_degree_matches_networkx():
+    from raygraph.algorithms.metrics import avg_neighbor_degree
+
+    G, pairs = _random_undirected(n=40, p=0.15, seed=83)
+    out = avg_neighbor_degree(_edges(pairs)).to_pandas()
+    want = nx.average_neighbor_degree(G)
+    for r in out.itertuples():
+        assert abs(r.avg_nbr_deg_ppm / 1e6 - want[r.v]) < 2e-6, r.v
