@@ -255,3 +255,28 @@ def test_avg_neighbor_degree_matches_networkx():
     want = nx.average_neighbor_degree(G)
     for r in out.itertuples():
         assert abs(r.avg_nbr_deg_ppm / 1e6 - want[r.v]) < 2e-6, r.v
+
+
+def test_betweenness_all_sources_matches_networkx():
+    from raygraph.algorithms.betweenness import betweenness
+    from raygraph.graph import build_graph
+
+    A = (fx.random_graph(25, 0.12, seed=89) != 0)
+    np.fill_diagonal(A, False)
+    e = rd.from_arrow(fx.dense_to_edge_table(A.astype(np.float64)))
+    g = build_graph(e, num_parts=4, dup_op="first", binarize=True)
+
+    def swap(t):
+        return pa.table({"src": t["dst"], "dst": t["src"], "w": t["w"]})
+
+    gT = build_graph(e.map_batches(swap, batch_format="pyarrow"),
+                     num_parts=4, dup_op="first", binarize=True)
+    verts = sorted(int(v) for v in
+                   np.concatenate([i for i in g.ids_slices() if len(i)]))
+    # every vertex as a landmark + unbounded depth = full Brandes
+    out = betweenness(g, gT, verts, depth=100).to_pandas()
+    got = dict(zip(out["v"].astype(int), out["bc"]))
+    G = nx.from_numpy_array(A.astype(int), create_using=nx.DiGraph)
+    want = nx.betweenness_centrality(G, normalized=False)
+    for v in verts:
+        assert abs(got.get(v, 0.0) - want[v]) < 1e-5, v
