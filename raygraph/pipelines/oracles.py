@@ -2711,3 +2711,18 @@ SELECT round((SELECT sqrt(sum(x * x)) FROM x{k})
 
 
 ORACLES["spectral_radius"] = _spectral_radius_sql(9)
+
+
+# lang-ID confusion matrix vs the ground-truth lang column; acc_ppm on
+# the diagonal (exact integer), 0 elsewhere
+ORACLES["doc_lang_confusion"] = f"""WITH {_DOCQ_CTES},
+j AS (SELECT d.lang, r.pred_lang FROM r
+      JOIN documents d ON d.doc_id = r.doc_id),
+c AS (SELECT lang, pred_lang, count(*) AS n FROM j GROUP BY 1, 2),
+t AS (SELECT lang, sum(n) AS tot FROM c GROUP BY 1)
+SELECT c.lang, c.pred_lang, CAST(c.n AS BIGINT) AS n,
+       CAST(CASE WHEN c.lang = c.pred_lang
+                 THEN c.n * 1000000 // t.tot ELSE 0 END AS BIGINT)
+       AS acc_ppm
+FROM c JOIN t ON t.lang = c.lang
+ORDER BY c.lang, c.pred_lang"""

@@ -2920,3 +2920,39 @@ def q_spectral_radius(sf_dir):
 
 
 QUERIES["spectral_radius"] = q_spectral_radius
+
+
+def q_doc_lang_confusion(sf_dir):
+    """Language-ID evaluation: confusion counts (true lang column vs
+    the stopword-profile predictor) + per-true-lang accuracy in exact
+    ppm — the model-eval rollup a pipeline ships with its lang filter.
+    Reuses the fused analyzer (one actor-pool pass, no shuffle beyond
+    the tiny groupby)."""
+    from ray.data.aggregate import Count
+
+    from raygraph.datapipe.text import analyze_documents
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet")
+    out = analyze_documents(docs, concurrency=4)
+    pred = K.to_table(out, sort_by=None).select(["doc_id", "pred_lang"])
+    truth = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "lang"])
+    j = pred.join(truth, keys=["doc_id"])
+    lang = np.asarray(j["lang"].to_numpy(zero_copy_only=False))
+    pl = np.asarray(j["pred_lang"].to_numpy(zero_copy_only=False))
+    pairs, counts = np.unique(
+        np.stack([lang.astype(str), pl.astype(str)], axis=1),
+        axis=0, return_counts=True)
+    tl = pairs[:, 0]
+    tot = {la: int(counts[tl == la].sum()) for la in np.unique(tl)}
+    acc = [int(c) * 1_000_000 // tot[a] if a == b else 0
+           for (a, b), c in zip(pairs, counts)]
+    return pa.table({
+        "lang": pa.array(pairs[:, 0].tolist(), pa.string()),
+        "pred_lang": pa.array(pairs[:, 1].tolist(), pa.string()),
+        "n": pa.array(counts.astype(np.int64), pa.int64()),
+        "acc_ppm": pa.array(np.asarray(acc, np.int64), pa.int64()),
+    }).sort_by([("lang", "ascending"), ("pred_lang", "ascending")])
+
+
+QUERIES["doc_lang_confusion"] = q_doc_lang_confusion
