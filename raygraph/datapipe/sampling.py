@@ -308,6 +308,9 @@ def weighted_sample(ds, *, n: int, id_col: str = "doc_id",
     import ray
     tabs = [x for x in ray.get(parts.materialize().to_arrow_refs())
             if x.num_rows]
+    if not tabs:  # nothing with positive weight: empty sample, not a crash
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         weight_col: pa.array([], pa.float64())})
     allt = pa.concat_tables(tabs)
     key = np.asarray(allt["key"].to_numpy(zero_copy_only=False), np.float64)
     ids = np.asarray(allt[id_col].to_numpy(zero_copy_only=False), np.int64)

@@ -942,16 +942,24 @@ def hard_negatives(emb_ds, *, id_col: str = "vec_id",
 
     refs = emb_ds.select_columns([id_col, emb_col, label_col]) \
         .materialize().to_arrow_refs()
-    t = pa.concat_tables([x for x in ray.get(refs) if x.num_rows])
+    tabs = [x for x in ray.get(refs) if x.num_rows]
+    if not tabs:  # empty corpus: empty result, not a crash
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "neg_id": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64())}))
+    t = pa.concat_tables(tabs)
     ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), np.int64)
-    labs = np.asarray(t[label_col].to_numpy(zero_copy_only=False),
-                      np.int64)
-    M = _normalize(_emb_matrix(t, emb_col))
-    if len(ids) > 20_000:
+    if len(ids) > 20_000:  # BEFORE building the matrix — the guard is
+        # pointless if the driver already concatenated + normalized it
         raise ValueError(
             f"hard_negatives: {len(ids)} vectors — the broadcast-corpus "
             "design is for corpora <= 20000; mine within banded-LSH "
             "buckets (emb_near_dups shape) beyond that")
+    labs = np.asarray(t[label_col].to_numpy(zero_copy_only=False),
+                      np.int64)
+    M = _normalize(_emb_matrix(t, emb_col))
     order = np.argsort(ids)
     ids, labs, M = ids[order], labs[order], M[order]
     ref = ray.put((ids, labs, M))

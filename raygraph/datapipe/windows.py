@@ -413,6 +413,10 @@ def funnel(events_ds, *, steps=("view", "click", "purchase"),
     from raygraph.util import mix64
 
     steps = tuple(steps)
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel: steps must be distinct event types "
+                         f"(got {steps}) — a repeated type would "
+                         "silently shadow its earlier occurrence")
     NEG = np.int64(-(2**62))
     POS = np.int64(2**62)
 
@@ -465,11 +469,16 @@ def funnel(events_ds, *, steps=("view", "click", "purchase"),
     t = parts.to_arrow_refs()
     import ray
     tabs = [x for x in ray.get(t) if x.num_rows]
-    import pyarrow as _pa
-    allt = _pa.concat_tables(tabs)
-    stp = np.asarray(allt["step"].to_numpy(zero_copy_only=False), np.int64)
-    n = np.asarray(allt["n_users"].to_numpy(zero_copy_only=False), np.int64)
-    out_n = [int(n[stp == i + 1].sum()) for i in range(len(steps))]
+    if tabs:
+        import pyarrow as _pa
+        allt = _pa.concat_tables(tabs)
+        stp = np.asarray(allt["step"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        n = np.asarray(allt["n_users"].to_numpy(zero_copy_only=False),
+                       np.int64)
+        out_n = [int(n[stp == i + 1].sum()) for i in range(len(steps))]
+    else:  # no events matched any step: zero counts, not a crash
+        out_n = [0] * len(steps)
     return pa.table({
         "step": np.arange(1, len(steps) + 1, dtype=np.int64),
         "event_type": pa.array(list(steps), pa.string()),

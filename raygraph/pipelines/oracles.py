@@ -2589,9 +2589,12 @@ SELECT CAST(n AS BIGINT) AS n_vertices,
        CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
        CAST(sxx AS BIGINT) AS sxx, CAST(syy AS BIGINT) AS syy,
        CAST(sxy AS BIGINT) AS sxy,
-       round((n * sxy - sx * sy)
-             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr
+       round(CASE WHEN (n * sxx - sx * sx) > 0
+                       AND (n * syy - sy * sy) > 0
+                  THEN (n * sxy - sx * sy)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                  ELSE 0 END, 6) AS corr
 FROM m"""
 
 

@@ -1113,3 +1113,28 @@ def test_event_transitions_counts():
     out = event_transitions(rd.from_arrow(t)).to_pandas()
     got = {(r.from_type, r.to_type): r.n for r in out.itertuples()}
     assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1}
+
+
+def test_funnel_empty_and_dup_steps():
+    from raygraph.datapipe.windows import funnel
+
+    t = pa.table({
+        "user_id": pa.array([1], pa.int64()),
+        "ts": pa.array([np.datetime64("2026-01-01", "us")],
+                       pa.timestamp("us")),
+        "event_type": pa.array(["error"], pa.string()),
+    })
+    out = funnel(rd.from_arrow(t)).to_pydict()  # no matching events
+    assert out["n_users"] == [0, 0, 0]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        funnel(rd.from_arrow(t), steps=("view", "click", "view"))
+
+
+def test_weighted_sample_all_nonpositive():
+    from raygraph.datapipe.sampling import weighted_sample
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "n_chars": pa.array([0.0, -1.0], pa.float64())})
+    out = weighted_sample(rd.from_arrow(t), n=5)
+    assert out.num_rows == 0

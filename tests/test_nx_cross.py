@@ -35,7 +35,9 @@ def test_rich_club_matches_networkx():
     want = nx.rich_club_coefficient(G, normalized=False)
     for k, phi in zip(got["k"], got["phi_ppm"]):
         if k in want:
-            assert phi == int(want[k] * 1_000_000), k
+            # engine is exact-integer floor; nx returns a double —
+            # compare with tolerance, not int() truncation
+            assert abs(phi / 1e6 - want[k]) < 2e-6, k
 
 
 def test_s_metric_matches_networkx():
