@@ -26,7 +26,7 @@ from raygraph.fused import block_cache
 
 def katz_fused(g, *, alpha: float = 0.05, beta: float = 1.0,
                itermax: int = 8, normalize: bool = True,
-               x0: float = 0.0):
+               x0: float = 0.0, keep_prev: bool = False):
     """Returns per-partition dense Katz state in ``g``'s layout after
     ``itermax`` unrolled iterations (bit-comparable to the unrolled SQL
     oracle at 6 decimals); L2-normalized when ``normalize``.
@@ -34,8 +34,16 @@ def katz_fused(g, *, alpha: float = 0.05, beta: float = 1.0,
     ``x0`` is the uniform starting value: 0 gives Katz centrality
     (x ← α·Aᵀx + β); x0=1 with alpha=1, beta=0 gives the plain power
     iteration x ← Aᵀx, i.e. (in-edge) eigenvector centrality up to the
-    final normalization — same recurrence, same task-wave shape."""
+    final normalization — same recurrence, same task-wave shape.
+
+    ``keep_prev=True`` (requires ``normalize=False``) returns
+    ``(xs, xs_prev)`` — the final AND penultimate iterates from ONE
+    run, so a Rayleigh norm-ratio consumer (spectral_radius) does not
+    pay a second full power iteration."""
     import ray
+
+    if keep_prev and normalize:
+        raise ValueError("katz_fused: keep_prev requires normalize=False")
 
     P = g.num_parts
     sizes = [int(s) for s in g.sizes]
@@ -73,7 +81,9 @@ def katz_fused(g, *, alpha: float = 0.05, beta: float = 1.0,
     reduce_t = ray.remote(_reduce_body)
 
     x_refs = [ray.put(np.full(s, x0, np.float64)) for s in sizes]
+    prev_refs = x_refs
     for _ in range(itermax):
+        prev_refs = x_refs
         pk = [[None] * P for _ in range(P)]
         for p in range(P):
             if cache[p] is None:
@@ -86,6 +96,8 @@ def katz_fused(g, *, alpha: float = 0.05, beta: float = 1.0,
         x_refs = [reduce_t.remote(sizes[q], beta, *pk[q]) for q in range(P)]
 
     xs = ray.get(x_refs)
+    if keep_prev:
+        return xs, ray.get(prev_refs)
     if normalize:
         s = float(np.sqrt(sum(float((x * x).sum()) for x in xs)))
         if s > 0:

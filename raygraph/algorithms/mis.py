@@ -86,10 +86,9 @@ def maximal_independent_set(edges, *, num_buckets: int = _B,
     _rp_v = 16
 
     def _coalesce(ds, target: int):
-        m = ds.materialize()
-        if m.num_blocks() > 2 * target:
-            m = m.repartition(target).materialize()
-        return m
+        from raygraph.util import coalesce_blocks
+
+        return coalesce_blocks(ds.materialize(), target)
 
     sym = sym_edges(edges, num_buckets=num_buckets)
     alive_e = _coalesce(sym.map_batches(split_sym, batch_format="pyarrow"),

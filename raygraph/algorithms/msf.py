@@ -39,7 +39,7 @@ import math
 import numpy as np
 import pyarrow as pa
 
-from raygraph.util import mix64
+from raygraph.util import coalesce_blocks as _coalesce, mix64
 
 _B = 64
 _U64 = np.uint64
@@ -117,16 +117,6 @@ def canonical_weighted_edges(edges, *, num_buckets: int = _B):
 
     return (edges.map_batches(local, batch_format="pyarrow")
             .groupby("bucket").map_groups(dedup, batch_format="pyarrow"))
-
-
-def _coalesce(m, target: int):
-    """Repartition a materialized Dataset when its block count exploded
-    (Ray's sort-shuffle emits ~input-many mostly-empty blocks; unions
-    compound them across Borůvka rounds into pure task-scheduling
-    overhead — same guard as mis.py/walks.py)."""
-    if m.num_blocks() > 2 * target:
-        m = m.repartition(target).materialize()
-    return m
 
 
 def _resolve_roots(P, *, nb: int, n_comps: int):

@@ -281,14 +281,12 @@ def bowtie(edges, *, num_parts: int = 16) -> pa.Table:
     from raygraph.algorithms.paths import bfs_levels
     from raygraph.graph import build_graph
 
+    from raygraph import kernels as K
+
     eds = edges.materialize()
     g = build_graph(eds, num_parts=num_parts, dup_op="first", binarize=True)
-
-    def swap(t: pa.Table) -> pa.Table:
-        return pa.table({"src": t["dst"], "dst": t["src"], "w": t["w"]})
-
-    gT = build_graph(eds.map_batches(swap, batch_format="pyarrow"),
-                     num_parts=num_parts, dup_op="first", binarize=True)
+    gT = build_graph(K.transpose(eds), num_parts=num_parts,
+                     dup_op="first", binarize=True)
     labels = scc_fused(g, gT)
     lt = g.to_vertex_table(labels, "scc")
     v = np.asarray(lt["v"].to_numpy(zero_copy_only=False)).astype(np.uint64)

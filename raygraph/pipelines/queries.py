@@ -2356,12 +2356,8 @@ def q_salsa_k4(sf_dir):
 
     eds = _edges_dedup(sf_dir).materialize()
     g = build_graph(eds, num_parts=16, dup_op="first", binarize=True)
-
-    def swap(t: pa.Table) -> pa.Table:
-        return pa.table({"src": t["dst"], "dst": t["src"], "w": t["w"]})
-
-    gT = build_graph(eds.map_batches(swap, batch_format="pyarrow"),
-                     num_parts=16, dup_op="first", binarize=True)
+    gT = build_graph(K.transpose(eds), num_parts=16, dup_op="first",
+                     binarize=True)
     hub, auth = salsa_fused(g, gT, itermax=4)
     th = g.to_vertex_table(hub, "hub")
     ta = g.to_vertex_table(auth, "auth")
@@ -2441,12 +2437,8 @@ def q_scc_levels(sf_dir):
 
     eds = _edges_dedup(sf_dir).materialize()
     g = build_graph(eds, num_parts=16, dup_op="first", binarize=True)
-
-    def swap(t: pa.Table) -> pa.Table:
-        return pa.table({"src": t["dst"], "dst": t["src"], "w": t["w"]})
-
-    gT = build_graph(eds.map_batches(swap, batch_format="pyarrow"),
-                     num_parts=16, dup_op="first", binarize=True)
+    gT = build_graph(K.transpose(eds), num_parts=16, dup_op="first",
+                     binarize=True)
     labels = scc_fused(g, gT)
     lt = g.to_vertex_table(labels, "scc")
     comps = np.unique(np.asarray(
@@ -2573,12 +2565,9 @@ def q_triad_counts(sf_dir):
         return pa.table({"src": s[keep], "dst": d[keep],
                          "w": np.ones(int(keep.sum()), np.float64)})
 
-    def swap(t: pa.Table) -> pa.Table:
-        return pa.table({"src": t["dst"], "dst": t["src"], "w": t["w"]})
-
     e = _edges_dedup(sf_dir).map_batches(
         ebin, batch_format="pyarrow").materialize()
-    eT = e.map_batches(swap, batch_format="pyarrow").materialize()
+    eT = K.transpose(e).materialize()
     trans = K.reduce_scalar(
         K.mxm(e, e, "plus_times", mask=e), "plus", col="w")
     cyc = K.reduce_scalar(
@@ -2908,10 +2897,8 @@ def q_spectral_radius(sf_dir):
     from raygraph.algorithms.katz import katz_fused
 
     g = _g1_graph(sf_dir, binarize=True)
-    x8 = katz_fused(g, alpha=1.0, beta=0.0, itermax=8, normalize=False,
-                    x0=1.0)
-    x9 = katz_fused(g, alpha=1.0, beta=0.0, itermax=9, normalize=False,
-                    x0=1.0)
+    x9, x8 = katz_fused(g, alpha=1.0, beta=0.0, itermax=9,
+                        normalize=False, x0=1.0, keep_prev=True)
     n8 = np.sqrt(sum(float((x * x).sum()) for x in x8))
     n9 = np.sqrt(sum(float((x * x).sum()) for x in x9))
     lam = n9 / n8 if n8 > 0 else 0.0
