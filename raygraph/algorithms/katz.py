@@ -52,21 +52,9 @@ def katz_fused(g, *, alpha: float = 0.05, beta: float = 1.0,
         return []
     cache = block_cache(g)
 
-    def _scatter_body(blk, x_p, a):
-        w = x_p * a
-        xv = np.repeat(w[blk["src_pos"]], blk["counts"])  # edge order
-        valp = xv[blk["perm"]]
-        out = [None] * P
-        for q, s0, e0, starts_rel, out_pos in blk["segs"]:
-            out[q] = (out_pos, np.add.reduceat(valp[s0:e0], starts_rel))
-        return out
+    from raygraph.fused import make_weighted_scatter
 
-    if P > 1:
-        scatter = ray.remote(num_returns=P)(
-            lambda blk, x_p, a: tuple(_scatter_body(blk, x_p, a)))
-    else:
-        scatter = ray.remote(
-            lambda blk, x_p, a: _scatter_body(blk, x_p, a)[0])
+    scatter = make_weighted_scatter(P)
 
     def _reduce_body(size, b, *packets):
         live = [pk for pk in packets if pk is not None]

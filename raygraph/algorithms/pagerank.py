@@ -211,21 +211,9 @@ def pagerank_dangling_fused(graph, *, damping: float = 0.85,
 
     dang_t = ray.remote(_dang_sum)
 
-    def _scatter_body(blk, x_p, invd_p):
-        w = x_p * invd_p
-        xv = np.repeat(w[blk["src_pos"]], blk["counts"])  # edge order
-        valp = xv[blk["perm"]]
-        out = [None] * P
-        for q, s0, e0, starts_rel, out_pos in blk["segs"]:
-            out[q] = (out_pos, np.add.reduceat(valp[s0:e0], starts_rel))
-        return out
+    from raygraph.fused import make_weighted_scatter
 
-    if P > 1:
-        scatter = ray.remote(num_returns=P)(
-            lambda blk, x_p, invd_p: tuple(_scatter_body(blk, x_p, invd_p)))
-    else:
-        scatter = ray.remote(
-            lambda blk, x_p, invd_p: _scatter_body(blk, x_p, invd_p)[0])
+    scatter = make_weighted_scatter(P)
 
     def _reduce_body(size, beta, *packets):
         live = [pk for pk in packets if pk is not None]

@@ -66,21 +66,9 @@ def salsa_fused(g, gT, *, itermax: int = 4):
     invA = _inv_outdeg_refs(cacheA, sizes)   # 1/outdeg(g)  — authority step
     invT = _inv_outdeg_refs(cacheT, sizes)   # 1/indeg(g)   — hub step
 
-    def _scatter_body(blk, x_p, inv_p):
-        w = x_p * inv_p
-        xv = np.repeat(w[blk["src_pos"]], blk["counts"])  # edge order
-        valp = xv[blk["perm"]]
-        out = [None] * P
-        for q, s0, e0, starts_rel, out_pos in blk["segs"]:
-            out[q] = (out_pos, np.add.reduceat(valp[s0:e0], starts_rel))
-        return out
+    from raygraph.fused import make_weighted_scatter
 
-    if P > 1:
-        scatter = ray.remote(num_returns=P)(
-            lambda blk, x_p, inv_p: tuple(_scatter_body(blk, x_p, inv_p)))
-    else:
-        scatter = ray.remote(
-            lambda blk, x_p, inv_p: _scatter_body(blk, x_p, inv_p)[0])
+    scatter = make_weighted_scatter(P)
 
     def _reduce_body(size, *packets):
         live = [pk for pk in packets if pk is not None]

@@ -795,3 +795,29 @@ def lpa_fused(graph, labels0: list, *, itermax: int = 30):
         "edges_traversed": (it + 1) * graph.nnz,
         "wall_s": time.perf_counter() - t_start,
     }
+
+
+def make_weighted_scatter(P: int):
+    """Shared scatter-task factory for the katz / SALSA /
+    dangling-PageRank superstep family: one task per live partition
+    computes w = x_p · f (f a scalar damping or a per-partition factor
+    vector like 1/outdeg), expands w over the partition's out-edges in
+    edge order, and emits P positional (out_pos, partial-sum) packets
+    via the precomputed segment layout. Factored here so the P==1
+    num_returns special case and any packet-layout change live in ONE
+    place (katz.py / salsa.py / pagerank.py all import this)."""
+    import ray
+
+    def _body(blk, x_p, f):
+        w = x_p * f
+        xv = np.repeat(w[blk["src_pos"]], blk["counts"])  # edge order
+        valp = xv[blk["perm"]]
+        out = [None] * P
+        for q, s0, e0, starts_rel, out_pos in blk["segs"]:
+            out[q] = (out_pos, np.add.reduceat(valp[s0:e0], starts_rel))
+        return out
+
+    if P > 1:
+        return ray.remote(num_returns=P)(
+            lambda blk, x_p, f: tuple(_body(blk, x_p, f)))
+    return ray.remote(lambda blk, x_p, f: _body(blk, x_p, f)[0])
