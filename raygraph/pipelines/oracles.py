@@ -2729,3 +2729,17 @@ SELECT c.lang, c.pred_lang, CAST(c.n AS BIGINT) AS n,
        AS acc_ppm
 FROM c JOIN t ON t.lang = c.lang
 ORDER BY c.lang, c.pred_lang"""
+
+
+# quality-proportional A-ES sample: weight = the locked doc_quality
+# score (rounded 6), key = -ln(u)/w on the first 52 md5 bits
+ORACLES["doc_quality_sample"] = f"""WITH {_DOCQ_CTES},
+qv AS (SELECT doc_id, {_QUALITY_EXPR} AS quality FROM r)
+SELECT doc_id, quality FROM (
+  SELECT doc_id, quality,
+         row_number() OVER (ORDER BY
+           -ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                AS BIGINT) + 1) / 4503599627370496.0) / quality,
+           doc_id) AS rn
+  FROM qv WHERE quality > 0
+) WHERE rn <= 25 ORDER BY doc_id"""

@@ -2943,3 +2943,28 @@ def q_doc_lang_confusion(sf_dir):
 
 
 QUERIES["doc_lang_confusion"] = q_doc_lang_confusion
+
+
+def q_doc_quality_sample(sf_dir):
+    """Quality-proportional corpus subsample (n=25): the fused analyzer's
+    quality score (rounded to 6, the locked doc_quality value) becomes
+    the A-ES sampling weight — the curation composition a filtered
+    pretraining mix uses. Zero-quality docs never win."""
+    from raygraph.datapipe.sampling import weighted_sample
+    from raygraph.datapipe.text import analyze_documents
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet")
+    out = analyze_documents(docs, concurrency=4)
+
+    def pick(t: pa.Table) -> pa.Table:
+        q = np.round(np.asarray(t["quality"].to_numpy(
+            zero_copy_only=False), np.float64), 6)
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "quality": pa.array(q, pa.float64())})
+
+    qd = out.map_batches(pick, batch_format="pyarrow")
+    t = weighted_sample(qd, n=25, id_col="doc_id", weight_col="quality")
+    return t.sort_by([("doc_id", "ascending")])
+
+
+QUERIES["doc_quality_sample"] = q_doc_quality_sample
