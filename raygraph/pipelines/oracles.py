@@ -2743,3 +2743,34 @@ SELECT doc_id, quality FROM (
            doc_id) AS rn
   FROM qv WHERE quality > 0
 ) WHERE rn <= 25 ORDER BY doc_id"""
+
+
+def _pagerank_host_sql(k: int = 8, damping: float = 0.85) -> str:
+    """PageRank over the v%7-contracted binarized quotient graph."""
+    parts = [
+        _E,
+        "ebin AS (SELECT DISTINCT src % 7 AS src, dst % 7 AS dst FROM e)",
+        "n AS (SELECT src AS v FROM ebin UNION SELECT dst FROM ebin)",
+        "dout AS (SELECT src, count(*) AS c FROM ebin GROUP BY 1)",
+        "nn AS (SELECT count(*) AS c FROM n)",
+        "r0 AS (SELECT v, 1.0 / (SELECT c FROM nn) AS score FROM n)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""r{i} AS (
+  SELECT n.v,
+         ({1 - damping} / (SELECT c FROM nn))
+         + {damping} * COALESCE(s.x, 0) AS score
+  FROM n LEFT JOIN (
+    SELECT eb.dst AS v, sum(r{i-1}.score / d.c) AS x
+    FROM ebin eb
+    JOIN r{i-1} ON r{i-1}.v = eb.src
+    JOIN dout d ON d.src = eb.src
+    GROUP BY eb.dst
+  ) s ON s.v = n.v
+)""")
+    return ("WITH " + ",\n".join(parts) +
+            f"\nSELECT v, round(score, 6) AS score FROM r{k} ORDER BY v")
+
+
+ORACLES["pagerank_host_k8"] = _pagerank_host_sql(8)

@@ -2968,3 +2968,23 @@ def q_doc_quality_sample(sf_dir):
 
 
 QUERIES["doc_quality_sample"] = q_doc_quality_sample
+
+
+def q_pagerank_host_k8(sf_dir):
+    """Host-level PageRank: contract the page graph to its quotient
+    (v % 7 = the host-collapse shape), binarize the contracted simple
+    digraph, then 8 fused PageRank supersteps — the contract →
+    build → rank composition a site-level ranking pipeline runs."""
+    from raygraph.algorithms.pagerank import pagerank
+    from raygraph.kernels import contract
+
+    ce = contract(_edges_dedup(sf_dir),
+                  lambda v: v % np.uint64(7)).materialize()
+    g = build_graph(ce, num_parts=4, dup_op="first", binarize=True)
+    r, _ = pagerank(g, damping=0.85, tol=0.0, itermax=8, mode="fused")
+    t = g.to_vertex_table(r, "score")
+    return _round_col(_int64_col(t, "v"), "score") \
+        .sort_by([("v", "ascending")])
+
+
+QUERIES["pagerank_host_k8"] = q_pagerank_host_k8
