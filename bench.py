@@ -435,7 +435,9 @@ def run_bench() -> dict:
                  "s_metric", "cosupplier_graph", "doc_weighted_sample",
                  "events_transitions", "emb_kmeans", "inout_corr",
                  "vocab_zipf", "doc_datasheet", "lpa_seeded",
-                 "pagerank_pruned_k8", "spectral_radius"):
+                 "pagerank_pruned_k8", "spectral_radius",
+                 "doc_lang_confusion", "doc_quality_sample",
+                 "pagerank_host_k8"):
         t = time.perf_counter()
         out = QUERIES[name](SF_DIR)
         if hasattr(out, "materialize"):
