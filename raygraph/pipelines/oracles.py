@@ -2774,3 +2774,19 @@ def _pagerank_host_sql(k: int = 8, damping: float = 0.85) -> str:
 
 
 ORACLES["pagerank_host_k8"] = _pagerank_host_sql(8)
+
+
+# cut size / volume / conductance of the even/odd bipartition
+ORACLES["cut_metrics"] = f"""WITH {_E},
+eb AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+m AS (SELECT
+        sum(CASE WHEN src % 2 = 0 AND dst % 2 = 1 THEN 1 ELSE 0 END) AS cs,
+        sum(CASE WHEN src % 2 = 1 AND dst % 2 = 0 THEN 1 ELSE 0 END) AS ct,
+        sum(CASE WHEN src % 2 = 0 THEN 1 ELSE 0 END) AS vs,
+        sum(CASE WHEN src % 2 = 1 THEN 1 ELSE 0 END) AS vt
+      FROM eb)
+SELECT CAST(cs AS BIGINT) AS cut_st, CAST(ct AS BIGINT) AS cut_ts,
+       CAST(vs AS BIGINT) AS vol_s, CAST(vt AS BIGINT) AS vol_t,
+       CAST((cs + ct) * 1000000 // greatest(least(vs, vt), 1) AS BIGINT)
+       AS conductance_ppm
+FROM m"""

@@ -2988,3 +2988,42 @@ def q_pagerank_host_k8(sf_dir):
 
 
 QUERIES["pagerank_host_k8"] = q_pagerank_host_k8
+
+
+def q_cut_metrics(sf_dir):
+    """Partition-quality metrics for the S = {v : v even} bipartition of
+    the directed simple graph (graphblas-algorithms ``cut_size`` /
+    ``volume`` / NetworkX ``conductance`` semantics): directed cut size
+    in each direction, out-edge volumes, and conductance
+    cut(S,T)/min(vol S, vol T) in exact ppm. Membership is a pure
+    function of the id (host/shard-parity shape), so ONE zero-shuffle
+    pass emits per-batch integer partials and the driver folds
+    num_blocks rows — nothing is broadcast."""
+    def ebin(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.uint64)
+        d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.uint64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        se, de = (s % 2 == 0), (d % 2 == 0)
+        return pa.table({
+            "cut_st": pa.array([int((se & ~de).sum())], pa.int64()),
+            "cut_ts": pa.array([int((~se & de).sum())], pa.int64()),
+            "vol_s": pa.array([int(se.sum())], pa.int64()),
+            "vol_t": pa.array([int((~se).sum())], pa.int64())})
+
+    t = K.to_table(_edges_dedup(sf_dir).map_batches(
+        ebin, batch_format="pyarrow"), sort_by=None)
+    cs = int(np.asarray(t["cut_st"].to_numpy(zero_copy_only=False)).sum())
+    ct = int(np.asarray(t["cut_ts"].to_numpy(zero_copy_only=False)).sum())
+    vs = int(np.asarray(t["vol_s"].to_numpy(zero_copy_only=False)).sum())
+    vt = int(np.asarray(t["vol_t"].to_numpy(zero_copy_only=False)).sum())
+    cond = (cs + ct) * 1_000_000 // max(min(vs, vt), 1)
+    return pa.table({
+        "cut_st": pa.array([cs], pa.int64()),
+        "cut_ts": pa.array([ct], pa.int64()),
+        "vol_s": pa.array([vs], pa.int64()),
+        "vol_t": pa.array([vt], pa.int64()),
+        "conductance_ppm": pa.array([cond], pa.int64())})
+
+
+QUERIES["cut_metrics"] = q_cut_metrics
