@@ -181,12 +181,18 @@ class Graph:
             self._block_refs = refs
         return refs
 
-    def write_vertex_parquet(self, slices, path: str, name: str = "val") -> None:
+    def write_vertex_parquet(self, slices, path: str, name: str = "val",
+                             *, resume: bool = True) -> int:
         """Write the (v, <name>) result as partitioned parquet, one file
         per graph partition, directly from tasks. ``slices`` items may be
         numpy arrays or ObjectRefs; vertex ids come from each partition's
-        CSR block ref, so the driver never materializes the vertex table
-        and a failed write can be resumed per partition file."""
+        CSR block ref, so the driver never materializes the vertex table.
+
+        Writes are ATOMIC (tmp file + rename), so a killed run never
+        leaves a truncated partition file; with ``resume`` (default) a
+        re-run skips partitions whose final file already exists — the
+        "failed run skips finished partitions" output contract. Returns
+        the number of partition files actually (re)written."""
         import ray
 
         os.makedirs(path, exist_ok=True)
@@ -196,20 +202,25 @@ class Graph:
         def w(p, block, s):
             import pyarrow.parquet as _pq
 
+            final = os.path.join(path, f"part_p{p:05d}.parquet")
+            if resume and os.path.exists(final):
+                return 0
             ids = np.asarray(block["ids"][0].values, np.uint64)
+            tmp = final + ".tmp"
             _pq.write_table(
-                pa.table({"v": ids, name: np.asarray(s)}),
-                os.path.join(path, f"part_p{p:05d}.parquet"),
+                pa.table({"v": ids, name: np.asarray(s)}), tmp,
                 compression="zstd",
             )
+            os.replace(tmp, final)  # atomic on POSIX
+            return 1
 
-        ray.get(
+        return int(sum(ray.get(
             [
                 w.remote(p, refs[p], slices[p])
                 for p in range(self.num_parts)
                 if refs[p] is not None and int(self.sizes[p])
             ]
-        )
+        )))
 
     def free_caches(self) -> None:
         """Release the fused/frontier routing caches (O(nnz) object-store

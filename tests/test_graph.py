@@ -173,3 +173,32 @@ def test_build_graph_int64_weights_exact():
         finally:
             for k, v in old.items():
                 os.environ.pop(k, None) if v is None else os.environ.__setitem__(k, v)
+
+
+def test_write_vertex_parquet_resume_skips_finished(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from raygraph.graph import build_graph
+    from tests import fixtures as fx
+
+    A = (fx.random_graph(20, 0.2, seed=7) != 0).astype(np.float64)
+    g = build_graph(rd.from_arrow(fx.dense_to_edge_table(A)),
+                    num_parts=4, dup_op="first", binarize=True)
+    xs = g.state(1.0)
+    out = str(tmp_path / "scores")
+    n1 = g.write_vertex_parquet(xs, out, "score")
+    assert n1 >= 1
+    files = sorted(os.listdir(out))
+    assert all(f.endswith(".parquet") for f in files)
+    # delete ONE partition file; resume rewrites only that one
+    os.remove(os.path.join(out, files[0]))
+    n2 = g.write_vertex_parquet(xs, out, "score")
+    assert n2 == 1
+    # full resume over a complete output is a no-op
+    assert g.write_vertex_parquet(xs, out, "score") == 0
+    # and the output reads back whole
+    total = sum(pq.read_table(os.path.join(out, f)).num_rows
+                for f in sorted(os.listdir(out)))
+    assert total == g.n_vertices
