@@ -2790,3 +2790,21 @@ SELECT CAST(cs AS BIGINT) AS cut_st, CAST(ct AS BIGINT) AS cut_ts,
        CAST((cs + ct) * 1000000 // greatest(least(vs, vt), 1) AS BIGINT)
        AS conductance_ppm
 FROM m"""
+
+
+# Gini coefficient of the undirected degree distribution (exact ppm);
+# ranks over sorted degrees, ties broken arbitrarily — the Σ(2i-n-1)d_i
+# numerator is tie-order invariant (equal d share any rank order)
+ORACLES["degree_gini"] = f"""WITH {_E},
+ud AS (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS d
+       FROM e WHERE src <> dst),
+deg AS (SELECT v, count(*) AS dg FROM
+        (SELECT s AS v FROM ud UNION ALL SELECT d FROM ud) GROUP BY v),
+r AS (SELECT dg, row_number() OVER (ORDER BY dg) AS i,
+             count(*) OVER () AS n FROM deg),
+m AS (SELECT max(n) AS n, sum(dg) AS tot,
+             sum((2 * i - n - 1) * dg) AS num FROM r)
+SELECT CAST(n AS BIGINT) AS n_vertices,
+       CAST(tot AS BIGINT) AS sum_deg,
+       CAST(num * 1000000 // (n * tot) AS BIGINT) AS gini_ppm
+FROM m"""

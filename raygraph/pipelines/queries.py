@@ -3027,3 +3027,30 @@ def q_cut_metrics(sf_dir):
 
 
 QUERIES["cut_metrics"] = q_cut_metrics
+
+
+def q_degree_gini(sf_dir):
+    """Gini coefficient of the undirected degree distribution — the
+    power-law inequality summary of a web graph, exact integers: with
+    sorted degrees d_(1..n), G = Σ(2i−n−1)·d_(i) / (n·Σd), reported in
+    ppm. Degrees come from the distributed rowwise reduce; the O(V)
+    sorted fold runs driver-side (same regime as degree_hist)."""
+    from raygraph.algorithms.cores import sym_edges
+
+    sym = sym_edges(_edges_dedup(sf_dir)).materialize()
+    degt = K.to_table(K.reduce_rowwise(sym, "plus"), sort_by=None)
+    d = np.sort(np.rint(np.asarray(
+        degt["val"].to_numpy(zero_copy_only=False), np.float64))
+        .astype(np.int64))
+    n = len(d)
+    tot = int(d.sum())
+    i = np.arange(1, n + 1, dtype=np.int64)
+    num = int(((2 * i - n - 1) * d).sum())
+    gini_ppm = num * 1_000_000 // (n * tot) if n and tot else 0
+    return pa.table({
+        "n_vertices": pa.array([n], pa.int64()),
+        "sum_deg": pa.array([tot], pa.int64()),
+        "gini_ppm": pa.array([gini_ppm], pa.int64())})
+
+
+QUERIES["degree_gini"] = q_degree_gini
