@@ -437,7 +437,7 @@ def run_bench() -> dict:
                  "vocab_zipf", "doc_datasheet", "lpa_seeded",
                  "pagerank_pruned_k8", "spectral_radius",
                  "doc_lang_confusion", "doc_quality_sample",
-                 "pagerank_host_k8"):
+                 "pagerank_host_k8", "cut_metrics", "degree_gini"):
         t = time.perf_counter()
         out = QUERIES[name](SF_DIR)
         if hasattr(out, "materialize"):
